@@ -1,0 +1,267 @@
+"""CSS selector engine over :mod:`content_extractor_spark.kernel.dom`.
+
+Implements the jsoup selector dialect subset used by the reference's
+page profiles and test fixtures (tag, ``#id``, ``.class``, ``[attr]``,
+``[attr<op>value]``, compound selectors, descendant/child/adjacent/
+sibling combinators, comma groups, ``*``). See the selectors used in
+``/root/reference/src/test/scala/info/coverified/extractor/analyzer/ContentExtractorHelper.scala``
+and ``input/production/pageProfiles/*.conf``.
+
+jsoup semantics preserved:
+  * matching is case-insensitive for tag and attribute names, and for
+    attribute *values* in ``[attr=value]`` comparisons,
+  * ``select`` returns matches in document order and includes the root
+    element itself as a candidate,
+  * an unparseable selector raises :class:`SelectorParseError`; callers
+    in the analyzer treat that as "matches nothing" (the reference
+    surfaces it as a row-level analysis failure).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+from .dom import Element
+
+__all__ = ["select", "select_first", "SelectorParseError"]
+
+
+class SelectorParseError(ValueError):
+    pass
+
+
+_IDENT = r"(?:[A-Za-z0-9_\-]|[^\x00-\x7F])+"
+_token_re = re.compile(
+    r"""(?P<ws>\s*)(?:
+        (?P<comma>,)
+      | (?P<combinator>[>+~])
+      | \#(?P<hash_v>%(id)s)
+      | \.(?P<class_v>%(id)s)
+      | (?P<attr>\[\s*(?P<attr_k>[-\w:]+)\s*(?:(?P<attr_op>[~^$*|!]?=)\s*
+            (?:"(?P<attr_dq>[^"]*)"|'(?P<attr_sq>[^']*)'|(?P<attr_uq>[^\]]*?))\s*)?\])
+      | (?P<tag>%(id)s)
+      | (?P<star>\*)
+    )"""
+    % {"id": _IDENT},
+    re.X,
+)
+
+
+class _Simple:
+    """One compound selector: tag/class/id/attr predicates ANDed."""
+
+    __slots__ = ("tag", "ids", "classes", "attrs")
+
+    def __init__(self):
+        self.tag: Optional[str] = None
+        self.ids: List[str] = []
+        self.classes: List[str] = []
+        self.attrs: List[tuple] = []  # (name, op, value)
+
+    def matches(self, el: Element) -> bool:
+        if self.tag is not None and self.tag != "*" and el.tag != self.tag:
+            return False
+        for i in self.ids:
+            if el.attrs.get("id") != i:
+                return False
+        if self.classes:
+            cls = el.classes()
+            for c in self.classes:
+                if c not in cls:
+                    return False
+        for name, op, value in self.attrs:
+            if op is None:
+                if not el.has_attr(name):
+                    return False
+                continue
+            if not el.has_attr(name):
+                return False
+            actual = el.attr(name).lower()
+            v = value.lower()
+            if op == "=":
+                if actual != v:
+                    return False
+            elif op == "^=":
+                if not actual.startswith(v):
+                    return False
+            elif op == "$=":
+                if not actual.endswith(v):
+                    return False
+            elif op == "*=":
+                if v not in actual:
+                    return False
+            elif op == "~=":
+                if v not in actual.split():
+                    return False
+            elif op == "|=":
+                if not (actual == v or actual.startswith(v + "-")):
+                    return False
+            elif op == "!=":
+                if actual == v:
+                    return False
+        return True
+
+
+class _Chain:
+    """Sequence of simple selectors joined by combinators."""
+
+    __slots__ = ("parts",)
+
+    def __init__(self, parts: List[tuple]):
+        # parts: [(combinator_to_previous, _Simple)], first combinator is None
+        self.parts = parts
+
+    def matches(self, el: Element) -> bool:
+        return self._matches_at(el, len(self.parts) - 1)
+
+    def _matches_at(self, el: Optional[Element], idx: int) -> bool:
+        if el is None:
+            return False
+        comb, simple = self.parts[idx]
+        if not simple.matches(el):
+            return False
+        if idx == 0:
+            return True
+        prev_comb = comb
+        if prev_comb == " ":
+            anc = el.parent
+            while anc is not None:
+                if self._matches_at(anc, idx - 1):
+                    return True
+                anc = anc.parent
+            return False
+        if prev_comb == ">":
+            return self._matches_at(el.parent, idx - 1)
+        if prev_comb == "+":
+            sib = _prev_element_sibling(el)
+            return self._matches_at(sib, idx - 1) if sib else False
+        if prev_comb == "~":
+            sib = _prev_element_sibling(el)
+            while sib is not None:
+                if self._matches_at(sib, idx - 1):
+                    return True
+                sib = _prev_element_sibling(sib)
+            return False
+        return False
+
+
+def _prev_element_sibling(el: Element) -> Optional[Element]:
+    if el.parent is None:
+        return None
+    kids = el.parent.children
+    idx = kids.index(el)
+    for i in range(idx - 1, -1, -1):
+        if isinstance(kids[i], Element):
+            return kids[i]
+    return None
+
+
+def _parse(query: str) -> List[_Chain]:
+    if query is None or not query.strip():
+        raise SelectorParseError("empty selector")
+    chains: List[_Chain] = []
+    parts: List[tuple] = []  # (comb_to_previous | None, _Simple)
+    current: Optional[_Simple] = None
+    cur_link: Optional[str] = None  # combinator linking `current` to parts[-1]
+    pending: Optional[str] = None  # explicit combinator awaiting next simple
+    pos = 0
+    q = query
+
+    def flush_current() -> None:
+        nonlocal current, cur_link
+        if current is not None:
+            parts.append((cur_link, current))
+            current, cur_link = None, None
+
+    while pos < len(q):
+        if q[pos :].strip() == "":
+            break
+        m = _token_re.match(q, pos)
+        if m is None or m.end() == pos:
+            raise SelectorParseError(f"could not parse query '{query}' at {pos}")
+        had_ws = bool(m.group("ws"))
+        pos = m.end()
+        if m.group("comma"):
+            flush_current()
+            if not parts:
+                raise SelectorParseError(f"dangling comma in '{query}'")
+            chains.append(_Chain(parts))
+            parts, pending = [], None
+            continue
+        if m.group("combinator"):
+            flush_current()
+            if not parts:
+                raise SelectorParseError(f"leading combinator in '{query}'")
+            if pending is not None:
+                raise SelectorParseError(f"double combinator in '{query}'")
+            pending = m.group("combinator")
+            continue
+        # simple-selector component
+        if current is not None and (had_ws or pending is not None):
+            flush_current()
+        if current is None:
+            current = _Simple()
+            if pending is not None:
+                cur_link = pending
+                pending = None
+            elif parts:
+                cur_link = " "
+            else:
+                cur_link = None
+        if m.group("tag"):
+            tag = m.group("tag").lower()
+            if current.tag is not None:
+                raise SelectorParseError(f"two tags in compound: '{query}'")
+            current.tag = tag
+        elif m.group("star"):
+            current.tag = "*"
+        elif m.group("hash_v"):
+            current.ids.append(m.group("hash_v"))
+        elif m.group("class_v"):
+            current.classes.append(m.group("class_v"))
+        elif m.group("attr"):
+            name = m.group("attr_k").lower()
+            op = m.group("attr_op")
+            if op is None:
+                current.attrs.append((name, None, None))
+            else:
+                val = m.group("attr_dq")
+                if val is None:
+                    val = m.group("attr_sq")
+                if val is None:
+                    val = m.group("attr_uq") or ""
+                current.attrs.append((name, op, val))
+    if pending is not None:
+        raise SelectorParseError(f"trailing combinator in '{query}'")
+    flush_current()
+    if parts:
+        chains.append(_Chain(parts))
+    if not chains:
+        raise SelectorParseError(f"no selector in '{query}'")
+    return chains
+
+
+def select(root: Element, query: str) -> List[Element]:
+    """All elements under (and including) root matching query, doc order."""
+    chains = _parse(query)
+    out: List[Element] = []
+    for el in root.iter_elements():
+        if el.tag.startswith("#"):
+            continue  # document pseudo-root
+        for chain in chains:
+            if chain.matches(el):
+                out.append(el)
+                break
+    return out
+
+
+def select_first(root: Element, query: str) -> Optional[Element]:
+    chains = _parse(query)
+    for el in root.iter_elements():
+        if el.tag.startswith("#"):
+            continue
+        for chain in chains:
+            if chain.matches(el):
+                return el
+    return None

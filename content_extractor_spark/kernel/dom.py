@@ -1,0 +1,410 @@
+"""Pure-Python HTML DOM with jsoup-compatible parsing and text extraction.
+
+The reference engine parses pages with jsoup
+(``/root/reference/src/main/scala/info/coverified/extractor/analyzer/Analyzer.scala:113-117``)
+and extracts normalized text via jsoup's ``Element.text()``. No HTML
+library is available in this runtime, so this module implements the
+needed subset from scratch on top of ``html.parser``:
+
+  * HTML5-ish tree construction (implicit html/head/body, void elements,
+    ``<p>`` auto-close on block starts, li/dd/dt/tr/td/th/option auto-close,
+    script/style raw text as data nodes, title/textarea RCDATA),
+  * jsoup-compatible ``text()`` whitespace normalization (block boundaries
+    and ``<br>`` produce single spaces, NBSP preserved, soft hyphen and
+    zero-width space removed, script/style data excluded),
+  * exact ``outer_html`` serialization for the re-parse step of content
+    extraction (``Analyzer.scala:597``).
+
+This code is deliberately dependency-free so it can run inside Arrow
+batch UDFs on executors without shipping binary wheels.
+"""
+
+from __future__ import annotations
+
+from html import escape
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# jsoup Tag.blockTags (jsoup 1.14.x), used by Element.isBlock() which drives
+# text() whitespace insertion at block boundaries.
+BLOCK_TAGS = frozenset(
+    (
+        "html head body frameset script noscript style meta link title frame "
+        "noframes section nav aside hgroup header footer p h1 h2 h3 h4 h5 h6 "
+        "ul ol pre div blockquote hr address figure figcaption form fieldset "
+        "ins del dl dt dd li table caption thead tfoot tbody colgroup col tr "
+        "th td video audio canvas details menu plaintext template article "
+        "main svg math center dir applet marquee listing"
+    ).split()
+)
+
+PRESERVE_WS_TAGS = frozenset("pre plaintext title textarea".split())
+
+# HTML5: these start tags close an open <p> element ("in button scope").
+P_CLOSERS = frozenset(
+    (
+        "address article aside blockquote center details dialog dir div dl "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header "
+        "hgroup hr listing main menu nav ol p plaintext pre section summary "
+        "table ul xmp"
+    ).split()
+)
+
+RAWTEXT_TAGS = frozenset(("script", "style"))  # children become data nodes
+HEAD_TAGS = frozenset("title meta link base style script noscript template".split())
+
+_WS = {" ", "\t", "\n", "\f", "\r"}
+_INVISIBLE = {"​", "­"}  # zero-width space, soft hyphen (jsoup drops)
+
+
+class Node:
+    __slots__ = ("parent",)
+
+
+class TextNode(Node):
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.parent: Optional["Element"] = None
+        self.text = text
+
+
+class DataNode(Node):
+    """Raw content of script/style — excluded from text()."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.parent: Optional["Element"] = None
+        self.text = text
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None):
+        self.parent: Optional["Element"] = None
+        self.tag = tag
+        self.attrs: dict = attrs or {}
+        self.children: List[Node] = []
+
+    # -- tree ------------------------------------------------------------
+    def append(self, node: Node) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def remove(self) -> None:
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+
+    def iter_elements(self) -> Iterator["Element"]:
+        """Depth-first pre-order over this element and its descendants."""
+        stack: List[Element] = [self]
+        while stack:
+            el = stack.pop()
+            yield el
+            stack.extend(
+                c for c in reversed(el.children) if isinstance(c, Element)
+            )
+
+    # -- attributes --------------------------------------------------------
+    def attr(self, name: str) -> str:
+        return self.attrs.get(name.lower(), "")
+
+    def has_attr(self, name: str) -> bool:
+        return name.lower() in self.attrs
+
+    def classes(self) -> List[str]:
+        return self.attrs.get("class", "").split()
+
+    @property
+    def is_block(self) -> bool:
+        return self.tag in BLOCK_TAGS
+
+    # -- text (jsoup Element.text()) ---------------------------------------
+    def text(self) -> str:
+        accum: List[str] = []
+        self._text_into(accum)
+        return "".join(accum).strip()
+
+    def _preserves_ws(self) -> bool:
+        el: Optional[Element] = self
+        i = 0
+        while el is not None and i < 6:
+            if el.tag in PRESERVE_WS_TAGS:
+                return True
+            el = el.parent
+            i += 1
+        return False
+
+    def _text_into(self, accum: List[str]) -> None:
+        # head visit
+        if accum and (self.is_block or self.tag == "br") and (
+            not accum or accum[-1][-1:] != " "
+        ):
+            accum.append(" ")
+        for child in self.children:
+            if isinstance(child, TextNode):
+                _append_normalised(accum, child.text, self._preserves_ws())
+            elif isinstance(child, Element):
+                child._text_into(accum)
+                # tail visit: block element followed directly by a text node
+                if (
+                    child.is_block
+                    and _next_sibling_is_text(child)
+                    and accum
+                    and accum[-1][-1:] != " "
+                ):
+                    accum.append(" ")
+            # DataNode: excluded from text
+
+    # -- own text (jsoup ownText(), direct children only) --------------------
+    def own_text(self) -> str:
+        accum: List[str] = []
+        preserve = self._preserves_ws()
+        for child in self.children:
+            if isinstance(child, TextNode):
+                _append_normalised(accum, child.text, preserve)
+            elif isinstance(child, Element) and child.tag == "br":
+                if accum and accum[-1][-1:] != " ":
+                    accum.append(" ")
+        return "".join(accum).strip()
+
+    # -- serialization -------------------------------------------------------
+    def outer_html(self) -> str:
+        out: List[str] = []
+        self._html_into(out)
+        return "".join(out)
+
+    def inner_html(self) -> str:
+        out: List[str] = []
+        for c in self.children:
+            _node_html(c, out)
+        return "".join(out)
+
+    def _html_into(self, out: List[str]) -> None:
+        out.append("<")
+        out.append(self.tag)
+        for k, v in self.attrs.items():
+            out.append(" ")
+            out.append(k)
+            if v != "":
+                out.append('="')
+                out.append(escape(v, quote=True))
+                out.append('"')
+        if self.tag in VOID_TAGS and not self.children:
+            out.append(">")
+            return
+        out.append(">")
+        for c in self.children:
+            _node_html(c, out)
+        out.append("</")
+        out.append(self.tag)
+        out.append(">")
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Element {self.tag} attrs={self.attrs} kids={len(self.children)}>"
+
+
+def _node_html(node: Node, out: List[str]) -> None:
+    if isinstance(node, Element):
+        node._html_into(out)
+    elif isinstance(node, DataNode):
+        out.append(node.text)
+    elif isinstance(node, TextNode):
+        out.append(_escape_text(node.text))
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _next_sibling_is_text(el: Element) -> bool:
+    parent = el.parent
+    if parent is None:
+        return False
+    try:
+        idx = parent.children.index(el)
+    except ValueError:
+        return False
+    return idx + 1 < len(parent.children) and isinstance(
+        parent.children[idx + 1], TextNode
+    )
+
+
+def _append_normalised(accum: List[str], text: str, preserve: bool) -> None:
+    """jsoup StringUtil.appendNormalisedWhitespace semantics."""
+    if preserve:
+        accum.append(text)
+        return
+    strip_leading = not accum or accum[-1][-1:] == " "
+    out: List[str] = []
+    last_was_white = False
+    reached_non_white = False
+    for ch in text:
+        if ch in _WS:
+            if (strip_leading and not reached_non_white) or last_was_white:
+                continue
+            out.append(" ")
+            last_was_white = True
+        elif ch not in _INVISIBLE:
+            out.append(ch)
+            last_was_white = False
+            reached_non_white = True
+    if out:
+        accum.append("".join(out))
+
+
+class Document(Element):
+    __slots__ = ()
+
+    def __init__(self):
+        super().__init__("#root")
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.doc = Document()
+        self.html = Element("html")
+        self.head = Element("head")
+        self.body = Element("body")
+        self.doc.append(self.html)
+        self.html.append(self.head)
+        self.html.append(self.body)
+        self.stack: List[Element] = [self.body]
+        self._saw_body_content = False
+
+    # current insertion point
+    @property
+    def cur(self) -> Element:
+        return self.stack[-1]
+
+    def _target_for(self, tag: str) -> Element:
+        # route head-only tags to <head> until body content has started
+        if (
+            not self._saw_body_content
+            and len(self.stack) == 1
+            and tag in HEAD_TAGS
+        ):
+            return self.head
+        return self.cur
+
+    def _auto_close(self, tag: str) -> None:
+        """Implied end tags per HTML5 tree construction (subset)."""
+        if tag in P_CLOSERS:
+            self._close_if_open("p")
+        if tag == "li":
+            self._close_if_open("li", stop={"ul", "ol"})
+        elif tag in ("dd", "dt"):
+            self._close_if_open("dd", stop={"dl"})
+            self._close_if_open("dt", stop={"dl"})
+        elif tag == "tr":
+            self._close_if_open("tr", stop={"table", "thead", "tbody", "tfoot"})
+        elif tag in ("td", "th"):
+            self._close_if_open("td", stop={"tr", "table"})
+            self._close_if_open("th", stop={"tr", "table"})
+        elif tag == "option":
+            self._close_if_open("option", stop={"select"})
+
+    def _close_if_open(self, tag: str, stop: Optional[set] = None) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t == tag:
+                del self.stack[i:]
+                return
+            if stop and t in stop:
+                return
+            if t in BLOCK_TAGS and tag == "p" and t != "p":
+                # p is only closed within "button scope"-ish boundaries;
+                # approximate: stop at other blocks that establish scope
+                if t in ("table", "td", "th", "caption"):
+                    return
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in ("html", "head", "body"):
+            # merge attributes into the implicit elements
+            target = {"html": self.html, "head": self.head, "body": self.body}[tag]
+            for k, v in attrs:
+                if k not in target.attrs:
+                    target.attrs[k] = v if v is not None else ""
+            if tag == "body":
+                self._saw_body_content = True
+            return
+        self._auto_close(tag)
+        el = Element(tag)
+        for k, v in attrs:
+            if k not in el.attrs:
+                el.attrs[k] = v if v is not None else ""
+        target = self._target_for(tag)
+        if target is not self.head:
+            self._saw_body_content = True
+        target.append(el)
+        if tag not in VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in ("html", "head", "body"):
+            return
+        self._auto_close(tag)
+        el = Element(tag)
+        for k, v in attrs:
+            if k not in el.attrs:
+                el.attrs[k] = v if v is not None else ""
+        self._target_for(tag).append(el)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("html", "head", "body"):
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # HTML5: </p> with no open p creates an empty <p>
+        if tag == "p":
+            self.cur.append(Element("p"))
+        # otherwise: ignore stray end tag
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        parent = self.cur if self.stack else self.body
+        # script/style content are data nodes (excluded from text())
+        if parent.tag in RAWTEXT_TAGS:
+            parent.append(DataNode(data))
+            return
+        if parent is self.body and not self._saw_body_content:
+            if data.strip():
+                self._saw_body_content = True
+            else:
+                return  # inter-element whitespace before body content
+        parent.append(TextNode(data))
+
+    def handle_comment(self, data: str) -> None:
+        pass  # comments carry no text
+
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def handle_pi(self, data: str) -> None:
+        pass
+
+    def unknown_decl(self, data: str) -> None:
+        pass
+
+
+def parse(html: str) -> Document:
+    """Parse an HTML string into a Document (jsoup ``Jsoup.parse`` analog)."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html or "")
+        builder.close()
+    except Exception:
+        # be forgiving like browsers: return what was built so far
+        pass
+    return builder.doc

@@ -1,0 +1,96 @@
+"""Bit-exact reimplementation of the reference's content hash.
+
+The reference computes ``(title, summary, content, date).hashCode()``
+— a Scala ``Tuple4`` hash, i.e. ``MurmurHash3.productHash`` seeded with
+``productSeed`` over the Java ``String.hashCode`` of each element
+(``/root/reference/src/main/scala/info/coverified/extractor/analyzer/EntryInformation.scala:48-53``).
+Pinned golden values (EntryInformationSpec.scala:14-63):
+
+    ("The title", "This summarizes everything", "This contains a lot.",
+     "2021-07-21T22:00:00Z")                       -> 328104163
+    ("The title", "This summarizes everything", "This contains less.",
+     "2021-07-21T22:00:00Z")                       -> 781685212
+    ("The title", "", "", "")                      -> 318208789
+
+``None`` summary/content/date map to "" before hashing
+(EntryInformation.scala:24-30).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+_MASK = 0xFFFFFFFF
+
+
+def _i32(x: int) -> int:
+    x &= _MASK
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+def java_string_hash(s: str) -> int:
+    """Java String.hashCode over UTF-16 code units."""
+    h = 0
+    data = s.encode("utf-16-be", "surrogatepass")
+    for i in range(0, len(data), 2):
+        cu = (data[i] << 8) | data[i + 1]
+        h = (h * 31 + cu) & _MASK
+    return _i32(h)
+
+
+def _rotl(x: int, r: int) -> int:
+    x &= _MASK
+    return ((x << r) | (x >> (32 - r))) & _MASK
+
+
+def _mix(h: int, k: int) -> int:
+    k = (k * 0xCC9E2D51) & _MASK
+    k = _rotl(k, 15)
+    k = (k * 0x1B873593) & _MASK
+    h = (h & _MASK) ^ k
+    h = _rotl(h, 13)
+    return (h * 5 + 0xE6546B64) & _MASK
+
+
+def _fmix(h: int) -> int:
+    h &= _MASK
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _MASK
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _MASK
+    h ^= h >> 16
+    return h
+
+
+def _finalize(h: int, length: int) -> int:
+    return _i32(_fmix((h & _MASK) ^ length))
+
+
+# Scala's MurmurHash3.productSeed; Tuple4.hashCode mixes the product
+# prefix ("Tuple4".hashCode) before the element hashes (verified against
+# the three pinned golden integers of EntryInformationSpec).
+_PRODUCT_SEED = 0xCAFEBABE
+_TUPLE4_PREFIX = java_string_hash("Tuple4")
+
+
+def tuple4_hash(a: int, b: int, c: int, d: int) -> int:
+    """Scala Tuple4 hashCode over four precomputed element hashes."""
+    h = _mix(_PRODUCT_SEED, _TUPLE4_PREFIX & _MASK)
+    for k in (a, b, c, d):
+        h = _mix(h, k & _MASK)
+    return _finalize(h, 4)
+
+
+def content_hash(
+    title: str,
+    summary: Optional[str],
+    content: Optional[str],
+    date: Optional[str],
+) -> int:
+    """The reference's Entry content hash (Scala Tuple4 hashCode)."""
+    return tuple4_hash(
+        java_string_hash(title or ""),
+        java_string_hash(summary or ""),
+        java_string_hash(content or ""),
+        java_string_hash(date or ""),
+    )

@@ -1,0 +1,136 @@
+"""Date pipeline, content hash, URL cleaning — pinned to reference spec values.
+
+Pins from /root/reference/src/test/scala/info/coverified/extractor/analyzer/
+AnalyzerSpec.scala:225-599 and EntryInformationSpec.scala:14-63.
+"""
+
+import pytest
+
+from content_extractor_spark.kernel.analyzer import apply_date_time_regex
+from content_extractor_spark.kernel.dates import reformat_datetime
+from content_extractor_spark.kernel.scala_hash import content_hash
+from content_extractor_spark.kernel.urlclean import clean_url, merge_host_and_url
+
+TARGET = "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+
+class TestReformat:
+    def test_fallback_zone_summer(self):
+        # AnalyzerSpec:536-555 — "20.07.2021 11:15" @ Europe/Berlin (+02) -> UTC
+        assert (
+            reformat_datetime("20.07.2021 11:15", "dd.MM.yyyy HH:mm", "Europe/Berlin", TARGET)
+            == "2021-07-20T09:15:00Z"
+        )
+
+    def test_z_zone_identity(self):
+        # AnalyzerSpec:557-565
+        assert (
+            reformat_datetime("2019-06-27T22:00:00Z", TARGET, "Europe/Berlin", TARGET)
+            == "2019-06-27T22:00:00Z"
+        )
+
+    def test_offset_conversion(self):
+        # AnalyzerSpec:567-576
+        assert (
+            reformat_datetime("2019-06-27T22:00:00+01:00", TARGET, "Europe/Berlin", TARGET)
+            == "2019-06-27T21:00:00Z"
+        )
+
+    def test_date_only_start_of_day_winter(self):
+        # AnalyzerSpec:578-598 — 01.03.2021 @ Berlin (+01 winter) midnight -> UTC
+        assert (
+            reformat_datetime("01.03.2021", "dd.MM.yyyy", "Europe/Berlin", TARGET)
+            == "2021-02-28T23:00:00Z"
+        )
+
+    def test_browserhelper_x_pattern(self):
+        # BrowserHelper date: "2021-06-03T13:37:00Z" fmt yyyy-MM-dd'T'HH:mm:ssX
+        assert (
+            reformat_datetime(
+                "2021-06-03T13:37:00Z", "yyyy-MM-dd'T'HH:mm:ssX", "Europe/Berlin", TARGET
+            )
+            == "2021-06-03T13:37:00Z"
+        )
+
+    def test_parse_failure_raises(self):
+        with pytest.raises(ValueError):
+            reformat_datetime("not a date", "dd.MM.yyyy", "Europe/Berlin", TARGET)
+
+
+class TestRegexNarrowing:
+    def test_identity_without_pattern(self):
+        # AnalyzerSpec:502-508
+        assert apply_date_time_regex("20.07.2021 | Von", None) == "20.07.2021 | Von"
+
+    def test_first_match(self):
+        # AnalyzerSpec:510-520
+        assert (
+            apply_date_time_regex("20.07.2021 | Von", r"\d{2}\.\d{2}\.\d{4}")
+            == "20.07.2021"
+        )
+
+    def test_no_match_raises(self):
+        # AnalyzerSpec:522-534
+        with pytest.raises(ValueError):
+            apply_date_time_regex("20.07.2021 | Von", r"^BlaFoo\d+")
+
+
+class TestContentHash:
+    # EntryInformationSpec.scala:14-63 — exact Scala Tuple4 hashCode pins
+    def test_pin_full(self):
+        assert (
+            content_hash(
+                "The title",
+                "This summarizes everything",
+                "This contains a lot.",
+                "2021-07-21T22:00:00Z",
+            )
+            == 328104163
+        )
+
+    def test_pin_variant(self):
+        assert (
+            content_hash(
+                "The title",
+                "This summarizes everything",
+                "This contains less.",
+                "2021-07-21T22:00:00Z",
+            )
+            == 781685212
+        )
+
+    def test_pin_nones_as_empty(self):
+        assert content_hash("The title", None, None, None) == 318208789
+        assert content_hash("The title", "", "", "") == 318208789
+
+
+class TestUrlClean:
+    def test_unwanted_params_removed(self):
+        assert (
+            clean_url("https://x.de/p?a=1&nn=2&download=3&b=4#frag")
+            == "https://x.de/p?a=1&b=4"
+        )
+
+    def test_jsessionid_stripped(self):
+        assert (
+            clean_url("https://x.de/a;jsessionid=ABC123/b?q=1")
+            == "https://x.de/a/b?q=1"
+        )
+
+    def test_merge_relative(self):
+        assert (
+            merge_host_and_url("/img/a.jpg", "https://www.auswaertiges-amt.de")
+            == "https://www.auswaertiges-amt.de/img/a.jpg"
+        )
+
+    def test_merge_protocol_relative(self):
+        assert merge_host_and_url("//cdn.x.de/a.jpg", "https://x.de") == "https://cdn.x.de/a.jpg"
+
+    def test_merge_already_absolute(self):
+        assert (
+            merge_host_and_url("https://x.de/a.jpg", "https://x.de")
+            == "https://x.de/a.jpg"
+        )
+
+    def test_punycode(self):
+        assert clean_url("https://bücher.de/x").startswith("https://xn--bcher-kva.de/")

@@ -1,0 +1,124 @@
+"""DOM parsing, CSS selection, and jsoup-style text() unit tests."""
+
+from content_extractor_spark.kernel.css import SelectorParseError, select, select_first
+from content_extractor_spark.kernel.dom import parse
+
+import pytest
+
+
+def test_implicit_structure_and_ids():
+    doc = parse("<head><title id='t'>Hi</title></head><body><p id='x'>y</p></body>")
+    assert select_first(doc, "#t").text() == "Hi"
+    assert select_first(doc, "#x").text() == "y"
+    assert select_first(doc, "title").text() == "Hi"
+
+
+def test_p_closed_by_div():
+    # HTML5 tree construction: <div> closes an open <p> (jsoup does this too)
+    doc = parse("<body><p>Tags: <div class='tag'>aTag</div><div class='tag'>bTag</div></p></body>")
+    p = select_first(doc, "p")
+    assert p.text() == "Tags:"
+    tags = select(doc, ".tag")
+    assert [t.text() for t in tags] == ["aTag", "bTag"]
+    # the divs are siblings of p, not children
+    assert all(t.parent.tag == "body" for t in tags)
+
+
+def test_text_normalization_blocks_and_br():
+    doc = parse("<div>One</div>Two<br>Three <b>bo</b>ld")
+    assert select_first(doc, "body").text() == "One Two Three bold"
+
+
+def test_text_collapses_whitespace_and_keeps_nbsp():
+    doc = parse("<p>a\n\t  b&nbsp; c</p>")
+    assert select_first(doc, "p").text() == "a b  c"
+
+
+def test_text_drops_soft_hyphen_and_zwsp():
+    doc = parse("<p>Vertriebenen­zahlen and a​b</p>")
+    assert select_first(doc, "p").text() == "Vertriebenenzahlen and ab"
+
+
+def test_script_and_style_excluded_from_text():
+    doc = parse("<body><script>var x = '<p>no</p>';</script><style>p{}</style>ok</body>")
+    assert select_first(doc, "body").text() == "ok"
+    # but raw content is preserved for serialization / JSON-LD decode
+    script = select_first(doc, "script")
+    assert "var x" in script.inner_html()
+
+
+def test_entity_decoding():
+    doc = parse("<p title='a &amp; b'>x &lt; y &amp; z</p>")
+    p = select_first(doc, "p")
+    assert p.text() == "x < y & z"
+    assert p.attr("title") == "a & b"
+
+
+def test_outer_html_roundtrip():
+    html = '<div class="a"><p>x <b>y</b></p><img src="u"></div>'
+    doc = parse(html)
+    div = select_first(doc, "div.a")
+    reparsed = parse(div.outer_html())
+    assert select_first(reparsed, "div.a").text() == div.text()
+    assert select_first(reparsed, "img").attr("src") == "u"
+
+
+def test_selector_compound_and_descendant():
+    html = """
+    <main id="main"><header class="c-heading">
+      <div class="heading__breadcrumb"><span>crumb</span></div>
+      <h1 class="is-aural">aural</h1>
+    </header><section class="u-section"><p>sec</p></section></main>
+    """
+    doc = parse(html)
+    assert select_first(doc, "main#main") is not None
+    assert select_first(doc, "header .heading__breadcrumb").text() == "crumb"
+    assert select_first(doc, "h1.is-aural").text() == "aural"
+    assert select_first(doc, "section.u-section").text() == "sec"
+    assert select_first(doc, "main > header") is not None
+    assert select_first(doc, "header > span") is None
+
+
+def test_selector_attribute():
+    doc = parse('<script type="application/ld+json">{}</script><script>x</script>')
+    els = select(doc, 'script[type="application/ld+json"]')
+    assert len(els) == 1
+    # case-insensitive attr value match (jsoup semantics)
+    assert select_first(doc, 'script[TYPE="Application/LD+JSON"]') is not None
+
+
+def test_selector_multi_class_compound():
+    doc = parse('<div class="mt-0 mt-md-5 pt-3 text-center container">x</div>')
+    assert select_first(doc, "div.mt-0.mt-md-5.pt-3.text-center.container").text() == "x"
+
+
+def test_selector_comma_group_and_order():
+    doc = parse("<i>1</i><em>2</em><i>3</i>")
+    assert [e.text() for e in select(doc, "i, em")] == ["1", "2", "3"]
+
+
+def test_invalid_selector_raises():
+    doc = parse("<p>x</p>")
+    with pytest.raises(SelectorParseError):
+        select(doc, "this won't work")
+
+
+def test_stray_end_tag_creates_empty_p():
+    doc = parse("<body><div>a</div></p></body>")
+    assert len(select(doc, "p")) == 1
+
+
+def test_custom_elements_are_inline():
+    doc = parse("<p>a<pp-inline-teaser>T</pp-inline-teaser>b</p>")
+    assert select_first(doc, "p").text() == "aTb"
+    assert select_first(doc, "pp-inline-teaser").text() == "T"
+
+
+def test_time_with_stray_div_close():
+    # AnalyzerSpec fixture shape: <time ...>text</div> — the </div> is ignored
+    doc = parse(
+        "<html><body>Nothing here.<time id='date' datetime='X'>2021</div></body></html>"
+    )
+    el = select_first(doc, "#date")
+    assert el.attr("datetime") == "X"
+    assert el.text().startswith("2021")
