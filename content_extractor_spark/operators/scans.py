@@ -1,0 +1,93 @@
+"""Scan-side predicates (S2/S3/P1/P5/O7) as pure Catalyst expressions.
+
+These mirror the reference's server-side GraphQL `where` filters so
+they push down into the parquet/Iceberg scan (predicate pushdown +
+partition pruning replace the reference's client-side pagination,
+GraphQLHelper.scala:66-210, 528-600).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# GraphQLHelper.scala:528-561 — case-insensitive "name_not_contains_i"
+COMMON_FILE_ENDINGS = [
+    ".epub", ".pdf", ".doc", ".docx", ".xls", ".xlsm", ".xlsx", ".ppt",
+    ".pptx", ".odt", ".ods", ".zip", ".ics", ".rss", ".rtf",
+    ".png", ".jpg", ".jpeg", ".svg", ".gif", ".bmp", ".eps",
+    ".wav", ".mp4", ".mp3", ".swf",
+    ".srt", ".m4r",
+]
+
+# GraphQLHelper.scala:526 — sentinel meaning "never crawled"
+EPOCH_SENTINEL = "1970-01-01T00:00:00Z"
+EPOCH_SENTINEL_MILLIS = "1970-01-01T00:00:00.000Z"
+
+
+def file_ending_exclusion(url_col: str = "url") -> Column:
+    """P1: none of the 29 common file endings appear in the URL (ci)."""
+    lowered = F.lower(F.col(url_col))
+    any_ending = reduce(
+        or_, [lowered.contains(e) for e in COMMON_FILE_ENDINGS]
+    )
+    return ~F.coalesce(any_ending, F.lit(False))
+
+
+def url_is_valid(url_col: str = "url") -> Column:
+    """P5: skip rows without a URL (UrlHandlingSupport.scala:534-552)."""
+    return F.col(url_col).isNotNull() & (F.col(url_col) != "")
+
+
+def is_new(last_crawl_col: str = "last_crawl") -> Column:
+    """S2: never crawled (lastCrawl == EPOCH sentinel or NULL)."""
+    c = F.col(last_crawl_col)
+    return c.isNull() | c.isin(EPOCH_SENTINEL, EPOCH_SENTINEL_MILLIS)
+
+
+def needs_reanalysis(now_iso: str, reanalysis_interval_hours: int = 48,
+                     last_crawl_col: str = "last_crawl") -> Column:
+    """S3: EPOCH < lastCrawl <= now - interval (GraphQLHelper.scala:592-600).
+
+    `now_iso` is an explicit parameter — the pipeline never reads the
+    wall clock (determinism; SURVEY §7 hard part 7).
+    """
+    c = F.to_timestamp(F.col(last_crawl_col))
+    cutoff = F.to_timestamp(F.lit(now_iso)) - F.expr(
+        f"INTERVAL {int(reanalysis_interval_hours)} HOURS"
+    )
+    epoch = F.to_timestamp(F.lit(EPOCH_SENTINEL))
+    return c.isNotNull() & (c > epoch) & (c <= cutoff)
+
+
+def scannable_documents(df: DataFrame, mode: str = "all",
+                        now_iso: str = "2021-07-01T00:00:00Z",
+                        reanalysis_interval_hours: int = 48) -> DataFrame:
+    """Apply P5 + P1 and the phase predicate (O6 as filters, not phases)."""
+    out = df.filter(url_is_valid()).filter(file_ending_exclusion())
+    if mode == "new":
+        out = out.filter(is_new())
+    elif mode == "existing":
+        out = out.filter(needs_reanalysis(now_iso, reanalysis_interval_hours))
+    return out
+
+
+def etag_unchanged_skip(docs: DataFrame, entries: DataFrame) -> DataFrame:
+    """O7: drop rows whose etag matches the stored entry's etag.
+
+    Left-anti join against existing entries on (url_id, etag) — a cheap
+    shuffle that avoids the expensive parse for unchanged pages
+    (Analyzer.scala:67-69; UrlHandler.scala:224-283).
+    """
+    unchanged = entries.select(
+        F.col("url_id").alias("e_url_id"), F.col("etag").alias("e_etag")
+    ).where(F.col("e_etag").isNotNull())
+    return docs.join(
+        unchanged,
+        (docs["url_id"] == unchanged["e_url_id"])
+        & (docs["etag"] == unchanged["e_etag"]),
+        "left_anti",
+    )

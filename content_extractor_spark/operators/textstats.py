@@ -1,0 +1,118 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst expressions (JVM-side, whole-stage codegen, no
+Python in the hot path): language ID (stopword-hit heuristic),
+quality scoring (length/punct/stopword ratios), token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprints.
+
+Each operator is deliberately expressible in ANSI SQL too, so the
+DuckDB oracle can check it value-for-value (driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (deterministic, oracle-friendly)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "es": ["el", "los", "las", "una", "por"],
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/punct segmentation: word chars | single non-space non-word
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
+
+
+def _marker_hits(text: Column, words) -> Column:
+    """How many of the marker words appear as whole tokens in text."""
+    toks = F.split(F.lower(text), TOKEN_SPLIT_RE)
+    hits = None
+    for w in words:
+        h = F.array_contains(toks, w).cast("int")
+        hits = h if hits is None else hits + h
+    return hits
+
+
+def detect_language(text_col: str = "text") -> Column:
+    """n-gram/stopword heuristic language ID -> 'en'|'de'|'fr'|'es'|'und'.
+
+    Picks the language with the most marker-word hits; ties broken by
+    fixed language order; zero hits -> 'und' (undetermined).
+    """
+    text = F.col(text_col)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in ("en", "de", "fr", "es"):
+        hits = _marker_hits(text, LANG_MARKERS[lang])
+        improved = hits > best_hits
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(improved, hits).otherwise(best_hits)
+    return best_lang
+
+
+def token_count_ws(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    t = F.trim(F.col(text_col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_SPLIT_RE)))
+
+
+def token_count_bpe(text_col: str = "text") -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score.
+
+    The score mirrors common pretraining-corpus filters (C4/Gopher
+    style): favor mid-length documents with sane punctuation density
+    and a healthy stopword ratio.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_ws(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    stop_hits = None
+    for words in LANG_MARKERS.values():
+        h = _marker_hits(t, words)
+        stop_hits = h if stop_hits is None else stop_hits + h
+    mean_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+        * F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+        * F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+        * F.when(stop_hits >= 1, F.lit(1.0)).otherwise(F.lit(0.3))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.cast("int").alias("q_tokens"),
+        F.round(mean_tok_len, 4).alias("q_mean_token_len"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        stop_hits.cast("int").alias("q_stopword_hits"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+def fingerprint(text_col: str = "text", window: int = 64) -> Column:
+    """Rolling-hash style document fingerprint.
+
+    xxhash64 over normalized text prefix windows, combined — cheap,
+    JVM-side, stable. Use for cheap near-identity bucketing before
+    heavier near-dup passes.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return F.xxhash64(
+        F.substring(norm, 1, window),
+        F.substring(norm, -window, window),
+        F.length(norm),
+    )
