@@ -157,7 +157,12 @@ def _prev_element_sibling(el: Element) -> Optional[Element]:
     return None
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
 def _parse(query: str) -> List[_Chain]:
+    """Compile a selector (cached — chains are stateless/reusable)."""
     if query is None or not query.strip():
         raise SelectorParseError("empty selector")
     chains: List[_Chain] = []

@@ -237,27 +237,29 @@ def _next_sibling_is_text(el: Element) -> bool:
     )
 
 
+_WS_RUN_RE = __import__("re").compile(r"[ \t\n\f\r]+")
+_INVIS_TABLE = {0x200B: None, 0x00AD: None}  # zero-width space, soft hyphen
+
+
 def _append_normalised(accum: List[str], text: str, preserve: bool) -> None:
-    """jsoup StringUtil.appendNormalisedWhitespace semantics."""
+    """jsoup StringUtil.appendNormalisedWhitespace semantics.
+
+    Vectorized: drop invisible chars, collapse ASCII-whitespace runs to
+    one space, strip the leading space when the accumulator already
+    ends in whitespace — equivalent to jsoup's char loop (hot path)."""
     if preserve:
         accum.append(text)
         return
-    strip_leading = not accum or accum[-1][-1:] == " "
-    out: List[str] = []
-    last_was_white = False
-    reached_non_white = False
-    for ch in text:
-        if ch in _WS:
-            if (strip_leading and not reached_non_white) or last_was_white:
-                continue
-            out.append(" ")
-            last_was_white = True
-        elif ch not in _INVISIBLE:
-            out.append(ch)
-            last_was_white = False
-            reached_non_white = True
-    if out:
-        accum.append("".join(out))
+    if "\u200b" in text or "\xad" in text:
+        text = text.translate(_INVIS_TABLE)
+    s = _WS_RUN_RE.sub(" ", text)
+    if not s:
+        return
+    if s[0] == " " and (not accum or accum[-1][-1:] == " "):
+        s = s[1:]
+        if not s:
+            return
+    accum.append(s)
 
 
 class Document(Element):

@@ -28,13 +28,36 @@ def _i32(x: int) -> int:
     return x - 0x100000000 if x >= 0x80000000 else x
 
 
+try:
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy is baked into the runtime
+    _np = None
+
+
 def java_string_hash(s: str) -> int:
-    """Java String.hashCode over UTF-16 code units."""
-    h = 0
+    """Java String.hashCode over UTF-16 code units.
+
+    Vectorized: h = sum(cu[i] * 31^(n-1-i)) mod 2^32, using uint32
+    wraparound arithmetic (hot path: hashing multi-KB content strings).
+    """
     data = s.encode("utf-16-be", "surrogatepass")
-    for i in range(0, len(data), 2):
-        cu = (data[i] << 8) | data[i + 1]
-        h = (h * 31 + cu) & _MASK
+    n = len(data) // 2
+    if n == 0:
+        return 0
+    if _np is None or n < 32:
+        h = 0
+        for i in range(0, len(data), 2):
+            h = (h * 31 + ((data[i] << 8) | data[i + 1])) & _MASK
+        return _i32(h)
+    cu = _np.frombuffer(data, dtype=">u2").astype(_np.uint32)
+    powers = _np.empty(n, dtype=_np.uint32)
+    powers[0] = 1
+    if n > 1:
+        _np.multiply.accumulate(
+            _np.full(n - 1, 31, dtype=_np.uint32), out=powers[1:]
+        )
+    # powers[k] = 31^k (mod 2^32); pair with reversed code units
+    h = int((cu[::-1] * powers).sum(dtype=_np.uint32))
     return _i32(h)
 
 

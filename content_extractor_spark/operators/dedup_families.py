@@ -69,28 +69,39 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     """Distinct k-word shingles of lower(text), array<string>."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingles = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+    # guard: sequence(1, x<1) would generate a DESCENDING range in Spark
+    return F.when(n >= k, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 
 # -- MinHash + LSH ---------------------------------------------------------------
 
 
+# Linear-permutation minhash: one md5 per shingle, then num_perm cheap
+# affine maps (2j+1)*h + j*ADD mod PRIME — ~16x fewer digest calls than
+# hashing (shingle, j) pairs. (2j+1) <= 63 keeps (2j+1)*h < 2^62 for the
+# 56-bit base hash: no int64 overflow in either Spark or DuckDB.
+MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
+MINHASH_ADD = 0x9E3779B9
+
+
 def minhash_signature(text_col: str = "text", num_perm: int = 16,
                       k: int = 3) -> Column:
-    """num_perm minhashes: min over shingles of hash(shingle || '#' || j)."""
-    sh = word_shingles(text_col, k)
+    """num_perm minhashes via linear permutations of one base hash."""
+    assert num_perm <= 31, "multiplier bound keeps products within int64"
+    base = F.transform(word_shingles(text_col, k), lambda s: portable_hash(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda j: F.array_min(
             F.transform(
-                sh,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(s, F.lit("#"), j.cast("string"))), 1, 14),
-                    16, 10,
-                ).cast("bigint"),
+                base,
+                lambda h: ((F.lit(2) * j + 1) * h + j * F.lit(MINHASH_ADD))
+                % F.lit(MINHASH_PRIME),
             )
         ),
     )
@@ -119,6 +130,39 @@ def minhash_bands(sig_col: Column, num_bands: int = 4,
     )
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>) via explode + partial-aggregate min.
+
+    Same values as :func:`minhash_signature`, but the scalable shape:
+    one shingle-hash per exploded row, `num_perm` MIN aggregates with
+    map-side combine — no higher-order-function re-evaluation (Catalyst
+    inlines array lambdas into each of the 16 permutation expressions,
+    recomputing the shingle hashing 16x per row) and no giant arrays.
+    Rows with fewer than k tokens produce no shingles and are dropped.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, k)).alias("s"),
+    )
+    h = portable_hash(F.col("s"))
+    aggs = [
+        F.min(
+            ((F.lit(2 * j + 1) * h) + F.lit(j * MINHASH_ADD)) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh{j}")
+        for j in range(num_perm)
+    ]
+    sigs = ex.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"mh{j}") for j in range(num_perm)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -130,14 +174,15 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
     `max_bucket` caps pathological buckets (boilerplate-heavy corpora
-    produce mega-buckets; capping bounds the pair blow-up — the capped
-    count is observable via the `bucket_capped` metric column).
+    produce mega-buckets; capping bounds the pair blow-up).
     """
     rows = num_perm // num_bands
-    sig = minhash_signature(text_col, num_perm)
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(minhash_bands(sig, num_bands, rows)).alias("band_idx", "band_hash"),
+    sigs = minhash_signatures_df(df, text_col, id_col, num_perm)
+    banded = sigs.select(
+        F.col("id"),
+        F.posexplode(
+            minhash_bands(F.col("sig"), num_bands, rows)
+        ).alias("band_idx", "band_hash"),
     )
     w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
     banded = banded.withColumn("_rn", F.row_number().over(w)).where(

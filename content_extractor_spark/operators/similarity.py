@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * `cosine_topk` — brute force: query set × corpus, JVM-side dot
+    products via zip_with/aggregate, window top-k. The exactness
+    baseline; O(Q × N), fine when Q is small or N is a filtered
+    candidate set.
+  * `lsh_topk` — the scale path: random-hyperplane LSH. Each vector
+    gets a `nbits`-bit signature from deterministic ±1 hyperplanes
+    (md5-derived, so the DuckDB oracle can reproduce them); search
+    joins on the bucket and ranks within it. At 10^12 vectors the
+    bucket join shuffles ~N/2^nbits rows per query bucket instead of
+    N — recall traded for a 2^nbits fan-in reduction; multi-probe
+    (flip one bit) widens recall.
+
+All expressions stay in Catalyst; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "q_embedding",
+    corpus_vec: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine for each query (brute force baseline).
+
+    Deterministic tie-break: (cos desc, corpus_id asc). Cosine is
+    rounded to `round_to` decimals BEFORE ranking so results are
+    reproducible across engines/float orders.
+    """
+    joined = queries.crossJoin(corpus)
+    cos = F.round(
+        cosine(F.col(query_vec).cast("array<double>"),
+               F.col(corpus_vec).cast("array<double>")),
+        round_to,
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
+def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Deterministic ±1 hyperplane dot-product sign.
+
+    Weight for (plane j, dim i) = +1 if the 56-bit md5 hash of "j_i"
+    is even else -1 — reproducible in ANSI SQL (DuckDB oracle).
+    """
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{plane}_"), i.cast("string"))), 1, 14
+                ),
+                16, 10,
+            ).cast("bigint") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    d = F.aggregate(
+        F.zip_with(vec, weights, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (d >= 0).cast("int")
+
+
+def lsh_bucket(vec_col: str, nbits: int, dim: int) -> Column:
+    """nbits-bit LSH bucket id from random-hyperplane signs."""
+    v = F.col(vec_col).cast("array<double>")
+    acc = F.lit(0)
+    for j in range(nbits):
+        acc = acc + hyperplane_sign(v, j, dim) * F.lit(2 ** j)
+    return acc
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    nbits: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "q_embedding",
+    corpus_vec: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: rank within the query's LSH bucket only."""
+    qb = queries.withColumn("bucket", lsh_bucket(query_vec, nbits, dim))
+    cb = corpus.withColumn("bucket", lsh_bucket(corpus_vec, nbits, dim))
+    joined = qb.join(cb, "bucket")
+    cos = F.round(
+        cosine(F.col(query_vec).cast("array<double>"),
+               F.col(corpus_vec).cast("array<double>")),
+        round_to,
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    nbits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cos >= threshold) via LSH blocking."""
+    b = df.withColumn("bucket", lsh_bucket(vec_col, nbits, dim))
+    a = b.select(
+        F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    c = b.select(
+        F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    cos = F.round(
+        cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+        round_to,
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

@@ -123,8 +123,19 @@ def make_host_profile(host_idx: int) -> dict:
     }
 
 
-def render_doc(host_idx: int, doc_idx: int, rng: random.Random) -> Tuple[str, dict]:
-    """Render a synthetic article page + its ground-truth hints."""
+def render_doc(
+    host_idx: int,
+    doc_idx: int,
+    rng: random.Random,
+    para_range: Tuple[int, int] = (2, 6),
+    words_range: Tuple[int, int] = (12, 40),
+) -> Tuple[str, dict]:
+    """Render a synthetic article page + its ground-truth hints.
+
+    `para_range`/`words_range` control page weight: defaults give ~2 KB
+    pages (fast tests); bench uses heavier settings to approximate real
+    news pages (tens of KB) so compute, not scheduling, dominates.
+    """
     prof = make_host_profile(host_idx)
     modes = prof["_modes"]
     title = f"Article {doc_idx} on host{host_idx}: " + " ".join(
@@ -132,8 +143,12 @@ def render_doc(host_idx: int, doc_idx: int, rng: random.Random) -> Tuple[str, di
     )
     lead = "Lead: " + " ".join(rng.choices(_WORDS, k=8))
     paras = [
-        "<p>" + " ".join(rng.choices(_WORDS, k=rng.randint(12, 40))) + "</p>"
-        for _ in range(rng.randint(2, 6))
+        '<p class="rte__paragraph">'
+        + " ".join(rng.choices(_WORDS, k=rng.randint(*words_range)))
+        + ' <a href="/x/y" class="rte__link">more</a> '
+        + " ".join(rng.choices(_WORDS, k=rng.randint(*words_range)))
+        + "</p>"
+        for _ in range(rng.randint(*para_range))
     ]
     tags = sorted(rng.sample(_WORDS, k=rng.randint(0, 4)))
     day = 1 + (doc_idx % 27)
@@ -195,6 +210,8 @@ def gen_rows(
     pct_profile_miss: float = 0.02,
     pct_bad_ending: float = 0.03,
     pct_reanalysis: float = 0.2,
+    para_range: Tuple[int, int] = (2, 6),
+    words_range: Tuple[int, int] = (12, 40),
 ) -> Iterator[dict]:
     """Deterministic row generator for doc ids [start, start+count)."""
     zipf_weights = [1.0 / (r + 1) for r in range(n_hosts)]
@@ -209,7 +226,7 @@ def gen_rows(
         u = rng.random()
         host_idx = next(j for j, c in enumerate(cum) if u <= c)
         host = f"www.host{host_idx}.example"
-        html, _truth = render_doc(host_idx, i, rng)
+        html, _truth = render_doc(host_idx, i, rng, para_range, words_range)
         url = f"https://{host}/articles/{i}"
         kind_roll = rng.random()
         etag = None
@@ -260,7 +277,9 @@ DOCUMENTS_DDL = (
 
 
 def documents_df(spark, n_docs: int, n_hosts: int = 20, seed: int = 42,
-                 partitions: Optional[int] = None):
+                 partitions: Optional[int] = None,
+                 para_range: Tuple[int, int] = (2, 6),
+                 words_range: Tuple[int, int] = (12, 40)):
     """Distributed deterministic corpus as a DataFrame (no collect)."""
     import pandas as pd
 
@@ -270,7 +289,8 @@ def documents_df(spark, n_docs: int, n_hosts: int = 20, seed: int = 42,
         for pdf in batches:
             for _, row in pdf.iterrows():
                 lo, hi = int(row["lo"]), int(row["hi"])
-                rows = list(gen_rows(lo, hi - lo, n_hosts=n_hosts, seed=seed))
+                rows = list(gen_rows(lo, hi - lo, n_hosts=n_hosts, seed=seed,
+                                     para_range=para_range, words_range=words_range))
                 if rows:
                     yield pd.DataFrame(rows)
 
@@ -285,7 +305,9 @@ def documents_df(spark, n_docs: int, n_hosts: int = 20, seed: int = 42,
 
 
 def write_documents(spark, path: str, n_docs: int, n_hosts: int = 20,
-                    seed: int = 42, partitions: Optional[int] = None) -> None:
-    documents_df(spark, n_docs, n_hosts, seed, partitions).write.mode(
-        "overwrite"
-    ).parquet(path)
+                    seed: int = 42, partitions: Optional[int] = None,
+                    para_range: Tuple[int, int] = (2, 6),
+                    words_range: Tuple[int, int] = (12, 40)) -> None:
+    documents_df(
+        spark, n_docs, n_hosts, seed, partitions, para_range, words_range
+    ).write.mode("overwrite").parquet(path)

@@ -1,0 +1,121 @@
+"""SQL UDFs, entry sink (MERGE semantics), and streaming extraction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from content_extractor_spark import synth
+from content_extractor_spark.functions import register_all
+from content_extractor_spark.sources import apply_entry_actions
+from content_extractor_spark.sources.io import disable_entries
+from content_extractor_spark.streaming import run_available_now, streaming_extract
+
+
+class TestSqlUdfs:
+    def test_content_hash_sql(self, spark):
+        register_all(spark)
+        got = spark.sql(
+            "SELECT content_hash('The title', 'This summarizes everything', "
+            "'This contains a lot.', '2021-07-21T22:00:00Z') AS h"
+        ).collect()[0]["h"]
+        assert got == 328104163  # EntryInformationSpec pin
+
+    def test_content_hash_null_coalesce(self, spark):
+        register_all(spark)
+        got = spark.sql(
+            "SELECT content_hash('The title', CAST(NULL AS STRING), "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)) AS h"
+        ).collect()[0]["h"]
+        assert got == 318208789
+
+    def test_clean_url_sql(self, spark):
+        register_all(spark)
+        got = spark.sql(
+            "SELECT clean_url('https://x.de/a;jsessionid=Z/p?nn=1&q=2#f') AS u"
+        ).collect()[0]["u"]
+        assert got == "https://x.de/a/p?q=2"
+
+    def test_merge_host_url_sql(self, spark):
+        register_all(spark)
+        got = spark.sql(
+            "SELECT merge_host_url('/img/x.jpg', 'https://a.de') AS u"
+        ).collect()[0]["u"]
+        assert got == "https://a.de/img/x.jpg"
+
+
+class TestEntrySink:
+    def _planned(self, spark):
+        return spark.createDataFrame(
+            [
+                ("u1", "t1", "s", "c", "d", ["a"], None, None, 11, "create", None, False),
+                ("u2", "t2", "s", "c", "d", ["a"], None, None, 22, "update", "e2", False),
+                ("u3", "t3", "s", "c", "d", ["a"], None, None, 33, "skip", "e3", False),
+                ("u4", "t4", "s", "c", "d", ["a"], None, None, 11, "create", None, True),
+            ],
+            "url_id string, title string, summary string, content string, "
+            "date string, tags array<string>, etag string, image_url string, "
+            "content_hash long, action string, entry_id string, disabled boolean",
+        )
+
+    def test_apply_actions(self, spark):
+        entries = spark.createDataFrame(
+            [
+                ("e2", "u2", "old", "s", "c", "d", ["a"], None, None, 99, False),
+                ("e3", "u3", "t3", "s", "c", "d", ["a"], None, None, 33, False),
+                ("e9", "u9", "t9", "s", "c", "d", ["a"], None, None, 77, False),
+            ],
+            "entry_id string, url_id string, title string, summary string, "
+            "content string, date string, tags array<string>, etag string, "
+            "image_url string, content_hash long, disabled boolean",
+        )
+        out = apply_entry_actions(entries, self._planned(spark))
+        rows = {r["entry_id"]: r for r in out.collect()}
+        assert len(rows) == 5  # e2 updated, e3 + e9 untouched, 2 creates
+        assert rows["e2"]["title"] == "t2"  # updated
+        assert rows["e3"]["title"] == "t3"  # untouched (skip)
+        assert rows["e9"]["title"] == "t9"  # untouched (no planned row)
+        assert rows["entry-u1"]["disabled"] is False
+        assert rows["entry-u4"]["disabled"] is True  # dup-hash disable
+
+    def test_apply_actions_empty_entries(self, spark):
+        out = apply_entry_actions(None, self._planned(spark))
+        assert out.count() == 2  # creates only
+
+    def test_disable_entries(self, spark):
+        entries = spark.createDataFrame(
+            [("e1", False), ("e2", False)], "entry_id string, disabled boolean"
+        )
+        gone = spark.createDataFrame([("e1",)], "entry_id string")
+        out = {r["entry_id"]: r["disabled"] for r in disable_entries(entries, gone).collect()}
+        assert out == {"e1": True, "e2": False}
+
+
+class TestStreaming:
+    def test_available_now_extraction_and_resume(self, spark, tmp_path):
+        in_dir = str(tmp_path / "landing")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        synth.write_documents(spark, in_dir, 60, n_hosts=4, seed=11, partitions=2)
+
+        profiles = synth.all_profiles(4)
+        extracted = streaming_extract(spark, in_dir, profiles)
+        assert extracted.isStreaming
+        run_available_now(extracted, out_dir, ckpt)
+        first = spark.read.parquet(out_dir)
+        n1 = first.count()
+        assert n1 > 0
+        assert first.where("status = 'ok'").count() > 0
+
+        # append a second micro-batch of files; resume processes ONLY those
+        (
+            synth.documents_df(spark, 30, n_hosts=4, seed=12, partitions=1)
+            .withColumn("doc_id", F.concat(F.lit("b2-"), F.col("doc_id")))
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+        run_available_now(
+            streaming_extract(spark, in_dir, profiles), out_dir, ckpt
+        )
+        n2 = spark.read.parquet(out_dir).count()
+        assert n2 > n1  # new files processed
+        ids = spark.read.parquet(out_dir).select("doc_id").collect()
+        assert len(ids) == len({r["doc_id"] for r in ids})  # no reprocessing dups

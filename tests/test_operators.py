@@ -1,0 +1,212 @@
+"""Operator unit tests on Spark: dedup families, change detection,
+tag upsert, similarity, text stats, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from content_extractor_spark.operators.changes import plan_actions
+from content_extractor_spark.operators.dedup import mark_duplicates
+from content_extractor_spark.operators.dedup_families import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from content_extractor_spark.operators.multimodal import extract_image_features
+from content_extractor_spark.operators.similarity import cosine_topk, lsh_topk
+from content_extractor_spark.operators.tags import (
+    connect_entries_to_tags,
+    new_tags,
+    distinct_scraped_tags,
+    upsert_tag_dim,
+)
+from content_extractor_spark.operators.textstats import (
+    detect_language,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "der schnelle braune fuchs springt und das ist nicht alles hier"),
+        (4, "completely different content about spark shuffles and partitions in detail"),
+        (5, "le chat noir et la maison des amis les plus proches du quartier"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+class TestDedupFamilies:
+    def test_exact(self, spark, texts):
+        groups = exact_duplicates(texts).collect()
+        assert len(groups) == 1
+        assert groups[0]["keep_id"] == 1 and groups[0]["dup_count"] == 2
+        kept = dedup_exact(texts)
+        assert kept.count() == 4
+
+    def test_minhash_identical_pair_found(self, spark, texts):
+        pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(texts, num_perm=16).collect()}
+        assert (1, 2) in pairs
+
+    def test_simhash_identical_texts_equal(self, spark, texts):
+        sigs = dict(
+            texts.select("doc_id", simhash("text", 16).alias("s")).collect()
+        )
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[4]
+
+    def test_ngram_jaccard(self, spark, texts):
+        pairs = ngram_jaccard_pairs(texts, k=3, threshold=0.9).collect()
+        assert [(p["a"], p["b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+class TestContentHashDedup:
+    def test_mark_duplicates_window(self, spark):
+        df = spark.createDataFrame(
+            [("d1", 100), ("d2", 100), ("d3", 200), ("d4", None)],
+            "doc_id string, content_hash long",
+        )
+        out = {r["doc_id"]: r["disabled"] for r in mark_duplicates(df).collect()}
+        assert out == {"d1": False, "d2": True, "d3": False, "d4": None}
+
+    def test_existing_entries_disable(self, spark):
+        df = spark.createDataFrame(
+            [("d1", 100), ("d2", 300)], "doc_id string, content_hash long"
+        )
+        existing = spark.createDataFrame(
+            [("e1", 100, False)], "entry_id string, content_hash long, disabled boolean"
+        )
+        out = {r["doc_id"]: r["disabled"] for r in mark_duplicates(df, existing).collect()}
+        assert out == {"d1": True, "d2": False}
+
+
+class TestChanges:
+    def test_plan_actions(self, spark):
+        extracted = spark.createDataFrame(
+            [
+                ("u1", "t1", "s", "c", "d", ["a"], "ok"),     # unchanged -> skip
+                ("u2", "t2x", "s", "c", "d", ["a"], "ok"),    # title changed -> update
+                ("u3", "t3", "s", "c", "d", ["a", "b"], "ok"),# tags changed -> update
+                ("u4", "t4", None, None, None, None, "ok"),   # no existing -> create
+                ("u5", None, None, None, None, None, "no_title"),  # error
+            ],
+            "url_id string, title string, summary string, content string, "
+            "date string, tags array<string>, status string",
+        )
+        existing = spark.createDataFrame(
+            [
+                ("e1", "u1", "t1", "s", "c", "d", ["a"]),
+                ("e2", "u2", "t2", "s", "c", "d", ["a"]),
+                ("e3", "u3", "t3", "s", "c", "d", ["b", "a"]),
+            ],
+            "entry_id string, url_id string, title string, summary string, "
+            "content string, date string, tags array<string>",
+        )
+        out = {r["url_id"]: r["action"] for r in plan_actions(extracted, existing).collect()}
+        # tags compare is order-insensitive: ["a","b"] vs ["b","a"] is NOT a change
+        assert out == {
+            "u1": "skip", "u2": "update", "u3": "skip", "u4": "create", "u5": "error",
+        }
+
+
+class TestTags:
+    def test_upsert_and_connect(self, spark):
+        extracted = spark.createDataFrame(
+            [("d1", ["Politik", "umwelt"]), ("d2", ["UMWELT", "neu"]), ("d3", None)],
+            "doc_id string, tags array<string>",
+        )
+        dim = spark.createDataFrame(
+            [("t1", "Umwelt")], "tag_id string, name string"
+        )
+        scraped = distinct_scraped_tags(extracted)
+        assert scraped.count() == 3  # politik, umwelt, neu (ci-distinct)
+        created = new_tags(scraped, dim)
+        names = sorted(r["name"] for r in created.collect())
+        assert names == ["Politik", "neu"]  # umwelt exists case-insensitively
+        full = upsert_tag_dim(extracted, dim)
+        assert full.count() == 3
+        conn = {r["doc_id"]: r["tag_ids"] for r in connect_entries_to_tags(extracted, full).collect()}
+        assert len(conn["d1"]) == 2 and len(conn["d2"]) == 2
+        assert "d3" not in conn  # no tags -> no connection row
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_best(self, spark):
+        import random
+
+        rng = random.Random(1)
+        corpus = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+        cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+        qdf = spark.createDataFrame(
+            [(i, v) for i, v in corpus[:3]], "query_id long, q_embedding array<float>"
+        )
+        top = cosine_topk(qdf, cdf, k=1)
+        got = {r["query_id"]: (r["vec_id"], r["cos"]) for r in top.collect()}
+        for q, (v, c) in got.items():
+            assert v == q and c == 1.0  # identical vector is its own top-1
+
+    def test_lsh_topk_finds_identical(self, spark):
+        import random
+
+        rng = random.Random(2)
+        corpus = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+        cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+        qdf = spark.createDataFrame(
+            [(i, v) for i, v in corpus[:3]], "query_id long, q_embedding array<float>"
+        )
+        top1 = {
+            r["query_id"]: r["vec_id"]
+            for r in lsh_topk(qdf, cdf, dim=8, k=1, nbits=2).collect()
+        }
+        for q, v in top1.items():
+            assert v == q  # identical vector shares the bucket by construction
+
+
+class TestTextStats:
+    def test_language_id(self, spark, texts):
+        got = dict(
+            texts.select("doc_id", detect_language("text").alias("l")).collect()
+        )
+        assert got[1] == "en" and got[3] == "de" and got[5] == "fr"
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "Hello, world! a b")], "id int, text string")
+        row = df.select(
+            token_count_ws("text").alias("ws"), token_count_bpe("text").alias("bpe")
+        ).collect()[0]
+        assert row["ws"] == 4
+        # Hello , world ! a b -> 6
+        assert row["bpe"] == 6
+
+    def test_quality(self, spark, texts):
+        out = quality_features(texts)
+        row = {r["doc_id"]: r for r in out.collect()}
+        assert row[1]["q_tokens"] == 14
+        assert row[1]["q_score"] == 1.0
+
+
+class TestMultimodal:
+    def test_image_feature_plumbing(self, spark):
+        df = spark.createDataFrame(
+            [("m1", bytearray(b"payload-1")), ("m2", bytearray(b"payload-2")), ("m3", None)],
+            "media_ref string, payload binary",
+        )
+        out = {r["media_ref"]: r for r in extract_image_features(df).collect()}
+        assert out["m1"]["status"] == "ok" and len(out["m1"]["feat"]) == 8
+        assert out["m1"]["sha256"] != out["m2"]["sha256"]
+        assert out["m3"]["status"] == "error"
+        # determinism: same payload -> same features
+        again = {r["media_ref"]: r for r in extract_image_features(df).collect()}
+        assert out["m1"]["feat"] == again["m1"]["feat"]
+
+    def test_raise_mode(self, spark):
+        df = spark.createDataFrame(
+            [("m1", bytearray(b"x"))], "media_ref string, payload binary"
+        )
+        out = extract_image_features(df, decode_stub_mode="raise").collect()[0]
+        assert out["status"] == "unsupported"

@@ -1,0 +1,62 @@
+"""Physical-plan shape assertions (SURVEY §4): the plan we want is the
+plan Catalyst actually produces."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from content_extractor_spark import synth
+from content_extractor_spark.operators.extract import extract_entries
+from content_extractor_spark.operators.scans import scannable_documents
+from content_extractor_spark.plans import plan_report
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "docs")
+    synth.write_documents(spark, path, 200, n_hosts=4, seed=3, partitions=2)
+    return path
+
+
+def test_scan_filters_pushed_down(spark, corpus_path):
+    docs = scannable_documents(spark.read.parquet(corpus_path))
+    rep = plan_report(docs)
+    # url IS NOT NULL / != '' reach the parquet source as pushed filters
+    assert rep["pushed_filters"], rep["text"][:2000]
+
+
+def test_column_pruning_reaches_scan(spark, corpus_path):
+    df = spark.read.parquet(corpus_path).select("doc_id", "host")
+    rep = plan_report(df)
+    assert "ReadSchema: struct<doc_id:string,host:string>" in rep["text"]
+
+
+def test_extraction_is_single_python_stage_no_shuffle(spark, corpus_path):
+    docs = scannable_documents(spark.read.parquet(corpus_path))
+    out = extract_entries(docs, synth.all_profiles(4))
+    rep = plan_report(out)
+    assert rep["python_stages"] == 1
+    assert rep["exchanges"] == 0  # map-only: no shuffle of raw documents
+
+
+def test_small_dim_join_broadcasts(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    dim = spark.createDataFrame(
+        [(f"www.host{i}.example", f"p{i}") for i in range(4)],
+        "host string, profile string",
+    )
+    joined = docs.join(F.broadcast(dim), "host")
+    rep = plan_report(joined)
+    assert rep["has_broadcast_join"]
+    assert not rep["has_sort_merge_join"]
+
+
+def test_wholestage_codegen_covers_relational_stages(spark, corpus_path):
+    docs = scannable_documents(spark.read.parquet(corpus_path))
+    rep = plan_report(docs)
+    assert rep["wholestage_codegen_spans"] >= 1
+    # aggregation plan under AQE: run it, then check the finalized plan
+    agg = spark.read.parquet(corpus_path).groupBy("host").agg(F.count("*").alias("n"))
+    agg.collect()
+    rep2 = plan_report(agg)
+    assert rep2["aqe"]
+    assert rep2["wholestage_codegen_spans"] >= 1
