@@ -117,11 +117,22 @@ def _analyze_batch(
     etags = etags.to_pylist() if etags is not None else [None] * len(doc_ids)
 
     out = {name: [] for name in _ARROW_SCHEMA.names}
+    containment_memo: dict = {}
     for doc_id, spans, host, url, url_id, etag in zip(
         doc_ids, spans_in, hosts, urls, url_ids, etags
     ):
         norm = normalize_host(host or "")
         profile = profiles.get(norm)
+        if profile is None and url:
+            # reference host matching is by containment of the profile's
+            # hostname in the source url (ExtractionSupervisor.scala:362-369)
+            if norm in containment_memo:
+                profile = containment_memo[norm]
+            else:
+                profile = next(
+                    (p for k, p in profiles.items() if k and k in url), None
+                )
+                containment_memo[norm] = profile
         html = spans_to_html(spans)
         n_in = len(spans or [])
         n_media = count_media(spans)

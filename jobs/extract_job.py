@@ -45,11 +45,14 @@ def main(argv=None):
                    help="existing entries table/path for dup-disable + ETag skip")
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from content_extractor_spark.kernel.profiles import load_profiles
     from content_extractor_spark.operators.scans import etag_unchanged_skip
     from content_extractor_spark.pipeline import PipelineConfig, run_extraction
     from content_extractor_spark.session import get_spark
 
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"content-extract-{args.run_id}")
     docs = (
         spark.read.table(args.input)
@@ -75,7 +78,8 @@ def main(argv=None):
         existing_entries=existing,
     )
     print(json.dumps(summary))
-    spark.stop()
+    if not preexisting:
+        spark.stop()
     return 0
 
 
