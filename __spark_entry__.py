@@ -171,7 +171,14 @@ def q_filter_time_range(spark, sf_dir):
             & (F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
         )
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # decimal sum: deterministic across partition orders (doubles
+            # would accumulate order-dependently and can flip the rounding)
+            F.round(F.sum(F.col("value").cast("decimal(24,6)")), 3)
+            .cast("double")
+            .alias("sum_value"),
+        )
     )
 
 
@@ -186,7 +193,9 @@ def q_broadcast_dim_join(spark, sf_dir):
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(24,6)")), 2)
+            .cast("double")
+            .alias("sum_acctbal"),
         )
     )
 
@@ -308,12 +317,28 @@ def q_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,6)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(24,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(24,6)"))
+                / F.count("*"),
+                4,
+            )
+            .cast("double")
+            .alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -326,7 +351,15 @@ def q_top_revenue_orders(spark, sf_dir):
     rev = (
         li.groupBy("l_orderkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(24,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
     return (
@@ -352,12 +385,13 @@ def _doubled_docs(spark, sf_dir, limit=300):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    from content_extractor_spark.operators.dedup_families import minhash_signature
+    from content_extractor_spark.operators.dedup_families import minhash_signatures_df
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return docs.select(
-        "doc_id",
-        F.posexplode(minhash_signature("text", num_perm=8)).alias("perm", "minhash"),
+    sigs = minhash_signatures_df(docs, num_perm=8)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode(F.col("sig")).alias("perm", "minhash"),
     )
 
 
@@ -530,7 +564,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "filter_time_range": """
-            SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+            SELECT event_type, count(*) AS n,
+                   round(sum(value::DECIMAL(24,6)), 3)::DOUBLE AS sum_value
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
               AND ts <  TIMESTAMP '2024-01-05 00:00:00'
@@ -538,7 +573,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_dim_join": """
             SELECT r_name AS region, count(*) AS customers,
-                   round(sum(c_acctbal), 2) AS sum_acctbal
+                   round(sum(c_acctbal::DECIMAL(24,6)), 2)::DOUBLE AS sum_acctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -609,10 +644,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
+                   sum(l_quantity::DECIMAL(24,6))::DOUBLE AS sum_qty,
+                   round(sum(l_extendedprice::DECIMAL(24,6)), 2)::DOUBLE AS sum_base_price,
+                   round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(24,6)), 2)::DOUBLE AS sum_disc_price,
+                   round(sum(l_quantity::DECIMAL(24,6)) / count(*), 4)::DOUBLE AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
@@ -621,7 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": """
             WITH rev AS (
               SELECT l_orderkey,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                     round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(24,6)), 2)::DOUBLE AS revenue
               FROM lineitem GROUP BY l_orderkey
             )
             SELECT o_orderkey, c_name, revenue
