@@ -307,6 +307,44 @@ def q_etag_anti_join(spark, sf_dir):
     )
 
 
+def q_two_phase_union(spark, sf_dir):
+    # O6: phase-1 (new) ∪ phase-2 (existing) with a mode column
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 4 == 0).withColumn("mode", F.lit("new"))
+    existing = docs.where(F.col("doc_id") % 4 != 0).withColumn(
+        "mode", F.lit("existing")
+    )
+    return (
+        new.unionByName(existing)
+        .groupBy("mode", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_semi_join_dup_hash(spark, sf_dir):
+    # A2 as an explicit left-semi join: docs whose text digest already
+    # exists in the "entries" snapshot (doc_id % 2 == 0 rows)
+    docs = _t(spark, sf_dir, "documents")
+    snapshot = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("sig")
+    )
+    return (
+        docs.join(snapshot, F.md5(docs["text"]) == snapshot["sig"], "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("already_known"))
+    )
+
+
+def q_ci_distinct_tags(spark, sf_dir):
+    # case-insensitive distinct (GraphQLHelper.scala:609-616 name_i)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.array("lang", "source")).alias("tag"))
+        .select(F.lower(F.col("tag")).alias("tag_key"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shape engine breadth
 # ---------------------------------------------------------------------------
@@ -526,6 +564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "create_update_skip": q_create_update_skip,
         "tag_dim_upsert": q_tag_dim_upsert,
         "etag_anti_join": q_etag_anti_join,
+        "two_phase_union": q_two_phase_union,
+        "semi_join_dup_hash": q_semi_join_dup_hash,
+        "ci_distinct_tags": q_ci_distinct_tags,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "minhash_signatures": q_minhash_signatures,
@@ -641,6 +682,27 @@ def oracle_sql() -> dict[str, str]:
               WHERE d.doc_id = s.s_id AND md5(d.text) = s.s_sig
             )
             GROUP BY lang
+        """,
+        "two_phase_union": """
+            SELECT mode, lang, count(*) AS n FROM (
+              SELECT lang, 'new' AS mode FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT lang, 'existing' AS mode FROM documents WHERE doc_id % 4 != 0
+            ) GROUP BY mode, lang
+        """,
+        "semi_join_dup_hash": """
+            SELECT lang, count(*) AS already_known
+            FROM documents d
+            WHERE EXISTS (
+              SELECT 1 FROM documents s
+              WHERE s.doc_id % 2 = 0 AND md5(s.text) = md5(d.text)
+            )
+            GROUP BY lang
+        """,
+        "ci_distinct_tags": """
+            SELECT DISTINCT lower(tag) AS tag_key FROM (
+              SELECT unnest([lang, source]) AS tag FROM documents
+            )
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -37,9 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .kernel.profiles import ProfileConfig
+from .operators.changes import plan_actions
 from .operators.dedup import mark_duplicates
 from .operators.extract import extract_entries
 from .operators.scans import scannable_documents
+from .sources.io import apply_entry_actions
 
 
 @dataclass
@@ -166,6 +168,24 @@ def run_extraction(
         .collect()[0]
         .asDict()
     )
+    # change detection + entries upsert (A3-A6 + S7): when an existing
+    # entries table is supplied, plan create/update/skip per url and
+    # write the next entries-table state (set-based MERGE)
+    if existing_entries is not None:
+        planned = plan_actions(
+            spark.read.parquet(spans_path).where(F.col("status") == "ok"),
+            existing_entries,
+        )
+        action_counts = {
+            r["action"]: r["n"]
+            for r in planned.groupBy("action").agg(F.count("*").alias("n")).collect()
+        }
+        next_entries = apply_entry_actions(existing_entries, planned)
+        next_entries.write.mode("overwrite").parquet(
+            os.path.join(output_path, "entries_next")
+        )
+        summary_rows["actions"] = action_counts
+
     summary_rows["wall_sec"] = time.monotonic() - t0
     summary_rows["resumed_buckets"] = resumed_buckets
     return summary_rows

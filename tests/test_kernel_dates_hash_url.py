@@ -134,3 +134,22 @@ class TestUrlClean:
 
     def test_punycode(self):
         assert clean_url("https://bücher.de/x").startswith("https://xn--bcher-kva.de/")
+
+
+class TestGermanDates:
+    def test_month_name_pattern(self):
+        # "d. MMMM yyyy" with German month names (profile-targeted sites)
+        assert (
+            reformat_datetime("5. März 2021", "d. MMMM yyyy", "Europe/Berlin", TARGET)
+            == "2021-03-04T23:00:00Z"  # start of day Berlin (+01) -> UTC
+        )
+
+    def test_abbreviated_month(self):
+        assert (
+            reformat_datetime("05. Okt. 2021 14:30", "dd. MMM yyyy HH:mm", "Europe/Berlin", TARGET)
+            == "2021-10-05T12:30:00Z"  # +02 summer time
+        )
+
+    def test_unsupported_pattern_letter_raises(self):
+        with pytest.raises(ValueError):
+            reformat_datetime("x", "qq", "Europe/Berlin", TARGET)
