@@ -307,6 +307,41 @@ def q_etag_anti_join(spark, sf_dir):
     )
 
 
+def q_salted_host_agg(spark, sf_dir):
+    # explicit skew handling: two-phase salted aggregation over the
+    # skew-prone grouping key; result is identical to a plain GROUP BY
+    # (the oracle), the plan bounds any reducer to ~1/salt of a hot key
+    from content_extractor_spark.operators.skew import salted_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_agg(
+        docs,
+        key_cols=["source"],
+        aggs={
+            "n": ("count", None),
+            "sum_chars": ("sum", "n_chars"),
+            "min_doc": ("min", "doc_id"),
+            "max_doc": ("max", "doc_id"),
+        },
+        salt=8,
+        id_col="doc_id",
+    )
+
+
+def q_media_features(spark, sf_dir):
+    # multimodal plumbing over real binary payloads (mapInPandas batch
+    # UDF); payloads derived deterministically from the documents table
+    from content_extractor_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = extract_image_features(media)
+    return feats.select("media_ref", "n_bytes", "sha256")
+
+
 def q_two_phase_union(spark, sf_dir):
     # O6: phase-1 (new) ∪ phase-2 (existing) with a mode column
     docs = _t(spark, sf_dir, "documents")
@@ -564,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "create_update_skip": q_create_update_skip,
         "tag_dim_upsert": q_tag_dim_upsert,
         "etag_anti_join": q_etag_anti_join,
+        "salted_host_agg": q_salted_host_agg,
+        "media_features": q_media_features,
         "two_phase_union": q_two_phase_union,
         "semi_join_dup_hash": q_semi_join_dup_hash,
         "ci_distinct_tags": q_ci_distinct_tags,
@@ -682,6 +719,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE d.doc_id = s.s_id AND md5(d.text) = s.s_sig
             )
             GROUP BY lang
+        """,
+        "salted_host_agg": """
+            SELECT source, count(*) AS n, sum(n_chars) AS sum_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents GROUP BY source
+        """,
+        "media_features": """
+            SELECT 'asset-' || doc_id::varchar AS media_ref,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents WHERE doc_id < 200
         """,
         "two_phase_union": """
             SELECT mode, lang, count(*) AS n FROM (
