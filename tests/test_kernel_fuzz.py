@@ -1,0 +1,120 @@
+"""Property-based robustness tests (hypothesis) for the kernel.
+
+The kernel runs inside executor UDFs over arbitrary web content: it
+must never raise out of a batch regardless of input garbage, and its
+core invariants (parse/serialize stability, text idempotence, hash
+determinism) must hold on random inputs, not just fixtures.
+"""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from content_extractor_spark.kernel.analyzer import analyze
+from content_extractor_spark.kernel.css import SelectorParseError, select
+from content_extractor_spark.kernel.dom import parse
+from content_extractor_spark.kernel.profiles import profile_from_dict
+from content_extractor_spark.kernel.scala_hash import content_hash, java_string_hash
+from content_extractor_spark.kernel.spans import entry_to_spans, html_to_spans, spans_to_html
+from content_extractor_spark.kernel.urlclean import clean_url
+
+PROFILE = profile_from_dict(
+    {
+        "profile": {
+            "hostname": "x.example",
+            "pageTypes": [
+                {
+                    "name": "any",
+                    "selectors": {"title": "h1, title, p", "content": {"selector": "body"}},
+                }
+            ],
+        }
+    }
+)
+
+html_fragments = st.text(
+    alphabet=string.printable + "äöüß€ ­​", max_size=400
+)
+tagged = st.builds(
+    lambda t, inner: f"<{t} class='c{len(inner)}'>{inner}</{t}>",
+    st.sampled_from(["div", "p", "span", "h1", "li", "custom-el", "script"]),
+    st.text(alphabet=string.ascii_letters + " <>&'\"", max_size=60),
+)
+soup = st.lists(st.one_of(html_fragments, tagged), max_size=8).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(soup)
+def test_parse_never_raises_and_text_is_str(html):
+    doc = parse(html)
+    assert isinstance(doc.text(), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(soup)
+def test_serialize_reparse_text_stable(html):
+    """text(parse(serialize(parse(html)))) == text(parse(html)) — the
+    invariant extract_content's re-parse step relies on."""
+    doc = parse(html)
+    body = next(
+        (c for c in doc.children[0].children if getattr(c, "tag", "") == "body"),
+        doc,
+    )
+    once = body.text()
+    again = parse(body.outer_html()).text()
+    assert again == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(soup)
+def test_analyze_never_raises(html):
+    res = analyze("https://x.example/a", html, PROFILE)
+    assert res.status in ("ok", "profile_miss", "no_title", "error")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_java_hash_matches_slow_path(s):
+    # numpy fast path must agree with the scalar loop
+    data = s.encode("utf-16-be", "surrogatepass")
+    h = 0
+    for i in range(0, len(data), 2):
+        h = (h * 31 + ((data[i] << 8) | data[i + 1])) & 0xFFFFFFFF
+    expected = h - 0x100000000 if h >= 0x80000000 else h
+    assert java_string_hash(s) == expected
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=80), st.text(max_size=80), st.text(max_size=80), st.text(max_size=80))
+def test_content_hash_deterministic_int32(a, b, c, d):
+    h1 = content_hash(a, b, c, d)
+    assert h1 == content_hash(a, b, c, d)
+    assert -(2**31) <= h1 < 2**31
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet=string.printable, min_size=1, max_size=200), st.integers(1, 5))
+def test_span_codec_roundtrip(html, chunks):
+    spans = html_to_spans(html, chunks=chunks, media_refs=["m1"])
+    assert spans_to_html(spans) == html
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet=string.ascii_letters + string.digits + ":/?#&=.;%-_", max_size=120))
+def test_clean_url_never_raises_and_idempotent(url):
+    try:
+        once = clean_url(url)
+    except Exception:
+        # cleaning may reject garbage, but only via ValueError-ish paths
+        return
+    assert clean_url(once) == once
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet=string.ascii_letters + " .#>,*[]='\"()" , max_size=40))
+def test_select_raises_only_selector_parse_error(q):
+    doc = parse("<div class='a'><p id='x'>t</p></div>")
+    try:
+        select(doc, q)
+    except SelectorParseError:
+        pass
