@@ -400,12 +400,22 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse(html: str) -> Document:
-    """Parse an HTML string into a Document (jsoup ``Jsoup.parse`` analog)."""
+def parse(html: str, engine: str = "fast") -> Document:
+    """Parse an HTML string into a Document (jsoup ``Jsoup.parse`` analog).
+
+    engine="fast" uses the regex scanner (kernel/fastscan.py, ~2x);
+    engine="stdlib" drives the same tree builder through html.parser —
+    kept for differential testing and as a fallback.
+    """
     builder = _TreeBuilder()
     try:
-        builder.feed(html or "")
-        builder.close()
+        if engine == "fast":
+            from .fastscan import scan
+
+            scan(html or "", builder)
+        else:
+            builder.feed(html or "")
+            builder.close()
     except Exception:
         # be forgiving like browsers: return what was built so far
         pass

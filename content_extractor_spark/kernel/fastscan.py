@@ -1,0 +1,145 @@
+"""Fast HTML tokenizer feeding the DOM tree builder.
+
+Drop-in replacement for the ``html.parser``-driven scan in
+:mod:`content_extractor_spark.kernel.dom`: a compiled-regex scanner
+that emits the same events (start/end tags with lowercased names and
+entity-decoded attribute values, entity-decoded text, raw script/style
+data) — ~2x faster on real pages because it avoids html.parser's
+per-character goahead loop and position bookkeeping.
+
+Parity with html.parser's observable behavior is pinned by the golden
+content-extraction cases, the reference-fixture e2e test, and a
+differential fuzz test (tests/test_fastscan_differential.py).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+_TAG_OPEN_RE = re.compile(
+    r"""<
+        (?:
+            /[ \t\n\r\f]*(?P<endname>[a-zA-Z][^ \t\n\r\f/>]*)[^>]*>
+          | (?P<comment>!--)
+          | (?P<decl>!)
+          | (?P<pi>\?)
+          | (?P<name>[a-zA-Z][^ \t\n\r\f/>]*)
+        )
+    """,
+    re.X,
+)
+
+# one attribute-or-terminator step inside a start tag
+_ATTR_ITEM = re.compile(
+    r'''[ \t\n\r\f]*(?:
+        (?P<gt>/?>)
+      | /(?!>)
+      | (?P<aname>[^ \t\n\r\f=/>]+)
+        (?:[ \t\n\r\f]*=[ \t\n\r\f]*
+           (?:"(?P<dq>[^"]*)"|'(?P<sq>[^']*)'|(?P<uq>[^ \t\n\r\f>]*)))?
+    )''',
+    re.X,
+)
+
+# script/style only — matches html.parser's CDATA_CONTENT_ELEMENTS so
+# the two scan paths stay event-for-event interchangeable
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</script\s*>", re.I),
+    "style": re.compile(r"</style\s*>", re.I),
+}
+
+
+def scan(html: str, builder) -> None:
+    """Emit parser events into `builder` (same callbacks as HTMLParser)."""
+    pos = 0
+    n = len(html)
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt < 0:
+            _emit_text(builder, html[pos:])
+            return
+        if lt > pos:
+            _emit_text(builder, html[pos:lt])
+        m = _TAG_OPEN_RE.match(html, lt)
+        if m is None:
+            _emit_text(builder, "<")  # lone '<' is text (browser behavior)
+            pos = lt + 1
+            continue
+        if m.group("endname"):
+            builder.handle_endtag(m.group("endname").lower())
+            pos = m.end()
+            continue
+        if m.group("comment"):
+            end = html.find("-->", m.end())
+            if end < 0:
+                return  # unterminated comment swallows to EOF (jsoup/HTML5)
+            pos = end + 3
+            continue
+        if m.group("decl") or m.group("pi"):
+            end = html.find(">", m.end())
+            if end < 0:
+                _emit_text(builder, html[lt:])
+                return
+            pos = end + 1
+            continue
+        # -- start tag ----------------------------------------------------
+        name = m.group("name").lower()
+        attrs: list = []
+        seen: set = set()
+        i = m.end()
+        selfclose = False
+        closed = False
+        while i < n:
+            am = _ATTR_ITEM.match(html, i)
+            if am is None or am.end() == i:
+                i += 1
+                continue
+            if am.group("gt"):
+                selfclose = am.group("gt") == "/>"
+                i = am.end()
+                closed = True
+                break
+            aname = am.group("aname")
+            if aname:
+                aname = aname.lower()
+                val = am.group("dq")
+                if val is None:
+                    val = am.group("sq")
+                if val is None:
+                    val = am.group("uq")
+                if val is None:
+                    val = ""
+                elif "&" in val:
+                    val = unescape(val)
+                if aname not in seen:
+                    seen.add(aname)
+                    attrs.append((aname, val))
+            i = am.end()
+        pos = i
+        if not closed:
+            _emit_text(builder, html[lt:])  # EOF inside tag -> literal text
+            return
+        if selfclose:
+            builder.handle_startendtag(name, attrs)
+            continue
+        builder.handle_starttag(name, attrs)
+        raw_close = _RAWTEXT_CLOSE.get(name)
+        if raw_close is not None:
+            cm = raw_close.search(html, pos)
+            raw = html[pos : cm.start()] if cm else html[pos:]
+            if raw:
+                builder.handle_data(raw)  # DataNode, never entity-decoded
+            if cm:
+                builder.handle_endtag(name)
+                pos = cm.end()
+            else:
+                pos = n
+
+
+def _emit_text(builder, text: str) -> None:
+    if not text:
+        return
+    if "&" in text:
+        text = unescape(text)
+    builder.handle_data(text)
