@@ -342,6 +342,35 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_ref", "n_bytes", "sha256")
 
 
+def q_pdf_text_roundtrip(spark, sf_dir):
+    # PDF/layout parse: build a FlateDecode PDF per document inside the
+    # batch UDF, extract its text back with the pure-Python PDF parser;
+    # the oracle reconstructs the same 10-word line wrapping in SQL, so
+    # equality pins the whole encode->parse chain
+    import pandas as pd
+
+    from content_extractor_spark.kernel import pdftext
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_text": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split()
+                lines = [
+                    " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+                ]
+                blob = pdftext.build_simple_pdf(lines)
+                out["doc_id"].append(doc_id)
+                out["pdf_text"].append(pdftext.extract_text(blob))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema="doc_id long, pdf_text string")
+
+
 def q_two_phase_union(spark, sf_dir):
     # O6: phase-1 (new) ∪ phase-2 (existing) with a mode column
     docs = _t(spark, sf_dir, "documents")
@@ -601,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etag_anti_join": q_etag_anti_join,
         "salted_host_agg": q_salted_host_agg,
         "media_features": q_media_features,
+        "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "two_phase_union": q_two_phase_union,
         "semi_join_dup_hash": q_semi_join_dup_hash,
         "ci_distinct_tags": q_ci_distinct_tags,
@@ -730,6 +760,18 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE doc_id < 200
+        """,
+        "pdf_text_roundtrip": r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     [array_to_string(toks[i:i+9], ' ')
+                      for i in range(1, len(toks)+1, 10)],
+                     chr(10)) AS pdf_text
+            FROM tok
         """,
         "two_phase_union": """
             SELECT mode, lang, count(*) AS n FROM (

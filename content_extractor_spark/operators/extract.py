@@ -28,7 +28,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel.analyzer import analyze
+from ..kernel.analyzer import AnalysisResult, RawEntryInformation, analyze
+from ..kernel.density import extract_main_content
 from ..kernel.profiles import ProfileConfig, normalize_host
 from ..kernel.spans import count_media, entry_to_spans, spans_to_html
 
@@ -100,8 +101,31 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
+def _density_fallback(html: str) -> "AnalysisResult":
+    """Profile-free extraction via DOM text-density heuristics.
+
+    Used when no profile matches (the reference would error the row,
+    ExtractionSupervisor.scala:399-404); emitted with its own status
+    'ok_density' + profile_name '__density__' so selector-exact and
+    heuristic rows are never conflated downstream."""
+    try:
+        res = extract_main_content(html)
+    except Exception:
+        res = None
+    if not res:
+        return AnalysisResult(status="profile_miss", error="no profile; density found no content")
+    entry = RawEntryInformation(
+        title=res["title"] or "", summary=None, content=res["content"],
+        date=None, tags=None, etag=None, image_url=None,
+    )
+    if not entry.title:
+        return AnalysisResult(status="profile_miss", error="no profile; density found no title")
+    return AnalysisResult(status="ok_density", entry=entry, page_type="__density__")
+
+
 def _analyze_batch(
-    batch: pa.RecordBatch, profiles: Dict[str, ProfileConfig]
+    batch: pa.RecordBatch, profiles: Dict[str, ProfileConfig],
+    density_fallback: bool = False,
 ) -> pa.RecordBatch:
     names = batch.schema.names
     cols = {n: batch.column(i) for i, n in enumerate(names)}
@@ -137,12 +161,18 @@ def _analyze_batch(
         n_in = len(spans or [])
         n_media = count_media(spans)
         if profile is None:
-            res_status, entry, pt_name, err = (
-                "profile_miss",
-                None,
-                None,
-                f"no profile for host '{host}'",
-            )
+            if density_fallback:
+                res = _density_fallback(html)
+                res_status, entry, pt_name, err = (
+                    res.status, res.entry, res.page_type, res.error,
+                )
+            else:
+                res_status, entry, pt_name, err = (
+                    "profile_miss",
+                    None,
+                    None,
+                    f"no profile for host '{host}'",
+                )
         else:
             res = analyze(url or "", html, profile, etag)
             res_status, entry, pt_name, err = (
@@ -189,6 +219,7 @@ def extract_entries(
     docs: DataFrame,
     profiles: Dict[str, ProfileConfig],
     repartition: Optional[int] = None,
+    density_fallback: bool = False,
 ) -> DataFrame:
     """documents -> extracted entries via a broadcast + mapInArrow stage.
 
@@ -211,6 +242,6 @@ def extract_entries(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            yield _analyze_batch(batch, norm_profiles)
+            yield _analyze_batch(batch, norm_profiles, density_fallback)
 
     return docs.mapInArrow(run, schema=EXTRACT_SCHEMA)

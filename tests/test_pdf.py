@@ -1,0 +1,83 @@
+"""PDF text/layout extraction: pure-Python decoder + Spark operator."""
+
+import zlib
+
+from content_extractor_spark.kernel import pdftext
+
+
+class TestPdfKernel:
+    def test_roundtrip_compressed(self):
+        pdf = pdftext.build_simple_pdf(
+            ["Hello PDF world.", "Second line with (parens) and \\ backslash.", "Dritte Zeile äöü."]
+        )
+        assert pdftext.is_pdf(pdf)
+        text = pdftext.extract_text(pdf)
+        assert "Hello PDF world." in text
+        assert "Second line with (parens) and \\ backslash." in text
+        assert "Dritte Zeile äöü." in text
+        # line structure preserved via Td moves
+        assert text.index("Hello") < text.index("Second") < text.index("Dritte")
+        assert "\n" in text
+
+    def test_roundtrip_uncompressed(self):
+        pdf = pdftext.build_simple_pdf(["plain stream text"], compress=False)
+        assert pdftext.extract_text(pdf) == "plain stream text"
+
+    def test_layout_spans(self):
+        pdf = pdftext.build_simple_pdf(["line one", "line two"])
+        spans = pdftext.extract_text_spans(pdf)
+        texts = [s["text"] for s in spans if s["text"].strip()]
+        assert "line one" in texts and "line two" in texts
+        one = next(s for s in spans if s["text"] == "line one")
+        two = next(s for s in spans if s["text"] == "line two")
+        assert one["y"] > two["y"]  # second line moved down (dy = -14)
+        assert one["font_size"] == 12.0
+
+    def test_tj_array_and_hex(self):
+        content = b"BT /F1 10 Tf 10 700 Td [(Wor) -300 (ld)] TJ <48454C4C4F> Tj ET"
+        stream = zlib.compress(content)
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+            + str(len(stream)).encode()
+            + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n%%EOF"
+        )
+        text = pdftext.extract_text(pdf)
+        assert "Wor ld" in text  # big negative kern becomes a word gap
+        assert "HELLO" in text  # hex string
+
+    def test_garbage_not_pdf(self):
+        assert pdftext.extract_text(b"not a pdf at all") == ""
+        assert not pdftext.is_pdf(b"GIF89a")
+
+    def test_unsupported_filter_skipped(self):
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Filter /LZWDecode /Length 4 >>\n"
+            b"stream\n\x00\x01\x02\x03\nendstream\nendobj\n%%EOF"
+        )
+        assert pdftext.extract_text(pdf) == ""  # skipped, no crash
+
+
+class TestPdfOperator:
+    def test_extract_text_operator(self, spark):
+        from content_extractor_spark.operators.pdf import (
+            extract_pdf_layout_spans,
+            extract_pdf_text,
+        )
+
+        good = pdftext.build_simple_pdf(["Spark reads PDFs now.", "Line 2."])
+        rows = [
+            ("p1", bytearray(good)),
+            ("p2", bytearray(b"definitely not a pdf")),
+            ("p3", None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, payload binary")
+        out = {r["doc_id"]: r for r in extract_pdf_text(df).collect()}
+        assert out["p1"]["status"] == "ok"
+        assert "Spark reads PDFs now." in out["p1"]["text"]
+        assert out["p1"]["n_spans"] >= 2
+        assert out["p2"]["status"] == "not_pdf"
+        assert out["p3"]["status"] == "error"
+
+        spans = extract_pdf_layout_spans(df).collect()
+        assert {r["doc_id"] for r in spans} == {"p1"}
+        assert any(r["text"] == "Line 2." for r in spans)
