@@ -1,3 +1,4 @@
 """Structured Streaming adapters for incremental extraction."""
 
-from .incremental import streaming_extract, run_available_now  # noqa: F401
+from .incremental import host_rates, run_available_now, streaming_extract  # noqa: F401
+from .stateful import streaming_dedup  # noqa: F401
