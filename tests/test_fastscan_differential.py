@@ -70,7 +70,7 @@ soup = st.lists(
 ).map("".join)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(derandomize=True, max_examples=300, deadline=None)
 @given(soup)
 def test_fuzz_engines_agree(html):
     fast, std = _both(html)

@@ -43,14 +43,14 @@ tagged = st.builds(
 soup = st.lists(st.one_of(html_fragments, tagged), max_size=8).map("".join)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(derandomize=True, max_examples=150, deadline=None)
 @given(soup)
 def test_parse_never_raises_and_text_is_str(html):
     doc = parse(html)
     assert isinstance(doc.text(), str)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(soup)
 def test_serialize_reparse_text_stable(html):
     """text(parse(serialize(parse(html)))) == text(parse(html)) — the
@@ -65,14 +65,14 @@ def test_serialize_reparse_text_stable(html):
     assert again == once
 
 
-@settings(max_examples=150, deadline=None)
+@settings(derandomize=True, max_examples=150, deadline=None)
 @given(soup)
 def test_analyze_never_raises(html):
     res = analyze("https://x.example/a", html, PROFILE)
     assert res.status in ("ok", "profile_miss", "no_title", "error")
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(st.text(max_size=300))
 def test_java_hash_matches_slow_path(s):
     # numpy fast path must agree with the scalar loop
@@ -84,7 +84,7 @@ def test_java_hash_matches_slow_path(s):
     assert java_string_hash(s) == expected
 
 
-@settings(max_examples=60, deadline=None)
+@settings(derandomize=True, max_examples=60, deadline=None)
 @given(st.text(max_size=80), st.text(max_size=80), st.text(max_size=80), st.text(max_size=80))
 def test_content_hash_deterministic_int32(a, b, c, d):
     h1 = content_hash(a, b, c, d)
@@ -92,14 +92,14 @@ def test_content_hash_deterministic_int32(a, b, c, d):
     assert -(2**31) <= h1 < 2**31
 
 
-@settings(max_examples=80, deadline=None)
+@settings(derandomize=True, max_examples=80, deadline=None)
 @given(st.text(alphabet=string.printable, min_size=1, max_size=200), st.integers(1, 5))
 def test_span_codec_roundtrip(html, chunks):
     spans = html_to_spans(html, chunks=chunks, media_refs=["m1"])
     assert spans_to_html(spans) == html
 
 
-@settings(max_examples=80, deadline=None)
+@settings(derandomize=True, max_examples=80, deadline=None)
 @given(st.text(alphabet=string.ascii_letters + string.digits + ":/?#&=.;%-_", max_size=120))
 def test_clean_url_never_raises_and_idempotent(url):
     try:
@@ -110,7 +110,7 @@ def test_clean_url_never_raises_and_idempotent(url):
     assert clean_url(once) == once
 
 
-@settings(max_examples=80, deadline=None)
+@settings(derandomize=True, max_examples=80, deadline=None)
 @given(st.text(alphabet=string.ascii_letters + " .#>,*[]='\"()" , max_size=40))
 def test_select_raises_only_selector_parse_error(q):
     doc = parse("<div class='a'><p id='x'>t</p></div>")
