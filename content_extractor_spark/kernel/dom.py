@@ -84,17 +84,21 @@ class DataNode(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children")
+    __slots__ = ("tag", "attrs", "children", "preserve")
 
     def __init__(self, tag: str, attrs: Optional[dict] = None):
         self.parent: Optional["Element"] = None
         self.tag = tag
         self.attrs: dict = attrs or {}
         self.children: List[Node] = []
+        # preserve-whitespace flag; finalized when attached to a parent
+        self.preserve = tag in PRESERVE_WS_TAGS
 
     # -- tree ------------------------------------------------------------
     def append(self, node: Node) -> None:
         node.parent = self
+        if isinstance(node, Element) and self.preserve and not node.preserve:
+            node.preserve = True  # inherit (jsoup checks ancestors)
         self.children.append(node)
 
     def remove(self) -> None:
@@ -105,12 +109,16 @@ class Element(Node):
     def iter_elements(self) -> Iterator["Element"]:
         """Depth-first pre-order over this element and its descendants."""
         stack: List[Element] = [self]
+        pop = stack.pop
         while stack:
-            el = stack.pop()
+            el = pop()
             yield el
-            stack.extend(
-                c for c in reversed(el.children) if isinstance(c, Element)
-            )
+            kids = el.children
+            if kids:
+                for i in range(len(kids) - 1, -1, -1):
+                    c = kids[i]
+                    if type(c) is Element:
+                        stack.append(c)
 
     # -- attributes --------------------------------------------------------
     def attr(self, name: str) -> str:
@@ -150,7 +158,7 @@ class Element(Node):
             accum.append(" ")
         for child in self.children:
             if isinstance(child, TextNode):
-                _append_normalised(accum, child.text, self._preserves_ws())
+                _append_normalised(accum, child.text, self.preserve)
             elif isinstance(child, Element):
                 child._text_into(accum)
                 # tail visit: block element followed directly by a text node
