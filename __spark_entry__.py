@@ -342,6 +342,22 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_ref", "n_bytes", "sha256")
 
 
+def q_density_extract(spark, sf_dir):
+    # profile-free main-content extraction (DOM text-density heuristics):
+    # run the span corpus through the extractor with NO profiles and the
+    # density fallback on — rows-only check (needs a DOM, not SQL)
+    from content_extractor_spark.operators.extract import extract_entries
+
+    corpus = _docs_as_span_corpus(spark, sf_dir).where(
+        F.col("doc_id").isin([f"doc-{i}" for i in range(100)])
+    )
+    out = extract_entries(corpus, {}, density_fallback=True)
+    return out.select(
+        "doc_id", "status", "profile_name", "title",
+        F.length(F.coalesce(F.col("content"), F.lit(""))).alias("content_chars"),
+    )
+
+
 def q_pdf_text_roundtrip(spark, sf_dir):
     # PDF/layout parse: build a FlateDecode PDF per document inside the
     # batch UDF, extract its text back with the pure-Python PDF parser;
@@ -631,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_host_agg": q_salted_host_agg,
         "media_features": q_media_features,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
+        "density_extract": q_density_extract,
         "two_phase_union": q_two_phase_union,
         "semi_join_dup_hash": q_semi_join_dup_hash,
         "ci_distinct_tags": q_ci_distinct_tags,
