@@ -342,6 +342,49 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_ref", "n_bytes", "sha256")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    # paragraph-granularity exact dedup (training-data op): explode
+    # sentence-ish chunks of 12 tokens, keep first (doc_id, idx) per digest
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 12).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 12 + 1, 12)),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(paras).alias("idx", "para")
+    ).where(F.col("para") != "")
+    return (
+        exploded.groupBy(F.md5("para").alias("digest"))
+        .agg(
+            F.min(F.struct("doc_id", "idx")).alias("first"),
+            F.count("*").alias("occurrences"),
+        )
+        .select(
+            "digest",
+            F.col("first.doc_id").alias("keep_doc"),
+            F.col("first.idx").alias("keep_idx"),
+            "occurrences",
+        )
+    )
+
+
+def q_clean_urls(spark, sf_dir):
+    # E13 as a vectorized UDF over synthesized dirty URLs; the oracle
+    # reconstructs the cleaned form with pure string SQL
+    from content_extractor_spark.functions.udfs import clean_url_udf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    dirty = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example/a"),
+        F.lit(";jsessionid=ABC"), F.lit("/p"), F.col("doc_id").cast("string"),
+        F.lit("?nn=1&q="), F.col("doc_id").cast("string"), F.lit("&download=x#frag"),
+    )
+    return docs.select(
+        "doc_id", clean_url_udf(dirty).alias("clean_url")
+    )
+
+
 def q_density_extract(spark, sf_dir):
     # profile-free main-content extraction (DOM text-density heuristics):
     # run the span corpus through the extractor with NO profiles and the
@@ -648,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "density_extract": q_density_extract,
+        "paragraph_dedup": q_paragraph_dedup,
+        "clean_urls": q_clean_urls,
         "two_phase_union": q_two_phase_union,
         "semi_join_dup_hash": q_semi_join_dup_hash,
         "ci_distinct_tags": q_ci_distinct_tags,
@@ -777,6 +822,31 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE doc_id < 200
+        """,
+        "paragraph_dedup": r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 300
+            ),
+            paras AS (
+              SELECT doc_id, i//12 AS idx,
+                     array_to_string(toks[i+1:i+12], ' ') AS para
+              FROM tok, LATERAL (
+                SELECT unnest([x*12 for x in range(0, (len(toks)-1)//12 + 1)]) AS i
+              )
+              WHERE array_to_string(toks[i+1:i+12], ' ') != ''
+            )
+            SELECT md5(para) AS digest,
+                   min(struct_pack(doc_id := doc_id, idx := idx)).doc_id AS keep_doc,
+                   min(struct_pack(doc_id := doc_id, idx := idx)).idx AS keep_idx,
+                   count(*) AS occurrences
+            FROM paras GROUP BY md5(para)
+        """,
+        "clean_urls": """
+            SELECT doc_id,
+                   'https://www.' || source || '.example/a/p' || doc_id::varchar
+                   || '?q=' || doc_id::varchar AS clean_url
+            FROM documents WHERE doc_id < 300
         """,
         "pdf_text_roundtrip": r"""
             WITH tok AS (
