@@ -44,7 +44,9 @@ def get_spark(
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # single-JVM local mode does all executors' work in the driver
+        # heap; 8g GC-thrashes at local[32] with multi-KB string columns
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
