@@ -103,9 +103,24 @@ def run_extraction(
     # input) for the partitioned write; the dedup window adds its own
     # content_hash shuffle.
     extracted = with_bucket(extracted, cfg.num_buckets)
-    deduped = mark_duplicates(extracted, existing_entries)
 
     spans_path = os.path.join(output_path, "spans_out")
+    # dedup also against rows committed by PRIOR runs of this output
+    # (resume case): hashes already on disk disable this run's copies
+    dedup_baseline = existing_entries
+    if done is not None:
+        try:
+            prior = spark.read.parquet(spans_path).select(
+                "content_hash", F.coalesce(F.col("disabled"), F.lit(False)).alias("disabled")
+            )
+            dedup_baseline = (
+                prior
+                if dedup_baseline is None
+                else dedup_baseline.select("content_hash", "disabled").unionByName(prior)
+            )
+        except Exception:
+            pass  # ledger existed but no spans written yet
+    deduped = mark_duplicates(extracted, dedup_baseline)
     (
         deduped.repartition(cfg.num_buckets, "bucket")
         .write.mode("overwrite")
