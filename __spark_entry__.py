@@ -576,6 +576,19 @@ def q_simhash_groups(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # pairs -> groups: iterative min-label connected components over the
+    # LSH candidate pairs; oracle = recursive-CTE transitive closure
+    from content_extractor_spark.operators.components import dedup_groups
+    from content_extractor_spark.operators.dedup_families import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _doubled_docs(spark, sf_dir, limit=150),
+        num_perm=16, num_bands=4, max_bucket=1000000,
+    )
+    return dedup_groups(pairs)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from content_extractor_spark.operators.dedup_families import ngram_jaccard_pairs
 
@@ -702,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_groups": q_simhash_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "language_id": q_language_id,
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
@@ -953,6 +967,51 @@ def oracle_sql() -> dict[str, str]:
             FROM banded x JOIN banded y
               ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
             WHERE x.doc_id < y.doc_id
+        """,
+        "dedup_clusters": rf"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 150
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id < 150
+            ),
+            tok AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM base
+            ),
+            sh AS (
+              SELECT doc_id,
+                     [ {_PH.format(x='s')} for s in {_SHINGLES3} ] AS hs
+              FROM tok
+            ),
+            sig AS (
+              SELECT doc_id,
+                     [ list_min([ ((2*j+1)*h + j*2654435769)
+                                  % 2305843009213693951 for h in hs ])
+                       for j in range(0, 16) ] AS mh
+              FROM sh
+            ),
+            banded AS (
+              SELECT doc_id, b.band_idx,
+                     {_PH.format(x="array_to_string([x::varchar for x in mh[b.band_idx*4+1 : b.band_idx*4+4]], ',')")} AS band_hash
+              FROM sig, (SELECT unnest(range(0, 4)) AS band_idx) AS b
+            ),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM banded x JOIN banded y
+                ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+              WHERE x.doc_id < y.doc_id
+            ),
+            und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach(node, r) AS (
+              SELECT a AS node, a AS r FROM und
+              UNION
+              SELECT u.a AS node, reach.r
+              FROM und u JOIN reach ON u.b = reach.node
+            )
+            SELECT comp, count(*) AS members, min(node) AS keep FROM (
+              SELECT node, min(r) AS comp FROM reach GROUP BY node
+            ) GROUP BY comp
         """,
         "simhash_groups": rf"""
             WITH tok AS (

@@ -1,0 +1,91 @@
+"""Connected components over candidate-duplicate pairs.
+
+Near-dup pipelines end with clustering: LSH/Jaccard emit PAIRS, but
+dedup policy needs GROUPS ("keep one representative per component").
+This is min-label propagation (the dataframe-native form of the
+large-star/small-star CC algorithm): every node repeatedly takes the
+minimum component id among itself and its neighbors until fixpoint.
+
+Scale notes:
+  * each iteration is one join + one aggregate on (node, comp) pairs —
+    shuffle keys are node ids (uniform);
+  * iteration count is bounded by the graph diameter of the largest
+    component; near-dup graphs are shallow (clusters are cliques-ish),
+    so 3-5 iterations typically converge;
+  * `localCheckpoint` truncates the lineage each round so plans don't
+    grow exponentially (mandatory for iterative DataFrame algorithms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, comp): comp = min node id reachable from node.
+
+    Nodes are the union of both edge endpoints; isolated nodes (absent
+    from `edges`) are absent from the result by construction.
+    """
+    adj = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        adj.select(F.col("src").alias("node"), F.col("src").alias("comp"))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            adj.join(labels, adj["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Cluster candidate pairs: (comp, members, keep) — keep = min id."""
+    comps = connected_components(edges, a_col, b_col)
+    return (
+        comps.groupBy("comp")
+        .agg(
+            F.count("*").alias("members"),
+            F.min("node").alias("keep"),
+        )
+    )

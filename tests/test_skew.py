@@ -60,3 +60,31 @@ def test_hot_keys_histogram(spark):
     top = hot_keys(df, "key", top_k=3, sample_fraction=1.0).collect()
     assert top[0]["key"] == "hot"
     assert top[0]["sampled_rows"] > top[1]["sampled_rows"]
+
+
+def test_connected_components(spark):
+    from content_extractor_spark.operators.components import (
+        connected_components,
+        dedup_groups,
+    )
+
+    # two chains + an isolated pair: {1-2-3-4}, {10-11}, {7-8}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (8, 7)], "a long, b long"
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
+    groups = {r["comp"]: (r["members"], r["keep"]) for r in dedup_groups(edges).collect()}
+    assert groups == {1: (4, 1), 10: (2, 10), 7: (2, 7)}
+
+
+def test_connected_components_deep_chain(spark):
+    from content_extractor_spark.operators.components import connected_components
+
+    # a 12-node path exercises multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 13
