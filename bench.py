@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "quality_features",
     "cosine_topk",
     "lsh_ann_topk",
+    "dedup_clusters",
+    "paragraph_dedup",
+    "pdf_text_roundtrip",
+    "density_extract",
+    "media_features",
 ]
 
 

@@ -40,6 +40,8 @@ _token_re = re.compile(
       | \.(?P<class_v>%(id)s)
       | (?P<attr>\[\s*(?P<attr_k>[-\w:]+)\s*(?:(?P<attr_op>[~^$*|!]?=)\s*
             (?:"(?P<attr_dq>[^"]*)"|'(?P<attr_sq>[^']*)'|(?P<attr_uq>[^\]]*?))\s*)?\])
+      | :(?P<pseudo>[a-zA-Z][a-zA-Z-]*)
+            (?:\((?P<pseudo_arg>(?:[^()]|\([^()]*\))*)\))?
       | (?P<tag>%(id)s)
       | (?P<star>\*)
     )"""
@@ -48,16 +50,22 @@ _token_re = re.compile(
 )
 
 
-class _Simple:
-    """One compound selector: tag/class/id/attr predicates ANDed."""
+_SUPPORTED_PSEUDOS = frozenset(
+    ["has", "not", "contains", "first-child", "last-child", "nth-child", "empty"]
+)
 
-    __slots__ = ("tag", "ids", "classes", "attrs")
+
+class _Simple:
+    """One compound selector: tag/class/id/attr/pseudo predicates ANDed."""
+
+    __slots__ = ("tag", "ids", "classes", "attrs", "pseudos")
 
     def __init__(self):
         self.tag: Optional[str] = None
         self.ids: List[str] = []
         self.classes: List[str] = []
         self.attrs: List[tuple] = []  # (name, op, value)
+        self.pseudos: List[tuple] = []  # (name, arg)
 
     def matches(self, el: Element) -> bool:
         if self.tag is not None and self.tag != "*" and el.tag != self.tag:
@@ -100,7 +108,61 @@ class _Simple:
             elif op == "!=":
                 if actual == v:
                     return False
+        for name, arg in self.pseudos:
+            if not _pseudo_matches(el, name, arg):
+                return False
         return True
+
+
+def _element_siblings(el: Element):
+    if el.parent is None:
+        return [el]
+    return [c for c in el.parent.children if isinstance(c, Element)]
+
+
+def _pseudo_matches(el: Element, name: str, arg: Optional[str]) -> bool:
+    """jsoup pseudo-selector subset (Selector.java dialect)."""
+    if name == "first-child":
+        sibs = _element_siblings(el)
+        return bool(sibs) and sibs[0] is el
+    if name == "last-child":
+        sibs = _element_siblings(el)
+        return bool(sibs) and sibs[-1] is el
+    if name == "nth-child":
+        sibs = _element_siblings(el)
+        a = (arg or "").strip().lower()
+        idx = sibs.index(el) + 1 if el in sibs else 0
+        if a == "even":
+            return idx % 2 == 0
+        if a == "odd":
+            return idx % 2 == 1
+        try:
+            return idx == int(a)
+        except ValueError:
+            raise SelectorParseError(f"unsupported nth-child arg '{arg}'")
+    if name == "empty":
+        from .dom import TextNode
+
+        return not any(
+            isinstance(c, Element)
+            or (isinstance(c, TextNode) and c.text.strip())
+            for c in el.children
+        )
+    if name == "contains":
+        needle = (arg or "").strip("'\"").lower()
+        return needle in el.text().lower()
+    if name == "not":
+        chains = _parse(arg or "")
+        return not any(ch.matches(el) for ch in chains)
+    if name == "has":
+        chains = _parse(arg or "")
+        for d in el.iter_elements():
+            if d is el:
+                continue
+            if any(ch.matches(d) for ch in chains):
+                return True
+        return False
+    raise SelectorParseError(f"unsupported pseudo ':{name}'")
 
 
 class _Chain:
@@ -225,6 +287,11 @@ def _parse(query: str) -> List[_Chain]:
             current.ids.append(m.group("hash_v"))
         elif m.group("class_v"):
             current.classes.append(m.group("class_v"))
+        elif m.group("pseudo"):
+            pname = m.group("pseudo").lower()
+            if pname not in _SUPPORTED_PSEUDOS:
+                raise SelectorParseError(f"unsupported pseudo ':{pname}'")
+            current.pseudos.append((pname, m.group("pseudo_arg")))
         elif m.group("attr"):
             name = m.group("attr_k").lower()
             op = m.group("attr_op")

@@ -122,3 +122,34 @@ def test_time_with_stray_div_close():
     el = select_first(doc, "#date")
     assert el.attr("datetime") == "X"
     assert el.text().startswith("2021")
+
+
+class TestPseudoSelectors:
+    def test_has_and_not(self):
+        doc = parse(
+            "<div class='a'><p>x</p></div><div class='b'><span>y</span></div>"
+        )
+        assert [e.attr("class") for e in select(doc, "div:has(p)")] == ["a"]
+        assert [e.attr("class") for e in select(doc, "div:not(.a)")] == ["b"]
+        assert select_first(doc, "div:has(section)") is None
+
+    def test_contains(self):
+        doc = parse("<p>Hello World</p><p>other text</p>")
+        els = select(doc, "p:contains(hello)")  # jsoup: case-insensitive
+        assert len(els) == 1 and els[0].text() == "Hello World"
+
+    def test_child_position(self):
+        doc = parse("<ul><li>a</li><li>b</li><li>c</li></ul>")
+        assert select_first(doc, "li:first-child").text() == "a"
+        assert select_first(doc, "li:last-child").text() == "c"
+        assert select_first(doc, "li:nth-child(2)").text() == "b"
+        assert [e.text() for e in select(doc, "li:nth-child(odd)")] == ["a", "c"]
+
+    def test_empty(self):
+        doc = parse("<div class='e'></div><div class='f'>x</div>")
+        assert [e.attr("class") for e in select(doc, "div:empty")] == ["e"]
+
+    def test_unsupported_pseudo_raises(self):
+        doc = parse("<p>x</p>")
+        with pytest.raises(SelectorParseError):
+            select(doc, "p:hover")
