@@ -169,9 +169,11 @@ def main():
         # neighbors (observed 2x wall-time swings between back-to-back
         # identical runs); min is the standard de-noising estimator
         t_by_par = {}
-        for par in (2, 8, 32):
+        for par, reps in ((2, 1), (8, 2), (32, 2)):
+            # par=2 runs once (noise is proportionally small on a ~100s
+            # job); the short 8/32 runs take min-of-2
             s = _session(par, split_mb=2)
-            t_by_par[par] = min(run_extract_stage(s, corpus) for _ in range(2))
+            t_by_par[par] = min(run_extract_stage(s, corpus) for _ in range(reps))
             s.stop()
         n = summary["docs_parsed"]
         eff_2_8 = (t_by_par[2] / t_by_par[8]) / 4.0
