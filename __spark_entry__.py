@@ -123,10 +123,15 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_as_span_corpus(spark, sf_dir)
     profiles = {"www.docs.example": profile_from_dict(_FLAGSHIP_PROFILE)}
     out = extract_entries(corpus, profiles)
+    # every projected column is value-checked against the DuckDB oracle
+    # (the corpus HTML is synthesized in SQL above, so title/summary/
+    # content/date/tags/n_spans are all SQL-reconstructible);
+    # content_hash (Scala Tuple4 hashCode, not SQL-expressible) is
+    # value-pinned separately by tests/test_kernel_dates_hash_url.py
     return out.select(
-        "doc_id", "status", "profile_name", "title", "date",
+        "doc_id", "status", "profile_name", "title", "summary", "date",
+        "tags", "content",
         F.size(F.coalesce(F.col("spans"), F.array())).alias("n_spans"),
-        "content_hash",
     )
 
 
@@ -388,7 +393,9 @@ def q_clean_urls(spark, sf_dir):
 def q_density_extract(spark, sf_dir):
     # profile-free main-content extraction (DOM text-density heuristics):
     # run the span corpus through the extractor with NO profiles and the
-    # density fallback on — rows-only check (needs a DOM, not SQL)
+    # density fallback on. The heuristics strip <nav>/<header> chrome
+    # but keep the in-content ad div, so the oracle reconstructs
+    # title + exact content length from the SQL-synthesized page
     from content_extractor_spark.operators.extract import extract_entries
 
     corpus = _docs_as_span_corpus(spark, sf_dir).where(
@@ -739,8 +746,43 @@ _SHINGLES3 = (
 def oracle_sql() -> dict[str, str]:
     ph_text = _PH.format(x="{x}")
     return {
+        # flagship: the corpus page is synthesized in SQL by
+        # _docs_as_span_corpus, so the extractor's output is fully
+        # reconstructible — title from the <h1>, summary = jsoup text()
+        # of the 80-char <p class=lead> (trimmed), content = lead text
+        # + the 'x' of the <time> element + ' ' at the <p> block
+        # boundary + full body text (nav + ad-slot excluded by the
+        # profile), date via the yyyy-MM-dd'T'HH:mm:ssX -> ISO reformat,
+        # n_spans = title+summary+content+date+2 tags = 6
+        "extract_spans": """
+            SELECT 'doc-' || doc_id::varchar AS doc_id,
+                   'ok' AS status,
+                   'article' AS profile_name,
+                   'Doc ' || doc_id::varchar || ' [' || lang || '/' || source
+                       || ']' AS title,
+                   trim(substr(text, 1, 80)) AS summary,
+                   '2021-07-0' || (doc_id % 9 + 1)::varchar
+                       || 'T12:00:00Z' AS date,
+                   [lang, source] AS tags,
+                   substr(text, 1, 80) || 'x ' || text AS content,
+                   6 AS n_spans
+            FROM documents
+        """,
+        # density fallback on the same synthesized page: the heuristics
+        # drop <nav>/<header> chrome but keep the in-content ad div, so
+        # content = lead(<=80) + 'x ' + text + ' AD'
+        "density_extract": """
+            SELECT 'doc-' || doc_id::varchar AS doc_id,
+                   'ok_density' AS status,
+                   '__density__' AS profile_name,
+                   'Doc ' || doc_id::varchar || ' [' || lang || '/' || source
+                       || ']' AS title,
+                   length(substr(text, 1, 80) || 'x ' || text || ' AD')
+                       ::int AS content_chars
+            FROM documents WHERE doc_id < 100
+        """,
         "filter_not_contains_multi": """
-            SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+            SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
             FROM documents
             WHERE lower(text) NOT LIKE '%slow%'
               AND lower(text) NOT LIKE '%error%'
@@ -827,7 +869,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "salted_host_agg": """
-            SELECT source, count(*) AS n, sum(n_chars) AS sum_chars,
+            SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM documents GROUP BY source
         """,
