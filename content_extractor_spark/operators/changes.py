@@ -6,8 +6,16 @@ Reference semantics:
     url_id, branch on null.
   * A3 contentHasChanged: field-wise Option equality over (title,
     summary, content, date) (UrlHandler.scala:408-438).
-  * A4 tagsHaveChanged: same size AND same membership ⇒ unchanged
-    (UrlHandler.scala:375-397) — order-insensitive set compare.
+  * A4 tagsHaveChanged (UrlHandler.scala:375-397) — replicated
+    LITERALLY, quirk included: with existing tags present, the
+    reference computes `sameAmount && nothingChanged` where
+    `sameAmount` is actually "sizes differ" and `nothingChanged` is
+    actually "some scraped tag missing from existing"; tags count as
+    changed only when BOTH hold. Equal-size tag sets with different
+    membership are therefore treated as UNCHANGED (no update issued).
+    With no existing tags, changed ⇔ scraped tags non-empty.
+    Pass ``faithful_tags_quirk=False`` for the clean set compare
+    (order-insensitive membership equality) instead.
   * A5 update-vs-skip: changed = contentChanged ∨ tagsChanged
     (UrlHandler.scala:339-364).
 
@@ -24,7 +32,11 @@ from pyspark.sql import functions as F
 _FIELDS = ("title", "summary", "content", "date")
 
 
-def plan_actions(extracted: DataFrame, existing_entries: DataFrame) -> DataFrame:
+def plan_actions(
+    extracted: DataFrame,
+    existing_entries: DataFrame,
+    faithful_tags_quirk: bool = True,
+) -> DataFrame:
     """Join extracted rows to existing entries and assign an `action`:
 
     create | update | skip (unchanged) | error (extraction failed).
@@ -44,10 +56,25 @@ def plan_actions(extracted: DataFrame, existing_entries: DataFrame) -> DataFrame
         & F.col("content").eqNullSafe(F.col("_e_content"))
         & F.col("date").eqNullSafe(F.col("_e_date"))
     )
-    # A4: size + membership (array_sort-normalized null-safe compare)
-    tags_changed = ~F.array_sort(
-        F.coalesce(F.col("tags"), F.array())
-    ).eqNullSafe(F.array_sort(F.coalesce(F.col("_e_tags"), F.array())))
+    s, e = F.col("tags"), F.col("_e_tags")
+    if faithful_tags_quirk:
+        # A4 literal (UrlHandler.scala:375-397): see module docstring.
+        # `sameAmount` (misnamed) = sizes differ; `nothingChanged`
+        # (misnamed) = exists a scraped tag not in existing (scraped
+        # None -> existing non-empty). Changed = both.
+        sizes_differ = F.size(e) != F.coalesce(F.size(s), F.lit(0))
+        some_missing = F.when(s.isNull(), F.size(e) > 0).otherwise(
+            F.size(F.array_except(s, e)) > 0
+        )
+        tags_changed = F.when(
+            e.isNull(), s.isNotNull() & (F.size(s) > 0)
+        ).otherwise(sizes_differ & some_missing)
+    else:
+        # clean semantics: size + membership (array_sort-normalized
+        # null-safe compare)
+        tags_changed = ~F.array_sort(F.coalesce(s, F.array())).eqNullSafe(
+            F.array_sort(F.coalesce(e, F.array()))
+        )
 
     action = (
         F.when(F.col("status") != "ok", F.lit("error"))

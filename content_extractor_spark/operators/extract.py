@@ -145,16 +145,19 @@ def _analyze_batch(
     for doc_id, spans, host, url, url_id, etag in zip(
         doc_ids, spans_in, hosts, urls, url_ids, etags
     ):
-        norm = normalize_host(host or "")
+        norm = normalize_host(host or "") or normalize_host(url or "")
         profile = profiles.get(norm)
-        if profile is None and url:
-            # reference host matching is by containment of the profile's
-            # hostname in the source url (ExtractionSupervisor.scala:362-369)
+        if profile is None and norm:
+            # reference fallback: find the profile whose hostname string
+            # CONTAINS the url's host (hostUrl.contains(host),
+            # ExtractionSupervisor.scala:367-369). The memo is keyed on
+            # the exact match input (the normalized host), so one row
+            # can never poison the lookup for another.
             if norm in containment_memo:
                 profile = containment_memo[norm]
             else:
                 profile = next(
-                    (p for k, p in profiles.items() if k and k in url), None
+                    (p for k, p in profiles.items() if norm in k), None
                 )
                 containment_memo[norm] = profile
         html = spans_to_html(spans)

@@ -195,7 +195,12 @@ def run_extraction(
             r["action"]: r["n"]
             for r in planned.groupBy("action").agg(F.count("*").alias("n")).collect()
         }
-        next_entries = apply_entry_actions(existing_entries, planned)
+        next_entries = apply_entry_actions(
+            existing_entries,
+            planned,
+            clock=cfg.now_iso,
+            reanalysis_interval_hours=cfg.reanalysis_interval_hours,
+        )
         next_entries.write.mode("overwrite").parquet(
             os.path.join(output_path, "entries_next")
         )

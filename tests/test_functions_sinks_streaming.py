@@ -67,7 +67,10 @@ class TestEntrySink:
             "content string, date string, tags array<string>, etag string, "
             "image_url string, content_hash long, disabled boolean",
         )
-        out = apply_entry_actions(entries, self._planned(spark))
+        out = apply_entry_actions(
+            entries, self._planned(spark), clock="2021-07-01T00:00:00Z",
+            reanalysis_interval_hours=48,
+        )
         rows = {r["entry_id"]: r for r in out.collect()}
         assert len(rows) == 5  # e2 updated, e3 + e9 untouched, 2 creates
         assert rows["e2"]["title"] == "t2"  # updated
@@ -75,10 +78,93 @@ class TestEntrySink:
         assert rows["e9"]["title"] == "t9"  # untouched (no planned row)
         assert rows["entry-u1"]["disabled"] is False
         assert rows["entry-u4"]["disabled"] is True  # dup-hash disable
+        # write-only columns (Mutator.scala:357-377 create, :426-449
+        # update): stamped from the parameterized clock, update resets
+        # has_been_tagged, untouched rows keep their prior (here null)
+        for eid in ("entry-u1", "e2"):
+            assert rows[eid]["updated_at"] == "2021-07-01T00:00:00Z"
+            assert rows[eid]["next_crawl"] == "2021-07-03T00:00:00Z"
+            assert rows[eid]["has_been_tagged"] is False
+        assert rows["e3"]["updated_at"] is None
+        assert rows["e3"]["has_been_tagged"] is None
 
     def test_apply_actions_empty_entries(self, spark):
         out = apply_entry_actions(None, self._planned(spark))
         assert out.count() == 2  # creates only
+
+    def test_update_resets_has_been_tagged(self, spark):
+        entries = spark.createDataFrame(
+            [("e2", "u2", "old", "s", "c", "d", ["a"], None, None, 99, False,
+              "2021-01-03T00:00:00Z", "2021-01-01T00:00:00Z", True),
+             ("e3", "u3", "t3", "s", "c", "d", ["a"], None, None, 33, False,
+              "2021-01-03T00:00:00Z", "2021-01-01T00:00:00Z", True)],
+            "entry_id string, url_id string, title string, summary string, "
+            "content string, date string, tags array<string>, etag string, "
+            "image_url string, content_hash long, disabled boolean, "
+            "next_crawl string, updated_at string, has_been_tagged boolean",
+        )
+        out = apply_entry_actions(
+            entries, self._planned(spark), clock="2021-07-01T12:00:00Z"
+        )
+        rows = {r["entry_id"]: r for r in out.collect()}
+        assert rows["e2"]["has_been_tagged"] is False  # update resets
+        assert rows["e2"]["updated_at"] == "2021-07-01T12:00:00Z"
+        assert rows["e3"]["has_been_tagged"] is True   # skip keeps
+        assert rows["e3"]["next_crawl"] == "2021-01-03T00:00:00Z"
+
+
+class TestEntryMerge:
+    def test_merge_sql_shape(self):
+        from content_extractor_spark.sources.io import entry_merge_sql
+
+        sql = entry_merge_sql(
+            "cat.db.entries", "planned", clock="2021-07-01T00:00:00Z",
+            reanalysis_interval_hours=48,
+        )
+        assert "MERGE INTO cat.db.entries t" in sql
+        assert "USING planned p" in sql
+        assert "ON t.url_id = p.url_id" in sql
+        assert "WHEN MATCHED AND p.action = 'update' THEN UPDATE SET" in sql
+        assert "WHEN NOT MATCHED AND p.action = 'create' THEN" in sql
+        assert "t.has_been_tagged = false" in sql
+        assert "t.next_crawl = '2021-07-03T00:00:00Z'" in sql
+        assert "t.updated_at = '2021-07-01T00:00:00Z'" in sql
+        assert "concat('entry-', p.url_id)" in sql
+        # every extracted field is written on both branches
+        for c in ("title", "summary", "content", "date", "tags", "etag",
+                  "image_url", "content_hash"):
+            assert f"t.{c} = p.{c}" in sql
+
+    def test_merge_path_matches_rewrite_path(self, spark, tmp_path):
+        """With an Iceberg catalog the MERGE must land the same final
+        state as apply_entry_actions. Skipped when the runtime jar is
+        absent (this container has none)."""
+        from content_extractor_spark.sources.io import iceberg_available
+
+        if not iceberg_available(spark):
+            pytest.skip("iceberg runtime jar not on the classpath")
+        from content_extractor_spark.sources.io import (
+            apply_entry_actions as apply_df,
+            merge_entry_actions,
+        )
+
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS local.db")
+        entries = spark.createDataFrame(
+            [("e2", "u2", "old", "s", "c", "d", ["a"], None, None, 99, False,
+              None, None, True)],
+            "entry_id string, url_id string, title string, summary string, "
+            "content string, date string, tags array<string>, etag string, "
+            "image_url string, content_hash long, disabled boolean, "
+            "next_crawl string, updated_at string, has_been_tagged boolean",
+        )
+        entries.writeTo("local.db.entries").createOrReplace()
+        planned = TestEntrySink()._planned(spark)
+        merge_entry_actions(
+            spark, "local.db.entries", planned, clock="2021-07-01T00:00:00Z"
+        )
+        got = spark.read.table("local.db.entries")
+        want = apply_df(entries, planned, clock="2021-07-01T00:00:00Z")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
     def test_disable_entries(self, spark):
         entries = spark.createDataFrame(

@@ -113,6 +113,109 @@ class TestChanges:
             "u1": "skip", "u2": "update", "u3": "skip", "u4": "create", "u5": "error",
         }
 
+    def _tags_fixture(self, spark):
+        """Rows differ ONLY in tags (content fields identical)."""
+        extracted = spark.createDataFrame(
+            [
+                ("u1", ["a", "c"]),   # equal size, different membership
+                ("u2", ["a", "b"]),   # tag added
+                ("u3", ["a"]),        # tag removed
+                ("u4", ["a"]),        # existing has no tags
+                ("u5", None),         # scraped none, existing has tags
+                ("u6", None),         # scraped none, existing empty
+            ],
+            "url_id string, tags array<string>",
+        ).select(
+            "url_id", F.lit("t").alias("title"), F.lit("s").alias("summary"),
+            F.lit("c").alias("content"), F.lit("d").alias("date"), "tags",
+            F.lit("ok").alias("status"),
+        )
+        existing = spark.createDataFrame(
+            [
+                ("e1", "u1", ["a", "b"]),
+                ("e2", "u2", ["a"]),
+                ("e3", "u3", ["a", "b"]),
+                ("e4", "u4", None),
+                ("e5", "u5", ["a"]),
+                ("e6", "u6", []),
+            ],
+            "entry_id string, url_id string, tags array<string>",
+        ).select(
+            "entry_id", "url_id", F.lit("t").alias("title"),
+            F.lit("s").alias("summary"), F.lit("c").alias("content"),
+            F.lit("d").alias("date"), "tags",
+        )
+        return extracted, existing
+
+    def test_tags_quirk_faithful(self, spark):
+        """A4 replicated literally (UrlHandler.scala:375-397): changed
+        only when sizes differ AND some scraped tag is missing from the
+        existing set — so equal-size membership changes AND pure tag
+        removals are both treated as unchanged."""
+        extracted, existing = self._tags_fixture(spark)
+        out = {r["url_id"]: r["action"] for r in plan_actions(extracted, existing).collect()}
+        assert out == {
+            "u1": "skip",    # equal sizes -> quirk says unchanged
+            "u2": "update",  # sizes differ + 'b' missing
+            "u3": "skip",    # sizes differ but all scraped tags known
+            "u4": "update",  # no existing tags, scraped non-empty
+            "u5": "update",  # scraped none, existing non-empty
+            "u6": "skip",    # scraped none, existing empty
+        }
+
+    def test_tags_clean_set_compare(self, spark):
+        extracted, existing = self._tags_fixture(spark)
+        out = {
+            r["url_id"]: r["action"]
+            for r in plan_actions(
+                extracted, existing, faithful_tags_quirk=False
+            ).collect()
+        }
+        assert out == {
+            "u1": "update", "u2": "update", "u3": "update",
+            "u4": "update", "u5": "update", "u6": "skip",
+        }
+
+
+class TestProfileDispatch:
+    def test_containment_fallback_not_poisoned_by_first_row(self, spark):
+        """Fallback profile matching keys on the url HOST
+        (hostUrl.contains(host), ExtractionSupervisor.scala:367-369).
+        Regression: the per-host memo used to be filled from a
+        predicate on the first row's full URL, so one row could poison
+        every later same-host row in the batch."""
+        from content_extractor_spark.kernel.profiles import profile_from_dict
+        from content_extractor_spark.operators.extract import extract_entries
+
+        profile = profile_from_dict(
+            {"profile": {"hostname": "www.news.example", "pageTypes": [
+                {"name": "article",
+                 "condition": {"selector": "div#content-main"},
+                 "selectors": {"title": "h1.title",
+                               "content": "div#content-main"}}]}}
+        )
+        html = ("<html><body><div id='content-main'>"
+                "<h1 class='title'>T</h1>x</div></body></html>")
+        span = [{"kind": "text", "text": html, "media_ref": None, "offset": 0}]
+        rows = [
+            # url does NOT contain the profile key; host matches by
+            # containment ("news.example" in "www.news.example")
+            ("d1", span, "news.example", "https://short.link/1", "u1", None),
+            ("d2", span, "news.example", "https://www.news.example/a/2", "u2", None),
+            ("d3", span, "other.example", "https://other.example/3", "u3", None),
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind string, text string, "
+            "media_ref string, offset int>>, host string, url string, "
+            "url_id string, etag string",
+        ).coalesce(1)  # one batch -> exercises the shared memo
+        out = {
+            r["doc_id"]: r["status"]
+            for r in extract_entries(docs, {"www.news.example": profile}).collect()
+        }
+        assert out == {"d1": "ok", "d2": "ok", "d3": "profile_miss"}
+
 
 class TestTags:
     def test_upsert_and_connect(self, spark):
