@@ -347,6 +347,32 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_ref", "n_bytes", "sha256")
 
 
+def q_media_image_dims(spark, sf_dir):
+    # REAL image container decode (pure struct parsing, no image libs):
+    # a minimal PNG is assembled per row in SQL (signature + IHDR with
+    # doc_id-derived dimensions), the mapInPandas decoder parses the
+    # header back, and the oracle reconstructs the expected dims
+    from content_extractor_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("0806000000DEADBEEF"),
+        )
+    )
+    media = docs.select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        png.alias("payload"),
+    )
+    feats = extract_image_features(media)
+    return feats.select("media_ref", "fmt", "width", "height", "n_bytes")
+
+
 def q_paragraph_dedup(spark, sf_dir):
     # paragraph-granularity exact dedup (training-data op): explode
     # sentence-ish chunks of 12 tokens, keep first (doc_id, idx) per digest
@@ -681,6 +707,22 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh_topk(queries, corpus, dim=64, k=5, nbits=4, round_to=3)
 
 
+def q_lsh_ann_multiprobe(spark, sf_dir):
+    # multi-probe LSH ANN: each query also searches every bucket at
+    # Hamming distance 1 (bucket XOR one bit) — widens recall without
+    # touching the corpus-side bucketing
+    from content_extractor_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return lsh_topk(
+        queries, corpus, dim=64, k=5, nbits=4, round_to=3, probes=4
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     from content_extractor_spark.operators.similarity import embedding_near_duplicates
 
@@ -709,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etag_anti_join": q_etag_anti_join,
         "salted_host_agg": q_salted_host_agg,
         "media_features": q_media_features,
+        "media_image_dims": q_media_image_dims,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "density_extract": q_density_extract,
         "paragraph_dedup": q_paragraph_dedup,
@@ -729,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "embedding_neardup": q_embedding_neardup,
     }
 
@@ -877,6 +921,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'asset-' || doc_id::varchar AS media_ref,
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS sha256
+            FROM documents WHERE doc_id < 200
+        """,
+        "media_image_dims": """
+            SELECT 'img-' || doc_id::varchar AS media_ref,
+                   'png' AS fmt,
+                   (doc_id % 640 + 1)::int AS width,
+                   (doc_id % 480 + 1)::int AS height,
+                   33::BIGINT AS n_bytes
             FROM documents WHERE doc_id < 200
         """,
         "paragraph_dedup": r"""
@@ -1234,6 +1286,45 @@ def oracle_sql() -> dict[str, str]:
               FROM vecs, planes GROUP BY vec_id, v
             ),
             q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sigs WHERE vec_id < 5),
+            c AS (SELECT vec_id, v AS cv, bucket FROM sigs WHERE vec_id >= 5),
+            scored AS (
+              SELECT query_id, vec_id,
+                     round(
+                       list_sum([qv[i]*cv[i] for i in range(1, len(qv)+1)]) /
+                       (sqrt(list_sum([x*x for x in qv]))
+                        * sqrt(list_sum([x*x for x in cv]))), 3) AS cos
+              FROM q JOIN c ON q.bucket = c.bucket
+            )
+            SELECT query_id, vec_id, cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "lsh_ann_multiprobe": rf"""
+            WITH planes AS (
+              SELECT j,
+                     [ CASE WHEN {_PH.format(x="j::varchar || '_' || i::varchar")} % 2 = 0
+                            THEN 1.0 ELSE -1.0 END
+                       for i in range(0, 64) ] AS w
+              FROM (SELECT unnest(range(0, 4)) AS j)
+            ),
+            vecs AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 1000
+            ),
+            sigs AS (
+              SELECT vec_id, v,
+                     sum(CASE WHEN list_sum([v[i]*w[i] for i in range(1, 65)]) >= 0
+                              THEN 1 << j ELSE 0 END)::BIGINT AS bucket
+              FROM vecs, planes GROUP BY vec_id, v
+            ),
+            q AS (
+              SELECT vec_id AS query_id, v AS qv,
+                     unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                             xor(bucket, 4), xor(bucket, 8)]) AS bucket
+              FROM sigs WHERE vec_id < 5
+            ),
             c AS (SELECT vec_id, v AS cv, bucket FROM sigs WHERE vec_id >= 5),
             scored AS (
               SELECT query_id, vec_id,

@@ -51,7 +51,10 @@ _token_re = re.compile(
 
 
 _SUPPORTED_PSEUDOS = frozenset(
-    ["has", "not", "contains", "first-child", "last-child", "nth-child", "empty"]
+    [
+        "has", "not", "contains", "containsown", "matches", "matchesown",
+        "first-child", "last-child", "nth-child", "empty",
+    ]
 )
 
 
@@ -151,6 +154,18 @@ def _pseudo_matches(el: Element, name: str, arg: Optional[str]) -> bool:
     if name == "contains":
         needle = (arg or "").strip("'\"").lower()
         return needle in el.text().lower()
+    if name == "containsown":
+        # jsoup :containsOwn — case-insensitive over ownText()
+        needle = (arg or "").strip("'\"").lower()
+        return needle in el.own_text().lower()
+    if name in ("matches", "matchesown"):
+        # jsoup :matches/:matchesOwn — Pattern.find over text()/ownText().
+        # Compiled with Python `re` (shares the Java-regex subset the
+        # reference's profiles use; exotic Java-only constructs raise
+        # and the selector then matches nothing, same fail-loud path)
+        rx = _compile_pseudo_regex(arg or "")
+        hay = el.text() if name == "matches" else el.own_text()
+        return rx.search(hay) is not None
     if name == "not":
         chains = _parse(arg or "")
         return not any(ch.matches(el) for ch in chains)
@@ -220,6 +235,14 @@ def _prev_element_sibling(el: Element) -> Optional[Element]:
 
 
 from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def _compile_pseudo_regex(pattern: str):
+    try:
+        return re.compile(pattern)
+    except re.error as exc:
+        raise SelectorParseError(f"bad :matches regex '{pattern}': {exc}")
 
 
 @lru_cache(maxsize=4096)

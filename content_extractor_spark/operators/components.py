@@ -55,6 +55,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # convergence detection is folded into the label update: carry
+        # a per-node changed flag, so the eager checkpoint is the only
+        # real job per iteration (the any-changed probe below reads the
+        # checkpointed blocks with an early-out limit, no re-join)
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
@@ -62,17 +66,15 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        any_changed = new_labels.where(F.col("_changed")).limit(1).count() > 0
+        labels = new_labels.drop("_changed")
+        if not any_changed:
             break
     return labels
 

@@ -4,8 +4,13 @@ Image/audio/video assets travel as opaque `binary` columns (or
 `media_ref` pointers) with typed metadata structs. Decode /
 feature-extract / resize / frame-sample run as Arrow-batched UDFs over
 ``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
-partitioning) is real and tested; the codec step itself is STUBBED
-because no image/audio libraries exist in this container:
+partitioning) is real and tested.
+
+Container/header decode is REAL and dependency-free:
+``decode_image_header`` struct-parses PNG / JPEG / GIF / BMP headers
+(format, width, height) from the payload bytes. Only the deep pixel
+decode + learned feature extraction is STUBBED, because no image/audio
+libraries exist in this container:
 
   * ``decode_stub_mode="fake"`` produces deterministic fake features
     (seeded by the payload digest) so pipelines are testable
@@ -36,10 +41,60 @@ MEDIA_META_DDL = (
 
 IMAGE_FEATURES_DDL = (
     "media_ref string, n_bytes bigint, sha256 string, "
+    "fmt string, width int, height int, "
     "feat array<float>, status string, error string"
 )
 
 _FEAT_DIM = 8
+
+
+def decode_image_header(data: bytes):
+    """(fmt, width, height) from raw image bytes, or None.
+
+    Pure-Python struct parsing of the container headers — no image
+    library needed, so it runs in any executor Python:
+      * PNG: 8-byte signature, IHDR width/height as big-endian u32
+      * JPEG: marker walk to the first SOF0-SOF15 frame header
+      * GIF: logical screen descriptor, little-endian u16
+      * BMP: BITMAPINFOHEADER, little-endian i32
+    """
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return ("png", w, h)
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        i = 2
+        n = len(data)
+        while i + 9 < n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        return ("gif", w, h)
+    if len(data) >= 26 and data[:2] == b"BM":
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        return ("bmp", w, abs(h))
+    return None
 
 
 def _fake_decode(payload: bytes):
@@ -68,6 +123,7 @@ def extract_image_features(
         for pdf in batches:
             out = {
                 "media_ref": [], "n_bytes": [], "sha256": [],
+                "fmt": [], "width": [], "height": [],
                 "feat": [], "status": [], "error": [],
             }
             for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
@@ -75,6 +131,9 @@ def extract_image_features(
                 if payload is None:
                     out["n_bytes"].append(0)
                     out["sha256"].append(None)
+                    out["fmt"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
                     out["feat"].append(None)
                     out["status"].append("error")
                     out["error"].append("null payload")
@@ -82,6 +141,10 @@ def extract_image_features(
                 data = bytes(payload)
                 out["n_bytes"].append(len(data))
                 out["sha256"].append(hashlib.sha256(data).hexdigest())
+                hdr = decode_image_header(data)
+                out["fmt"].append(hdr[0] if hdr else None)
+                out["width"].append(hdr[1] if hdr else None)
+                out["height"].append(hdr[2] if hdr else None)
                 try:
                     if decode_stub_mode == "raise":
                         raise NotImplementedError(

@@ -49,13 +49,29 @@ def cosine_topk(
     query_vec: str = "q_embedding",
     corpus_vec: str = "embedding",
     round_to: int = 4,
+    max_corpus_rows: int = 1_000_000,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Exact top-k by cosine for each query (brute force baseline).
 
     Deterministic tie-break: (cos desc, corpus_id asc). Cosine is
     rounded to `round_to` decimals BEFORE ranking so results are
     reproducible across engines/float orders.
+
+    This is a CROSS JOIN — O(Q × N). To stop it being pointed at a
+    full 10^12-row corpus by accident, the corpus size is checked
+    against `max_corpus_rows` unless `allow_full_scan=True`; use
+    `lsh_topk` (bucketed, multi-probe) as the scale path.
     """
+    if not allow_full_scan:
+        # bounded probe: scans at most max_corpus_rows+1 rows
+        n = corpus.limit(max_corpus_rows + 1).count()
+        if n > max_corpus_rows:
+            raise ValueError(
+                f"cosine_topk corpus exceeds {max_corpus_rows} rows; this "
+                "is a cross join — use lsh_topk, pre-filter a candidate "
+                "set, or pass allow_full_scan=True deliberately"
+            )
     joined = queries.crossJoin(corpus)
     cos = F.round(
         cosine(F.col(query_vec).cast("array<double>"),
@@ -119,9 +135,27 @@ def lsh_topk(
     query_vec: str = "q_embedding",
     corpus_vec: str = "embedding",
     round_to: int = 4,
+    probes: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: rank within the query's LSH bucket only."""
+    """Approximate top-k: rank within the query's LSH bucket(s).
+
+    `probes` > 0 enables multi-probe: each query additionally searches
+    the `probes` buckets at Hamming distance 1 (bucket XOR one bit) —
+    the standard recall/recall-cost dial for hyperplane LSH. Only the
+    query side fans out (probes+1 rows per query); the corpus keeps one
+    bucket per vector, so the join stays a small-left × bucketed-right
+    shuffle and a candidate pair can never appear twice.
+    """
     qb = queries.withColumn("bucket", lsh_bucket(query_vec, nbits, dim))
+    if probes > 0:
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(min(probes, nbits))
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(probe_arr))
     cb = corpus.withColumn("bucket", lsh_bucket(corpus_vec, nbits, dim))
     joined = qb.join(cb, "bucket")
     cos = F.round(

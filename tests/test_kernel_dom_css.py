@@ -149,6 +149,31 @@ class TestPseudoSelectors:
         doc = parse("<div class='e'></div><div class='f'>x</div>")
         assert [e.attr("class") for e in select(doc, "div:empty")] == ["e"]
 
+    def test_contains_own(self):
+        # :containsOwn matches ownText() only — the parent <div> has
+        # "hello" in text() but not in its own text
+        doc = parse("<div><p>Hello there</p>tail</div>")
+        assert [e.tag for e in select(doc, ":containsOwn(hello)")] == ["p"]
+        assert [e.tag for e in select(doc, ":containsOwn(tail)")] == ["div"]
+
+    def test_matches_regex(self):
+        doc = parse("<p>Order #1234</p><p>no number here</p><p>x9</p>")
+        els = select(doc, "p:matches(\\d{4})")
+        assert len(els) == 1 and els[0].text() == "Order #1234"
+        # case-sensitive (Java Pattern.find semantics)
+        assert select_first(doc, "p:matches(ORDER)") is None
+        assert select_first(doc, "p:matches(Order)") is not None
+
+    def test_matches_own(self):
+        doc = parse("<div><span>42</span>abc</div>")
+        # div.text() contains 42, but ownText() doesn't
+        assert [e.tag for e in select(doc, ":matchesOwn(\\d+)")] == ["span"]
+
+    def test_matches_bad_regex_fails_loud(self):
+        doc = parse("<p>x</p>")
+        with pytest.raises(SelectorParseError):
+            select(doc, "p:matches([unclosed)")
+
     def test_unsupported_pseudo_raises(self):
         doc = parse("<p>x</p>")
         with pytest.raises(SelectorParseError):

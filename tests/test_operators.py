@@ -269,6 +269,39 @@ class TestSimilarity:
         for q, v in top1.items():
             assert v == q  # identical vector shares the bucket by construction
 
+    def test_cosine_topk_guard_rejects_unbounded_corpus(self, spark):
+        cdf = spark.range(50).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=7) for _ in range(4)]).alias("embedding"),
+        )
+        qdf = cdf.limit(1).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        with pytest.raises(ValueError, match="cross join"):
+            cosine_topk(qdf, cdf, k=1, max_corpus_rows=10)
+        # explicit opt-in still works
+        assert cosine_topk(
+            qdf, cdf, k=1, max_corpus_rows=10, allow_full_scan=True
+        ).count() == 1
+
+    def test_lsh_multiprobe_recall_superset(self, spark):
+        import random
+
+        rng = random.Random(3)
+        corpus = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+        qdf = spark.createDataFrame(
+            [(i, v) for i, v in corpus[:4]], "query_id long, q_embedding array<float>"
+        )
+        base = lsh_topk(qdf, cdf, dim=8, k=60, nbits=3).count()
+        probed = lsh_topk(qdf, cdf, dim=8, k=60, nbits=3, probes=3).count()
+        # probing Hamming-1 buckets can only ADD candidates
+        assert probed >= base
+        # no candidate pair is ever duplicated by probing
+        mp = lsh_topk(qdf, cdf, dim=8, k=60, nbits=3, probes=3)
+        assert mp.count() == mp.select("query_id", "vec_id").distinct().count()
+
 
 class TestTextStats:
     def test_language_id(self, spark, texts):
@@ -313,3 +346,36 @@ class TestMultimodal:
         )
         out = extract_image_features(df, decode_stub_mode="raise").collect()[0]
         assert out["status"] == "unsupported"
+
+    def test_image_header_decode(self):
+        from content_extractor_spark.operators.multimodal import decode_image_header
+
+        png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+               + (640).to_bytes(4, "big") + (481).to_bytes(4, "big")
+               + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+        assert decode_image_header(png) == ("png", 640, 481)
+        # minimal JPEG: SOI, APP0 (skipped), SOF0 with h=100 w=200
+        jpeg = (b"\xff\xd8"
+                + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+                + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+                + (100).to_bytes(2, "big") + (200).to_bytes(2, "big")
+                + b"\x03" + b"\x00" * 9)
+        assert decode_image_header(jpeg) == ("jpeg", 200, 100)
+        gif = b"GIF89a" + (320).to_bytes(2, "little") + (240).to_bytes(2, "little") + b"\x00" * 4
+        assert decode_image_header(gif) == ("gif", 320, 240)
+        bmp = (b"BM" + b"\x00" * 16
+               + (12).to_bytes(4, "little") + (34).to_bytes(4, "little"))
+        assert decode_image_header(bmp) == ("bmp", 12, 34)
+        assert decode_image_header(b"not an image at all......") is None
+
+    def test_image_header_in_spark_features(self, spark):
+        png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+               + (7).to_bytes(4, "big") + (9).to_bytes(4, "big")
+               + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+        df = spark.createDataFrame(
+            [("p1", bytearray(png)), ("t1", bytearray(b"plain text"))],
+            "media_ref string, payload binary",
+        )
+        out = {r["media_ref"]: r for r in extract_image_features(df).collect()}
+        assert (out["p1"]["fmt"], out["p1"]["width"], out["p1"]["height"]) == ("png", 7, 9)
+        assert out["t1"]["fmt"] is None and out["t1"]["width"] is None
