@@ -285,8 +285,14 @@ def analyze(
     html: str,
     profile: ProfileConfig,
     etag: Optional[str] = None,
+    target_pattern: str = ISO_DATE_TIME_PATTERN,
+    target_zone: str = "UTC",
 ) -> AnalysisResult:
-    """Full per-document analysis; never raises (row-level status instead)."""
+    """Full per-document analysis; never raises (row-level status instead).
+
+    `target_pattern`/`target_zone` mirror the reference's configurable
+    TARGET_DATE_TIME_PATTERN / TARGET_TIME_ZONE (Config.scala:61-62,
+    defaults at :74-75)."""
     try:
         doc = parse(html)
         selectors, pt_name = get_selectors(url, doc, profile)
@@ -299,7 +305,9 @@ def analyze(
                 ),
             )
         try:
-            entry = extract_information(doc, selectors, url, etag)
+            entry = extract_information(
+                doc, selectors, url, etag, target_pattern, target_zone
+            )
         except LookupError as exc:
             return AnalysisResult(
                 status=STATUS_NO_TITLE, page_type=pt_name, error=str(exc)

@@ -126,6 +126,8 @@ def _density_fallback(html: str) -> "AnalysisResult":
 def _analyze_batch(
     batch: pa.RecordBatch, profiles: Dict[str, ProfileConfig],
     density_fallback: bool = False,
+    target_pattern: str = "yyyy-MM-dd'T'HH:mm:ssXXX",
+    target_zone: str = "UTC",
 ) -> pa.RecordBatch:
     names = batch.schema.names
     cols = {n: batch.column(i) for i, n in enumerate(names)}
@@ -177,7 +179,9 @@ def _analyze_batch(
                     f"no profile for host '{host}'",
                 )
         else:
-            res = analyze(url or "", html, profile, etag)
+            res = analyze(
+                url or "", html, profile, etag, target_pattern, target_zone
+            )
             res_status, entry, pt_name, err = (
                 res.status,
                 res.entry,
@@ -223,6 +227,8 @@ def extract_entries(
     profiles: Dict[str, ProfileConfig],
     repartition: Optional[int] = None,
     density_fallback: bool = False,
+    target_pattern: str = "yyyy-MM-dd'T'HH:mm:ssXXX",
+    target_zone: str = "UTC",
 ) -> DataFrame:
     """documents -> extracted entries via a broadcast + mapInArrow stage.
 
@@ -245,6 +251,9 @@ def extract_entries(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            yield _analyze_batch(batch, norm_profiles, density_fallback)
+            yield _analyze_batch(
+                batch, norm_profiles, density_fallback,
+                target_pattern, target_zone,
+            )
 
     return docs.mapInArrow(run, schema=EXTRACT_SCHEMA)

@@ -51,6 +51,10 @@ class PipelineConfig:
     now_iso: str = "2021-07-01T00:00:00Z"
     reanalysis_interval_hours: int = 48
     run_id: str = "run-0"
+    # reference TARGET_DATE_TIME_PATTERN / TARGET_TIME_ZONE
+    # (Config.scala:61-62, defaults :74-75)
+    target_date_pattern: str = "yyyy-MM-dd'T'HH:mm:ssXXX"
+    target_zone: str = "UTC"
 
 
 def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
@@ -98,7 +102,10 @@ def run_extraction(
         docs = docs.join(F.broadcast(done), "bucket", "left_anti")
 
     # Extraction is map-only over scan splits: no shuffle of raw HTML.
-    extracted = extract_entries(docs, profiles)
+    extracted = extract_entries(
+        docs, profiles,
+        target_pattern=cfg.target_date_pattern, target_zone=cfg.target_zone,
+    )
     # re-derive the bucket on the compact output, shuffle THAT (not the
     # input) for the partitioned write; the dedup window adds its own
     # content_hash shuffle.

@@ -12,6 +12,22 @@ Usage (cluster):
 The job is resumable: re-submitting with the same --output continues
 from the completed-bucket ledger (failed/straggler buckets only).
 
+Configuration is ENV-FIRST with CLI fallback, mirroring the reference's
+deployment interface (Config.fromEnv, Config.scala:186-242; CLI via
+ArgsParser.scala:16-173). Reference-named variables are honored where
+the concept carries over:
+
+    INPUT_TABLE                   --input
+    OUTPUT_PATH                   --output
+    PAGE_PROFILE_DIRECTORY_PATH   --profiles   (Config.scala:65)
+    RE_ANALYSIS_INTERVAL          --reanalysis-hours, in hours
+                                                (Config.scala:66)
+    TARGET_DATE_TIME_PATTERN      date output pattern (Config.scala:61)
+    TARGET_TIME_ZONE              date output zone (Config.scala:62)
+    EXTRACT_MODE / EXTRACT_NOW / EXTRACT_BUCKETS / EXTRACT_RUN_ID /
+    ENTRIES_TABLE                 --mode / --now / --buckets /
+                                  --run-id / --entries
+
 Scale guidance (north rule):
   * --buckets ≈ 2-4× total executor cores; buckets are both the resume
     unit and the skew spread (pmod(xxhash64(doc_id))) — hot hosts from
@@ -27,23 +43,70 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
+def _env(name: str, cast=str):
+    raw = os.environ.get(name)
+    if raw is None or raw == "":
+        return None
+    return cast(raw)
+
+
+def resolve_config(argv=None, env=None):
+    """Env-first, CLI-fallback parameter resolution (Config.fromEnv
+    order, Config.scala:186-242: env wins when set, CLI and defaults
+    fill the rest)."""
+    if env is not None:  # test hook
+        real, os.environ = os.environ, env  # type: ignore[assignment]
+    try:
+        p = argparse.ArgumentParser(description=__doc__)
+        p.add_argument("--input", default=None)
+        p.add_argument("--output", default=None)
+        p.add_argument("--profiles", default=None,
+                       help="profile dir (*.json/*.conf)")
+        p.add_argument("--mode", default="all",
+                       choices=["all", "new", "existing"])
+        p.add_argument("--now", default="2021-07-01T00:00:00Z",
+                       help="clock parameter (never wall-clock: determinism)")
+        p.add_argument("--reanalysis-hours", type=int, default=48)
+        p.add_argument("--buckets", type=int, default=256)
+        p.add_argument("--run-id", default="run-0")
+        p.add_argument("--entries", default=None,
+                       help="existing entries table/path for dup-disable + ETag skip")
+        p.add_argument("--target-pattern", default="yyyy-MM-dd'T'HH:mm:ssXXX")
+        p.add_argument("--target-zone", default="UTC")
+        args = p.parse_args(argv)
+
+        args.input = _env("INPUT_TABLE") or args.input
+        args.output = _env("OUTPUT_PATH") or args.output
+        args.profiles = _env("PAGE_PROFILE_DIRECTORY_PATH") or args.profiles
+        args.mode = _env("EXTRACT_MODE") or args.mode
+        args.now = _env("EXTRACT_NOW") or args.now
+        args.reanalysis_hours = (
+            _env("RE_ANALYSIS_INTERVAL", int) or args.reanalysis_hours
+        )
+        args.buckets = _env("EXTRACT_BUCKETS", int) or args.buckets
+        args.run_id = _env("EXTRACT_RUN_ID") or args.run_id
+        args.entries = _env("ENTRIES_TABLE") or args.entries
+        args.target_pattern = _env("TARGET_DATE_TIME_PATTERN") or args.target_pattern
+        args.target_zone = _env("TARGET_TIME_ZONE") or args.target_zone
+        missing = [k for k in ("input", "output", "profiles")
+                   if not getattr(args, k)]
+        if missing:
+            p.error(
+                "missing required parameters (flag or env): "
+                + ", ".join(f"--{m}" for m in missing)
+            )
+        return args
+    finally:
+        if env is not None:
+            os.environ = real  # type: ignore[assignment]
+
+
 def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True)
-    p.add_argument("--output", required=True)
-    p.add_argument("--profiles", required=True, help="profile dir (*.json/*.conf)")
-    p.add_argument("--mode", default="all", choices=["all", "new", "existing"])
-    p.add_argument("--now", default="2021-07-01T00:00:00Z",
-                   help="clock parameter (never wall-clock: determinism)")
-    p.add_argument("--reanalysis-hours", type=int, default=48)
-    p.add_argument("--buckets", type=int, default=256)
-    p.add_argument("--run-id", default="run-0")
-    p.add_argument("--entries", default=None,
-                   help="existing entries table/path for dup-disable + ETag skip")
-    args = p.parse_args(argv)
+    args = resolve_config(argv)
 
     from pyspark.sql import SparkSession
 
@@ -74,6 +137,8 @@ def main(argv=None):
         PipelineConfig(
             num_buckets=args.buckets, mode=args.mode, now_iso=args.now,
             reanalysis_interval_hours=args.reanalysis_hours, run_id=args.run_id,
+            target_date_pattern=args.target_pattern,
+            target_zone=args.target_zone,
         ),
         existing_entries=existing,
     )

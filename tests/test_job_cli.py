@@ -27,6 +27,87 @@ class TestEtagSkip:
         assert kept == {"d2", "d3", "d4"}
 
 
+class TestJobConfigResolution:
+    def test_env_wins_over_cli(self):
+        from jobs.extract_job import resolve_config
+
+        args = resolve_config(
+            ["--input", "cli_in", "--output", "cli_out", "--profiles", "cli_p",
+             "--buckets", "8"],
+            env={
+                "INPUT_TABLE": "env_in",
+                "PAGE_PROFILE_DIRECTORY_PATH": "env_p",
+                "RE_ANALYSIS_INTERVAL": "12",
+                "TARGET_DATE_TIME_PATTERN": "dd.MM.yyyy",
+                "TARGET_TIME_ZONE": "Europe/Berlin",
+                "EXTRACT_BUCKETS": "32",
+            },
+        )
+        assert args.input == "env_in"          # env beats CLI
+        assert args.output == "cli_out"        # CLI fills the rest
+        assert args.profiles == "env_p"
+        assert args.reanalysis_hours == 12
+        assert args.buckets == 32
+        assert args.target_pattern == "dd.MM.yyyy"
+        assert args.target_zone == "Europe/Berlin"
+
+    def test_env_alone_suffices(self):
+        from jobs.extract_job import resolve_config
+
+        args = resolve_config(
+            [],
+            env={
+                "INPUT_TABLE": "t", "OUTPUT_PATH": "o",
+                "PAGE_PROFILE_DIRECTORY_PATH": "p",
+            },
+        )
+        assert (args.input, args.output, args.profiles) == ("t", "o", "p")
+        assert args.reanalysis_hours == 48  # defaults still apply
+
+    def test_missing_required_errors(self):
+        import pytest
+
+        from jobs.extract_job import resolve_config
+
+        with pytest.raises(SystemExit):
+            resolve_config(["--input", "only_in"], env={})
+
+
+class TestTargetPatternPlumbing:
+    def test_target_pattern_reaches_extraction(self, spark):
+        """TARGET_DATE_TIME_PATTERN/TARGET_TIME_ZONE change the date
+        output format end-to-end through extract_entries."""
+        from content_extractor_spark.kernel.profiles import profile_from_dict
+        from content_extractor_spark.operators.extract import extract_entries
+
+        profile = profile_from_dict(
+            {"profile": {"hostname": "h.example", "pageTypes": [
+                {"name": "article", "selectors": {
+                    "title": "h1",
+                    "content": "div",
+                    "date": {"selector": "time", "attributeVal": "datetime",
+                             "format": "yyyy-MM-dd'T'HH:mm:ssX"},
+                }}]}}
+        )
+        html = ("<html><body><h1>T</h1><div>c</div>"
+                "<time datetime='2021-07-05T12:30:00Z'>x</time></body></html>")
+        docs = spark.createDataFrame(
+            [("d1", [{"kind": "text", "text": html, "media_ref": None,
+                      "offset": 0}], "h.example", "https://h.example/1",
+              "u1", None)],
+            "doc_id string, spans array<struct<kind string, text string, "
+            "media_ref string, offset int>>, host string, url string, "
+            "url_id string, etag string",
+        )
+        got_default = extract_entries(docs, {"h.example": profile}).collect()[0]
+        assert got_default["date"] == "2021-07-05T12:30:00Z"
+        got_berlin = extract_entries(
+            docs, {"h.example": profile},
+            target_pattern="dd.MM.yyyy HH:mm", target_zone="Europe/Berlin",
+        ).collect()[0]
+        assert got_berlin["date"] == "05.07.2021 14:30"  # UTC+2 in July
+
+
 class TestJobCli:
     def test_extract_job_end_to_end(self, spark, tmp_path, capsys):
         # input corpus + profile dir on disk, run via the job's main()
