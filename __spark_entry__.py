@@ -668,6 +668,72 @@ def q_quality_features(spark, sf_dir):
     return quality_features(docs).drop("text")
 
 
+def q_repetition_ngrams(spark, sf_dir):
+    # Gopher-style within-document repetition: fraction of word-3-gram
+    # characters in duplicated 3-grams + the top 3-gram's share
+    from content_extractor_spark.operators.textstats import repetition_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return repetition_features(docs, n=3)
+
+
+def q_top_terms_per_lang(spark, sf_dir):
+    # corpus-level heavy hitters: top-5 tokens per language (two-phase
+    # count with map-side partial agg, window top-k)
+    from content_extractor_spark.operators.textstats import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, group_col="lang", k=5)
+
+
+def q_sessionize_events(spark, sf_dir):
+    # gap-based sessionization (30-min inactivity) over the events table
+    from content_extractor_spark.operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    s = session_stats(ev, gap_minutes=30)
+    return s.select(
+        "user_id", "session_idx", "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+    )
+
+
+def q_audio_duration(spark, sf_dir):
+    # REAL audio container decode: a PCM WAV (8 kHz mono 16-bit) is
+    # assembled per row in SQL with a doc_id-derived payload size, the
+    # mapInPandas decoder walks the RIFF chunks, and the oracle
+    # reconstructs channels/rate/duration from the same arithmetic
+    from content_extractor_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def le4(col):  # little-endian 4-byte hex of an int column
+        h = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
+        return F.concat(
+            h(col.bitwiseAND(F.lit(255))),
+            h(F.shiftright(col, 8).bitwiseAND(F.lit(255))),
+            h(F.shiftright(col, 16).bitwiseAND(F.lit(255))),
+            h(F.shiftright(col, 24).bitwiseAND(F.lit(255))),
+        )
+
+    n = ((F.col("doc_id") % 50) + 1) * 320  # data bytes; /16 -> ms
+    wav_hex = F.concat(
+        F.lit("52494646"), le4(n + 36), F.lit("57415645"),           # RIFF size WAVE
+        F.lit("666D74201000000001000100401F0000803E000002001000"),   # fmt: PCM mono 8kHz
+        F.lit("64617461"), le4(n),                                   # data chunk
+        F.expr("repeat('00', _n)"),
+    )
+    media = docs.withColumn("_n", n.cast("int")).select(
+        F.concat(F.lit("wav-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.unhex(wav_hex).alias("payload"),
+    )
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_ref", "fmt", "channels", "sample_rate", "duration_ms", "n_bytes"
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
@@ -770,6 +836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
         "doc_fingerprint": q_doc_fingerprint,
+        "repetition_ngrams": q_repetition_ngrams,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "sessionize_events": q_sessionize_events,
+        "audio_duration": q_audio_duration,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
@@ -784,6 +854,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SHINGLES3 = (
     r"list_distinct([array_to_string(toks[i:i+2], ' ') "
     r"for i in range(1, greatest(len(toks)-2, 0)+1)])"
+)
+
+# same 3-gram enumeration WITH duplicates (repetition statistics)
+_SHINGLES3_ALL = (
+    r"[array_to_string(toks[i:i+2], ' ') "
+    r"for i in range(1, greatest(len(toks)-2, 0)+1)]"
 )
 
 
@@ -1233,6 +1309,85 @@ def oracle_sql() -> dict[str, str]:
                      * (CASE WHEN q_stopword_hits >= 1 THEN 1.0 ELSE 0.3 END), 4
                    )::DOUBLE AS q_score
             FROM g
+        """,
+        "repetition_ngrams": rf"""
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 300
+            ),
+            ng AS (
+              SELECT doc_id, unnest({_SHINGLES3_ALL}) AS ng FROM tok
+            ),
+            counts AS (
+              SELECT doc_id, ng, count(*) AS c FROM ng GROUP BY doc_id, ng
+            ),
+            per AS (
+              SELECT doc_id,
+                     sum(c)::int AS n_ngrams,
+                     round(sum(CASE WHEN c > 1 THEN c*length(ng) ELSE 0 END)
+                           ::double / sum(c*length(ng)), 4) AS dup_ngram_char_frac,
+                     round(max(c*length(ng))::double / sum(c*length(ng)), 4)
+                       AS top_ngram_char_frac
+              FROM counts GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_ngrams, 0) AS n_ngrams,
+                   coalesce(per.dup_ngram_char_frac, 0.0) AS dup_ngram_char_frac,
+                   coalesce(per.top_ngram_char_frac, 0.0) AS top_ngram_char_frac
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            WHERE d.doc_id < 300
+        """,
+        "top_terms_per_lang": r"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+              FROM documents
+            ),
+            counts AS (
+              SELECT lang, token, count(*) AS n FROM toks
+              WHERE token != '' GROUP BY lang, token
+            )
+            SELECT lang, token, n, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY lang
+                                           ORDER BY n DESC, token ASC) AS rank
+              FROM counts
+            ) WHERE rank <= 5
+        """,
+        "sessionize_events": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_ts
+              FROM events WHERE user_id < 300
+            ),
+            flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev_ts IS NULL
+                          OR date_diff('second', prev_ts, ts) > 1800
+                          THEN 1 ELSE 0 END AS is_start
+              FROM ordered
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(is_start) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "audio_duration": """
+            SELECT 'wav-' || doc_id::varchar AS media_ref,
+                   'wav' AS fmt,
+                   1 AS channels,
+                   8000 AS sample_rate,
+                   ((doc_id % 50 + 1) * 320 / 16)::int AS duration_ms,
+                   (44 + (doc_id % 50 + 1) * 320)::BIGINT AS n_bytes
+            FROM documents WHERE doc_id < 200
         """,
         "doc_fingerprint": rf"""
             WITH n AS (

@@ -40,11 +40,17 @@ BENCH_QUERIES = [
     "quality_features",
     "cosine_topk",
     "lsh_ann_topk",
+    "lsh_ann_multiprobe",
     "dedup_clusters",
     "paragraph_dedup",
     "pdf_text_roundtrip",
     "density_extract",
     "media_features",
+    "media_image_dims",
+    "audio_duration",
+    "repetition_ngrams",
+    "top_terms_per_lang",
+    "sessionize_events",
 ]
 
 

@@ -97,6 +97,92 @@ def decode_image_header(data: bytes):
     return None
 
 
+AUDIO_FEATURES_DDL = (
+    "media_ref string, n_bytes bigint, sha256 string, fmt string, "
+    "channels int, sample_rate int, duration_ms int, status string, "
+    "error string"
+)
+
+
+def decode_audio_header(data: bytes):
+    """(fmt, channels, sample_rate, duration_ms) from raw audio bytes,
+    or None. Pure-Python RIFF/WAVE chunk walk — `fmt ` gives channel
+    count / sample rate / byte rate, `data` gives payload size;
+    duration_ms = data_size * 1000 // byte_rate (floor: deterministic).
+    """
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    channels = sample_rate = byte_rate = data_size = None
+    i = 12
+    n = len(data)
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            channels = int.from_bytes(data[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(data[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(data[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not byte_rate or channels is None or data_size is None:
+        return None
+    return ("wav", channels, sample_rate, data_size * 1000 // byte_rate)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """binary audio payloads -> container metadata via mapInPandas.
+
+    Real WAV/RIFF header decode (no audio library needed); non-RIFF
+    payloads get status='unsupported' rows, never task failures.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_ref": [], "n_bytes": [], "sha256": [], "fmt": [],
+                "channels": [], "sample_rate": [], "duration_ms": [],
+                "status": [], "error": [],
+            }
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                out["media_ref"].append(ref)
+                if payload is None:
+                    out["n_bytes"].append(0)
+                    out["sha256"].append(None)
+                    out["fmt"].append(None)
+                    out["channels"].append(None)
+                    out["sample_rate"].append(None)
+                    out["duration_ms"].append(None)
+                    out["status"].append("error")
+                    out["error"].append("null payload")
+                    continue
+                data = bytes(payload)
+                out["n_bytes"].append(len(data))
+                out["sha256"].append(hashlib.sha256(data).hexdigest())
+                hdr = decode_audio_header(data)
+                if hdr is None:
+                    out["fmt"].append(None)
+                    out["channels"].append(None)
+                    out["sample_rate"].append(None)
+                    out["duration_ms"].append(None)
+                    out["status"].append("unsupported")
+                    out["error"].append("not a RIFF/WAVE container")
+                else:
+                    out["fmt"].append(hdr[0])
+                    out["channels"].append(hdr[1])
+                    out["sample_rate"].append(hdr[2])
+                    out["duration_ms"].append(hdr[3])
+                    out["status"].append("ok")
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_DDL)
+
+
 def _fake_decode(payload: bytes):
     """Deterministic stand-in for image decode + feature extraction.
 

@@ -103,6 +103,105 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Full word n-grams (lowercased, whitespace tokens); [] if < n words."""
+    toks = F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Per document, over its word `n`-grams:
+      * ``n_ngrams``            total n-gram occurrences
+      * ``dup_ngram_char_frac`` fraction of n-gram characters belonging
+        to n-grams that occur more than once (the "fraction of
+        characters in duplicate n-grams" repetition filter)
+      * ``top_ngram_char_frac`` largest single n-gram's share of n-gram
+        characters (count × length / total), the "top n-gram" filter
+
+    Plan: explode → two keyed aggregations on (id, ngram) then (id) —
+    both shuffle on the document id (uniform), with map-side partial
+    aggregation; no Python. Documents shorter than n words get zeros.
+    """
+    ident = F.col(id_col)
+    ng = df.select(ident, F.explode(_word_ngrams(F.col(text_col), n)).alias("_ng"))
+    counts = ng.groupBy(id_col, "_ng").agg(F.count("*").alias("_c"))
+    mass = F.col("_c") * F.length(F.col("_ng"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").cast("int").alias("n_ngrams"),
+        F.round(
+            F.sum(F.when(F.col("_c") > 1, mass).otherwise(F.lit(0))).cast("double")
+            / F.sum(mass),
+            4,
+        ).alias("dup_ngram_char_frac"),
+        F.round(F.max(mass).cast("double") / F.sum(mass), 4).alias(
+            "top_ngram_char_frac"
+        ),
+    )
+    return (
+        df.select(ident)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+            F.coalesce(F.col("dup_ngram_char_frac"), F.lit(0.0)).alias(
+                "dup_ngram_char_frac"
+            ),
+            F.coalesce(F.col("top_ngram_char_frac"), F.lit(0.0)).alias(
+                "top_ngram_char_frac"
+            ),
+        )
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Corpus-level heavy hitters: top-k tokens per group by frequency.
+
+    Two-phase: explode → count on (group, token) — Catalyst emits a
+    map-side partial aggregate, so the shuffle carries (group, token,
+    partial_count), never raw tokens; the final window top-k shuffles
+    only the distinct-token counts on the group key. Deterministic
+    tie-break (count desc, token asc).
+    """
+    from pyspark.sql import Window
+
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    ).alias("token")
+    counts = (
+        df.select(F.col(group_col), toks)
+        .where(F.col("token") != "")
+        .groupBy(group_col, "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "token", "n", "rank")
+    )
+
+
 def fingerprint(text_col: str = "text", window: int = 64) -> Column:
     """Rolling-hash style document fingerprint.
 

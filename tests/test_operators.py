@@ -303,6 +303,72 @@ class TestSimilarity:
         assert mp.count() == mp.select("query_id", "vec_id").distinct().count()
 
 
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        from content_extractor_spark.operators.sessionize import (
+            session_stats,
+            sessionize,
+        )
+
+        rows = [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-01 10:10:00", 1),   # 10 min -> same session
+            (3, "2024-01-01 11:00:00", 1),   # 50 min -> new session
+            (4, "2024-01-01 11:29:00", 1),   # 29 min -> same
+            (5, "2024-01-01 10:00:00", 2),   # other user: own numbering
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long"
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        got = {
+            r["event_id"]: r["session_idx"]
+            for r in sessionize(ev, gap_minutes=30).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+        stats = {
+            (r["user_id"], r["session_idx"]): r["n_events"]
+            for r in session_stats(ev, gap_minutes=30).collect()
+        }
+        assert stats == {(1, 1): 2, (1, 2): 2, (2, 1): 1}
+
+
+class TestRepetitionAndTerms:
+    def test_repetition_features(self, spark):
+        from content_extractor_spark.operators.textstats import repetition_features
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c a b c a b c"),   # "a b c" repeats heavily
+                (2, "w x y z q r s t u"),   # all 3-grams unique
+                (3, "one two"),             # shorter than n -> zeros
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in repetition_features(df, n=3).collect()}
+        assert out[1]["n_ngrams"] == 7
+        assert out[1]["dup_ngram_char_frac"] > 0.9   # near-total repetition
+        assert out[2]["dup_ngram_char_frac"] == 0.0
+        assert out[2]["n_ngrams"] == 7
+        assert out[3]["n_ngrams"] == 0
+        assert out[3]["top_ngram_char_frac"] == 0.0
+
+    def test_top_terms(self, spark):
+        from content_extractor_spark.operators.textstats import top_terms
+
+        df = spark.createDataFrame(
+            [("en", "a a a b b c"), ("en", "b d"), ("de", "x y x")],
+            "lang string, text string",
+        )
+        got = [
+            (r["lang"], r["token"], r["n"], r["rank"])
+            for r in top_terms(df, k=2).orderBy("lang", "rank").collect()
+        ]
+        assert got == [
+            ("de", "x", 2, 1), ("de", "y", 1, 2),
+            ("en", "a", 3, 1), ("en", "b", 3, 2),  # tie -> token asc
+        ]
+
+
 class TestTextStats:
     def test_language_id(self, spark, texts):
         got = dict(
@@ -367,6 +433,43 @@ class TestMultimodal:
                + (12).to_bytes(4, "little") + (34).to_bytes(4, "little"))
         assert decode_image_header(bmp) == ("bmp", 12, 34)
         assert decode_image_header(b"not an image at all......") is None
+
+    def test_audio_header_decode(self):
+        from content_extractor_spark.operators.multimodal import decode_audio_header
+
+        def wav(channels, rate, bits, n_data):
+            byte_rate = rate * channels * bits // 8
+            return (b"RIFF" + (36 + n_data).to_bytes(4, "little") + b"WAVE"
+                    + b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+                    + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+                    + (channels * bits // 8).to_bytes(2, "little")
+                    + bits.to_bytes(2, "little")
+                    + b"data" + n_data.to_bytes(4, "little") + b"\x00" * n_data)
+
+        assert decode_audio_header(wav(1, 8000, 16, 16000)) == ("wav", 1, 8000, 1000)
+        assert decode_audio_header(wav(2, 44100, 16, 176400)) == ("wav", 2, 44100, 1000)
+        assert decode_audio_header(b"RIFF\x00\x00\x00\x00AVI ") is None
+        assert decode_audio_header(b"plain text") is None
+
+    def test_audio_features_in_spark(self, spark):
+        from content_extractor_spark.operators.multimodal import extract_audio_features
+
+        wav = (b"RIFF" + (36 + 3200).to_bytes(4, "little") + b"WAVE"
+               + b"fmt " + (16).to_bytes(4, "little")
+               + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+               + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+               + b"data" + (3200).to_bytes(4, "little") + b"\x00" * 3200)
+        df = spark.createDataFrame(
+            [("a1", bytearray(wav)), ("a2", bytearray(b"nope"))],
+            "media_ref string, payload binary",
+        )
+        out = {r["media_ref"]: r for r in extract_audio_features(df).collect()}
+        assert out["a1"]["status"] == "ok"
+        assert (out["a1"]["channels"], out["a1"]["sample_rate"],
+                out["a1"]["duration_ms"]) == (1, 8000, 200)
+        assert out["a2"]["status"] == "unsupported"
 
     def test_image_header_in_spark_features(self, spark):
         png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
