@@ -126,8 +126,19 @@ def extract_content(
         return None
     if selected is None:
         return None
-    # Re-parse the selected element's outer HTML as a fresh document
-    sub: Document = parse(selected.outer_html())
+    # The reference re-parses the selected element's outerHtml as a
+    # fresh document (Analyzer.scala:597). A deep clone into the same
+    # #root>html>head+body wrapper produces the identical tree for any
+    # tree our builder built (pinned by the golden cases and the
+    # differential fuzz suite) without paying the serialize+tokenize
+    # cost a second time per document.
+    sub = Document()
+    html_el = Element("html")
+    sub.append(html_el)
+    html_el.append(Element("head"))
+    body = Element("body")
+    html_el.append(body)
+    body.append(selected.clone())
     if exclude_selectors:
         # faithful quirk: contentSelector used as a raw regex prefix
         prefix_re = re.compile("^" + content_selector + " ?")

@@ -337,11 +337,59 @@ def _parse(query: str) -> List[_Chain]:
     return chains
 
 
+def _index(root: Element) -> dict:
+    """Doc-order candidate index (id/class/tag → elements), built once
+    per root and invalidated by Element.remove(). Selector evaluation is
+    right-to-left, so the rightmost simple selector's most selective
+    predicate shrinks the candidate walk from the whole subtree to a
+    dict lookup — the dominant cost in profile-driven extraction (6-10
+    selector queries per document)."""
+    idx = root._idx
+    if idx is None:
+        by_tag: dict = {}
+        by_cls: dict = {}
+        by_id: dict = {}
+        for el in root.iter_elements():
+            by_tag.setdefault(el.tag, []).append(el)
+            i = el.attrs.get("id")
+            if i is not None:
+                by_id.setdefault(i, []).append(el)
+            cls = el.attrs.get("class")
+            if cls:
+                for c in cls.split():
+                    lst = by_cls.setdefault(c, None)
+                    if lst is None:
+                        by_cls[c] = [el]
+                    elif lst[-1] is not el:  # dedupe repeated class tokens
+                        lst.append(el)
+        idx = (by_tag, by_cls, by_id)
+        root._idx = idx
+    return idx
+
+
+def _candidates(root: Element, chains: List[_Chain]):
+    """Doc-order candidate elements, or None for a full walk."""
+    if len(chains) != 1:
+        return None  # comma groups: keep the plain walk (global order)
+    last = chains[0].parts[-1][1]
+    by_tag, by_cls, by_id = _index(root)
+    if last.ids:
+        return by_id.get(last.ids[0], ())
+    if last.classes:
+        return by_cls.get(last.classes[0], ())
+    if last.tag is not None and last.tag != "*":
+        return by_tag.get(last.tag, ())
+    return None
+
+
 def select(root: Element, query: str) -> List[Element]:
     """All elements under (and including) root matching query, doc order."""
     chains = _parse(query)
+    cands = _candidates(root, chains)
+    if cands is None:
+        cands = root.iter_elements()
     out: List[Element] = []
-    for el in root.iter_elements():
+    for el in cands:
         if el.tag.startswith("#"):
             continue  # document pseudo-root
         for chain in chains:
@@ -353,7 +401,10 @@ def select(root: Element, query: str) -> List[Element]:
 
 def select_first(root: Element, query: str) -> Optional[Element]:
     chains = _parse(query)
-    for el in root.iter_elements():
+    cands = _candidates(root, chains)
+    if cands is None:
+        cands = root.iter_elements()
+    for el in cands:
         if el.tag.startswith("#"):
             continue
         for chain in chains:

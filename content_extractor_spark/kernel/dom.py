@@ -84,7 +84,7 @@ class DataNode(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children", "preserve")
+    __slots__ = ("tag", "attrs", "children", "preserve", "_idx")
 
     def __init__(self, tag: str, attrs: Optional[dict] = None):
         self.parent: Optional["Element"] = None
@@ -93,6 +93,8 @@ class Element(Node):
         self.children: List[Node] = []
         # preserve-whitespace flag; finalized when attached to a parent
         self.preserve = tag in PRESERVE_WS_TAGS
+        # lazily-built selector index (kernel.css); invalidated on remove
+        self._idx = None
 
     # -- tree ------------------------------------------------------------
     def append(self, node: Node) -> None:
@@ -103,8 +105,29 @@ class Element(Node):
 
     def remove(self) -> None:
         if self.parent is not None:
+            # invalidate any selector index built on an ancestor BEFORE
+            # detaching (afterwards the chain to the root is gone)
+            anc: Optional[Element] = self
+            while anc is not None:
+                anc._idx = None
+                anc = anc.parent
             self.parent.children.remove(self)
             self.parent = None
+
+    def clone(self) -> "Element":
+        """Deep copy with `preserve` recomputed from the new tree shape
+        (a subtree cloned out of a <pre> ancestor no longer preserves).
+        Equivalent to serialize→re-parse for trees our builder produced,
+        without the double tokenizer cost (Analyzer.scala:597 re-parse)."""
+        fresh = Element(self.tag, dict(self.attrs))
+        for child in self.children:
+            if isinstance(child, Element):
+                fresh.append(child.clone())
+            elif isinstance(child, TextNode):
+                fresh.append(TextNode(child.text))
+            else:
+                fresh.append(DataNode(child.text))
+        return fresh
 
     def iter_elements(self) -> Iterator["Element"]:
         """Depth-first pre-order over this element and its descendants."""

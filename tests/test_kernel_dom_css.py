@@ -124,6 +124,35 @@ def test_time_with_stray_div_close():
     assert el.text().startswith("2021")
 
 
+def test_clone_equals_reparse():
+    """Element.clone() must produce the same text()/outer_html() as the
+    reference's serialize→re-parse step (Analyzer.scala:597)."""
+    html = ("<div id='c' class='x'><p>a &amp; b</p><pre> keep  ws </pre>"
+            "<script>raw < data</script><img src='u'><ul><li>1<li>2</ul></div>")
+    doc = parse(html)
+    el = select_first(doc, "#c")
+    cloned = el.clone()
+    reparsed = parse(el.outer_html())
+    assert cloned.outer_html() == el.outer_html()
+    assert cloned.text() == reparsed.text()
+    # preserve recomputed: a clone out of a <pre> ancestor stops preserving
+    pre_doc = parse("<pre><span>a  b</span></pre>")
+    span = select_first(pre_doc, "span")
+    assert span.text() == "a  b"          # inside pre: ws preserved
+    assert span.clone().text() == "a b"   # cloned out: normalized
+
+
+def test_select_after_removal_uses_fresh_index():
+    doc = parse("<div><p class='ad'>x</p><p class='ad'>y</p><p>z</p></div>")
+    ads = select(doc, "p.ad")
+    assert len(ads) == 2
+    for el in ads:
+        el.remove()
+    assert select(doc, "p.ad") == []
+    assert [e.text() for e in select(doc, "p")] == ["z"]
+    assert select_first(doc, "p:first-child").text() == "z"
+
+
 class TestPseudoSelectors:
     def test_has_and_not(self):
         doc = parse(

@@ -50,6 +50,33 @@ def test_small_dim_join_broadcasts(spark, corpus_path):
     assert not rep["has_sort_merge_join"]
 
 
+def test_sessionize_plans_single_exchange(spark):
+    """Both window steps (lag + running sum) share the user_id
+    partitioning — Catalyst must plan exactly one shuffle."""
+    from content_extractor_spark.operators.sessionize import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1)], "event_id long, ts string, user_id long"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    rep = plan_report(sessionize(ev))
+    assert rep["exchanges"] == 1, rep["text"][:3000]
+    assert rep["python_stages"] == 0
+
+
+def test_top_terms_partial_aggregates_before_shuffle(spark):
+    """The token count must emit a map-side partial HashAggregate so the
+    shuffle carries (group, token, partial_count), not raw tokens."""
+    from content_extractor_spark.operators.textstats import top_terms
+
+    df = spark.createDataFrame(
+        [("en", "a b c"), ("de", "x y")], "lang string, text string"
+    )
+    rep = plan_report(top_terms(df))
+    txt = rep["text"]
+    assert "partial_count" in txt, txt[:3000]
+    assert rep["python_stages"] == 0
+
+
 def test_wholestage_codegen_covers_relational_stages(spark, corpus_path):
     docs = scannable_documents(spark.read.parquet(corpus_path))
     rep = plan_report(docs)
