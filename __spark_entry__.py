@@ -747,6 +747,55 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    # PII scrubbing (map-only regex): emails -> IPs -> phone-ish runs,
+    # counts taken before each redaction; dirt is synthesized per row
+    # so the oracle can reconstruct the exact scrubbed string
+    from content_extractor_spark.operators.curation import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact bob"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +49 30 55512"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" ip 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+    )
+    out = pii_scrub(docs.select("doc_id", dirty.alias("text")))
+    return out.select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+
+
+def q_decontaminate(spark, sf_dir):
+    # eval-set decontamination: flag docs sharing any 8-gram with the
+    # benchmark (here: every 7th document) — broadcast semi join
+    from content_extractor_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    bench = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return decontaminate(docs, bench, n=8)
+
+
+def q_pack_sequences(spark, sf_dir):
+    # contiguous sequence packing within each source shard (global
+    # packing would be a single-reducer antipattern at 10^12 docs)
+    from content_extractor_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512, shard_col="source")
+
+
+def q_train_val_split(spark, sf_dir):
+    # deterministic md5 split -> per (split, lang) counts
+    from content_extractor_spark.operators.curation import train_val_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_val_split(docs, val_pct=5)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -840,6 +889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_lang": q_top_terms_per_lang,
         "sessionize_events": q_sessionize_events,
         "audio_duration": q_audio_duration,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "train_val_split": q_train_val_split,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
@@ -1398,6 +1451,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {_PH.format(x="substr(norm, 1, 64) || '|' || length(norm)::varchar")} AS fingerprint
             FROM n
+        """,
+        "pii_scrub": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || ' contact bob' || doc_id::varchar
+                       || '@mail.example or +49 30 55512'
+                       || (doc_id % 100)::varchar
+                       || ' ip 10.0.0.' || (doc_id % 255)::varchar AS t
+              FROM documents WHERE doc_id < 200
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t,
+                         '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+'))::int AS n_emails,
+                     regexp_replace(t,
+                         '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+',
+                         '<EMAIL>', 'g') AS t
+              FROM dirty
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t,
+                         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::int AS n_ips,
+                     regexp_replace(t,
+                         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                         '<IP>', 'g') AS t
+              FROM s1
+            )
+            SELECT doc_id, n_emails, n_ips,
+                   len(regexp_extract_all(t,
+                       '\+?[0-9][0-9 ()/-]{6,}[0-9]'))::int AS n_phones,
+                   regexp_replace(t, '\+?[0-9][0-9 ()/-]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS scrubbed
+            FROM s2
+        """,
+        "decontaminate": r"""
+            WITH doc_sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [array_to_string(toks[i:i+7], ' ')
+                        for i in range(1, greatest(len(toks)-7, 0)+1)])) AS sh
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\s+') AS toks
+                    FROM documents WHERE doc_id < 300)
+            ),
+            bench_sh AS (
+              SELECT DISTINCT unnest(list_distinct(
+                       [array_to_string(toks[i:i+7], ' ')
+                        for i in range(1, greatest(len(toks)-7, 0)+1)])) AS sh
+              FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+                    FROM documents WHERE doc_id % 7 = 0)
+            ),
+            hits AS (
+              SELECT DISTINCT doc_id FROM doc_sh
+              WHERE sh IN (SELECT sh FROM bench_sh)
+            )
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id < 300
+        """,
+        "pack_sequences": r"""
+            WITH toks AS (
+              SELECT source, doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS tok
+              FROM documents
+            ),
+            packed AS (
+              SELECT source, doc_id, tok,
+                     floor((sum(tok) OVER (PARTITION BY source
+                                           ORDER BY doc_id ASC
+                                           ROWS UNBOUNDED PRECEDING) - tok)
+                           / 512)::int AS pack_id
+              FROM toks
+            )
+            SELECT source, pack_id, count(*) AS n_docs,
+                   sum(tok)::BIGINT AS n_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM packed GROUP BY source, pack_id
+        """,
+        "train_val_split": f"""
+            SELECT CASE WHEN {_PH.format(x='doc_id::varchar')} % 100 < 95
+                        THEN 'train' ELSE 'val' END AS split,
+                   lang, count(*) AS n
+            FROM documents GROUP BY 1, 2
         """,
         "cosine_topk": """
             WITH q AS (

@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "repetition_ngrams",
     "top_terms_per_lang",
     "sessionize_events",
+    "pii_scrub",
+    "decontaminate",
+    "pack_sequences",
+    "train_val_split",
 ]
 
 

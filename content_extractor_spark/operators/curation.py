@@ -1,0 +1,159 @@
+"""Training-corpus curation operators: PII scrubbing, benchmark
+decontamination, sequence packing, deterministic splits.
+
+All pure Catalyst (JVM-side regex/joins/windows, no Python), each with
+a value-exact DuckDB oracle in the driver contract. These are the
+standard last-mile steps between a cleaned document set and a training
+run.
+
+Scale notes:
+  * `pii_scrub` is map-only — regexp_replace fuses into the scan's
+    whole-stage codegen; no shuffle.
+  * `decontaminate` shuffles doc-shingles against benchmark-shingles —
+    a semi join on the shingle hash. The benchmark side is tiny by
+    construction (eval sets), so Spark broadcasts it: effectively
+    map-only at any corpus size.
+  * `pack_sequences` packs WITHIN a shard key (source/bucket), never
+    globally: a global orderBy+cumsum is a single-reducer antipattern
+    at 10^12 docs, while per-shard packing is embarrassingly parallel
+    and what GPT-style pipelines actually do (each worker packs its
+    shard).
+  * `train_val_split` is a stateless hash — map-only, reproducible
+    across engines (md5-derived, not engine-specific hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# dialect-portable patterns (same semantics in Java regex and RE2)
+EMAIL_RE = r"[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
+PHONE_RE = r"\+?[0-9][0-9 ()/-]{6,}[0-9]"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact emails, phone-ish numbers and IPv4 addresses.
+
+    Order matters (emails first, else the phone pattern can eat digit
+    runs inside addresses); counts are taken BEFORE redaction.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    step1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(step1, F.lit(IPV4_RE), F.lit(0)))
+    step2 = F.regexp_replace(step1, IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(step2, F.lit(PHONE_RE), F.lit(0)))
+    step3 = F.regexp_replace(step2, PHONE_RE, "<PHONE>")
+    return df.select(
+        "*",
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+        step3.alias(out_col),
+    )
+
+
+def _shingle_col(text: Column, n: int) -> Column:
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Flag documents sharing any word n-gram with a benchmark set.
+
+    The standard eval-decontamination pass (n=8..13 in practice): a doc
+    that contains any benchmark n-gram verbatim is `contaminated` and
+    must be dropped before training. Benchmark shingles are distinct
+    and small → broadcast semi join; doc shingles explode map-side.
+    """
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(_shingle_col(F.col(text_col), n)).alias("_sh")
+    )
+    bench_sh = benchmark.select(
+        F.explode(_shingle_col(F.col(text_col), n)).alias("_sh")
+    ).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "_sh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous sequence packing within each shard.
+
+    Documents are laid end-to-end in (shard, id) order; a document
+    belongs to the pack in which it STARTS (floor(preceding_tokens /
+    seq_len)). Returns one row per (shard, pack_id) with doc/token
+    counts — the unit a trainer would materialize as one example.
+    """
+    toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_pack = df.select(
+        F.col(shard_col), F.col(id_col), toks.alias("_tok")
+    ).withColumn(
+        "pack_id",
+        F.floor((F.sum("_tok").over(w) - F.col("_tok")) / seq_len).cast("int"),
+    )
+    return with_pack.groupBy(shard_col, "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").cast("bigint").alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic, engine-portable split by md5(id) — stable across
+    reruns, engines and cluster sizes (never rand(), never a sample)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10
+    ).cast("bigint")
+    return df.withColumn(
+        "split",
+        F.when(h % 100 < 100 - val_pct, F.lit("train")).otherwise(F.lit("val")),
+    )

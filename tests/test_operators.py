@@ -369,6 +369,62 @@ class TestRepetitionAndTerms:
         ]
 
 
+class TestCuration:
+    def test_pii_scrub(self, spark):
+        from content_extractor_spark.operators.curation import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@test.de and 10.1.2.3 or call +49 30 1234567 now"),
+             (2, "nothing sensitive here")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert out[1]["scrubbed"] == "mail <EMAIL> and <IP> or call <PHONE> now"
+        assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+        assert out[2]["scrubbed"] == "nothing sensitive here"
+        assert out[2]["n_emails"] == 0
+
+    def test_decontaminate(self, spark):
+        from content_extractor_spark.operators.curation import decontaminate
+
+        eight = "q w e r t y u i"
+        docs = spark.createDataFrame(
+            [(1, f"prefix {eight} suffix words here"),   # contains benchmark 8-gram
+             (2, "totally clean document with other words entirely fresh"),
+             (3, "q w e r t y u")],                      # only 7 tokens -> no 8-gram
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(99, f"leading {eight} trailing")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, bench).collect()}
+        assert out == {1: True, 2: False, 3: False}
+
+    def test_pack_sequences(self, spark):
+        from content_extractor_spark.operators.curation import pack_sequences
+
+        # shard s: docs of 6,6,6 tokens, seq_len 10 -> starts at 0,6,12
+        # -> packs 0,0,1
+        rows = [("s", 1, "a b c d e f"), ("s", 2, "g h i j k l"),
+                ("s", 3, "m n o p q r"), ("t", 9, "x y")]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        out = {
+            (r["source"], r["pack_id"]): (r["n_docs"], r["n_tokens"])
+            for r in pack_sequences(df, seq_len=10).collect()
+        }
+        assert out == {("s", 0): (2, 12), ("s", 1): (1, 6), ("t", 0): (1, 2)}
+
+    def test_train_val_split_deterministic(self, spark):
+        from content_extractor_spark.operators.curation import train_val_split
+
+        df = spark.range(1000).select(F.col("id").alias("doc_id"))
+        a = {r["doc_id"]: r["split"] for r in train_val_split(df).collect()}
+        b = {r["doc_id"]: r["split"] for r in train_val_split(df).collect()}
+        assert a == b  # stable across runs
+        n_val = sum(1 for v in a.values() if v == "val")
+        assert 20 <= n_val <= 90  # ~5% of 1000 with hash variance
+
+
 class TestTextStats:
     def test_language_id(self, spark, texts):
         got = dict(
