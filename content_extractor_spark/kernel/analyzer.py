@@ -126,6 +126,12 @@ def extract_content(
         return None
     if selected is None:
         return None
+    if not exclude_selectors and not selected._preserves_ws():
+        # nothing to remove and no <pre>-ish ancestor whose inherited
+        # whitespace-preservation a re-parse would drop: the re-parsed
+        # document's text IS the selected element's text (pinned by
+        # test_clone_equals_reparse)
+        return selected.text()
     # The reference re-parses the selected element's outerHtml as a
     # fresh document (Analyzer.scala:597). A deep clone into the same
     # #root>html>head+body wrapper produces the identical tree for any
