@@ -179,9 +179,9 @@ def main():
         # neighbors (observed 2x wall-time swings between back-to-back
         # identical runs); min is the standard de-noising estimator
         t_by_par = {}
-        for par, reps in ((2, 1), (8, 2), (32, 2)):
-            # par=2 runs once (noise is proportionally small on a ~100s
-            # job); the short 8/32 runs take min-of-2
+        for par, reps in ((2, 2), (8, 3), (32, 2)):
+            # min-of-k de-noising, more reps on the short runs where a
+            # single noisy-neighbor burst moves the ratio the most
             s = _session(par, split_mb=2)
             t_by_par[par] = min(run_extract_stage(s, corpus) for _ in range(reps))
             s.stop()
