@@ -120,6 +120,12 @@ def pack_sequences(
     belongs to the pack in which it STARTS (floor(preceding_tokens /
     seq_len)). Returns one row per (shard, pack_id) with doc/token
     counts — the unit a trainer would materialize as one example.
+
+    Shard cardinality bounds parallelism: the window sorts within each
+    shard, so at 10^12 docs pass a FINE shard key — e.g.
+    ``df.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(4096)))``
+    — rather than a handful of coarse source labels; packing semantics
+    stay deterministic (contiguous by id within shard) at any grain.
     """
     toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
         F.size(F.split(F.trim(F.col(text_col)), r"\s+"))

@@ -45,6 +45,53 @@ class TestPdfKernel:
         assert "Wor ld" in text  # big negative kern becomes a word gap
         assert "HELLO" in text  # hex string
 
+    def _wrap(self, content: bytes, compress: bool = False) -> bytes:
+        """Hand-assembled single-stream PDF, independent of
+        build_simple_pdf's object layout (no xref, CRLF EOLs)."""
+        flt = b""
+        if compress:
+            content = zlib.compress(content)
+            flt = b"/Filter /FlateDecode "
+        return (
+            b"%PDF-1.7\r\n9 0 obj\r\n<< " + flt + b"/Length "
+            + str(len(content)).encode() + b" >>\r\nstream\r\n"
+            + content + b"\r\nendstream\r\nendobj\r\n%%EOF"
+        )
+
+    def test_foreign_structure_crlf_and_compression(self):
+        content = b"BT /F1 10 Tf 10 700 Td (alpha) Tj 0 -12 Td (beta) Tj ET"
+        for compress in (False, True):
+            text = pdftext.extract_text(self._wrap(content, compress))
+            assert text == "alpha\nbeta"
+
+    def test_quote_operators_show_next_line(self):
+        content = b"BT (first) Tj (second) ' (third) \" ET"
+        # jsoup-of-PDFs: ' and \" show on the NEXT line
+        assert pdftext.extract_text(self._wrap(content)) == "first\nsecond\nthird"
+
+    def test_tm_y_move_breaks_line_and_small_kern_keeps_word(self):
+        content = (b"BT 1 0 0 1 72 700 Tm (top) Tj "
+                   b"1 0 0 1 72 600 Tm (bottom) Tj ET")
+        assert pdftext.extract_text(self._wrap(content)) == "top\nbottom"
+        kern = b"BT [(Hel) -40 (lo) -500 (world)] TJ ET"
+        # -40 is glyph kerning (joined), -500 is a word gap
+        assert pdftext.extract_text(self._wrap(kern)) == "Hello world"
+
+    def test_octal_and_hex_escapes(self):
+        content = rb"BT (\101\102\103 and \() Tj <20442045> Tj ET"
+        assert pdftext.extract_text(self._wrap(content)) == "ABC and ( D E"
+
+    def test_image_stream_interleaved_is_skipped(self):
+        img = (b"5 0 obj\r\n<< /Subtype /Image /Filter /DCTDecode /Length 6 >>"
+               b"\r\nstream\r\n\xff\xd8\xff\xe0\x00\x01\r\nendstream\r\nendobj\r\n")
+        txt = self._wrap(b"BT (visible) Tj ET")
+        pdf = txt[:-5] + img + b"%%EOF"  # splice before the EOF marker
+        assert pdftext.extract_text(pdf) == "visible"
+
+    def test_text_outside_bt_et_ignored(self):
+        content = b"(not text op context) Tj BT (inside) Tj ET"
+        assert pdftext.extract_text(self._wrap(content)) == "inside"
+
     def test_garbage_not_pdf(self):
         assert pdftext.extract_text(b"not a pdf at all") == ""
         assert not pdftext.is_pdf(b"GIF89a")

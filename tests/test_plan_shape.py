@@ -77,6 +77,21 @@ def test_top_terms_partial_aggregates_before_shuffle(spark):
     assert rep["python_stages"] == 0
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast: doc shingles then never
+    shuffle — the semi join is map-side at any corpus size."""
+    from content_extractor_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id long, text string"
+    )
+    rep = plan_report(decontaminate(docs, bench))
+    assert rep["has_broadcast_join"], rep["text"][:3000]
+
+
 def test_wholestage_codegen_covers_relational_stages(spark, corpus_path):
     docs = scannable_documents(spark.read.parquet(corpus_path))
     rep = plan_report(docs)
