@@ -31,7 +31,7 @@ from pyspark.sql.types import (
 from ..kernel.analyzer import AnalysisResult, RawEntryInformation, analyze
 from ..kernel.density import extract_main_content
 from ..kernel.profiles import ProfileConfig, normalize_host
-from ..kernel.spans import count_media, entry_to_spans, spans_to_html
+from ..kernel.spans import count_media, spans_to_html
 
 SPAN_STRUCT = StructType(
     [
@@ -65,6 +65,10 @@ EXTRACT_SCHEMA = StructType(
     ]
 )
 
+_SPAN_ARRAY_DDL = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
 _ARROW_SCHEMA = pa.schema(
     [
         pa.field("doc_id", pa.string()),
@@ -81,19 +85,9 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("tags", pa.list_(pa.string())),
         pa.field("image_url", pa.string()),
         pa.field("content_hash", pa.int64()),
-        pa.field(
-            "spans",
-            pa.list_(
-                pa.struct(
-                    [
-                        pa.field("kind", pa.string()),
-                        pa.field("text", pa.string()),
-                        pa.field("media_ref", pa.string()),
-                        pa.field("offset", pa.int32()),
-                    ]
-                )
-            ),
-        ),
+        # NOTE: no `spans` here — the output span sequence is DERIVED
+        # JVM-side from the scalar entry fields (see derive_spans_col),
+        # so the Arrow channel never carries the content twice
         pa.field("n_input_spans", pa.int32()),
         pa.field("n_media_spans", pa.int32()),
         pa.field("error", pa.string()),
@@ -243,7 +237,6 @@ def _analyze_batch(
             out["tags"].append(entry.tags)
             out["image_url"].append(entry.image_url)
             out["content_hash"].append(entry.content_hash())
-            out["spans"].append(entry_to_spans(entry))
         else:
             out["title"].append(None)
             out["summary"].append(None)
@@ -252,11 +245,62 @@ def _analyze_batch(
             out["tags"].append(None)
             out["image_url"].append(None)
             out["content_hash"].append(None)
-            out["spans"].append(None)
     arrays = [
         pa.array(out[f.name], type=f.type) for f in _ARROW_SCHEMA
     ]
     return pa.RecordBatch.from_arrays(arrays, schema=_ARROW_SCHEMA)
+
+
+def derive_spans_col():
+    """The ordered output span sequence as a pure Catalyst expression.
+
+    Mirrors kernel.spans.entry_to_spans exactly (title, summary?,
+    content?, date?, tag*, image? with consecutive offsets; null for
+    rows without an extracted entry) — equivalence is pinned by
+    tests/test_operators.py::TestJvmSpanAssembly and the reference
+    golden e2e. Runs inside whole-stage codegen; no Python.
+    """
+    from pyspark.sql import functions as F
+
+    def s(kind, text, media):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            media.alias("media_ref"),
+        )
+
+    snull = F.lit(None).cast("string")
+    head = F.array(
+        F.when(F.col("title").isNotNull(), s("title", F.col("title"), snull)),
+        F.when(F.col("summary").isNotNull(), s("summary", F.col("summary"), snull)),
+        F.when(F.col("content").isNotNull(), s("content", F.col("content"), snull)),
+        F.when(F.col("date").isNotNull(), s("date", F.col("date"), snull)),
+    )
+    tag_spans = F.transform(
+        F.coalesce(F.col("tags"), F.array().cast("array<string>")),
+        lambda t: s("tag", t, snull),
+    )
+    img = F.array(
+        F.when(
+            F.col("image_url").isNotNull(),
+            s("image", snull, F.col("image_url")),
+        )
+    )
+    present = F.filter(
+        F.concat(head, tag_spans, img), lambda x: x.isNotNull()
+    )
+    numbered = F.transform(
+        present,
+        lambda x, i: F.struct(
+            x["kind"].alias("kind"),
+            x["text"].alias("text"),
+            x["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return F.when(F.col("title").isNotNull(), numbered).otherwise(
+        F.lit(None).cast(_SPAN_ARRAY_DDL)
+    )
 
 
 def extract_entries(
@@ -293,4 +337,12 @@ def extract_entries(
                 target_pattern, target_zone,
             )
 
-    return docs.mapInArrow(run, schema=EXTRACT_SCHEMA)
+    narrow = StructType(
+        [f for f in EXTRACT_SCHEMA.fields if f.name != "spans"]
+    )
+    out = docs.mapInArrow(run, schema=narrow)
+    # span sequence assembled JVM-side (the Python stage already carries
+    # every field; shipping the assembled sequence too would double the
+    # Arrow traffic for the largest column)
+    out = out.withColumn("spans", derive_spans_col())
+    return out.select(*[f.name for f in EXTRACT_SCHEMA.fields])

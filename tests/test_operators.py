@@ -369,6 +369,41 @@ class TestRepetitionAndTerms:
         ]
 
 
+class TestJvmSpanAssembly:
+    def test_matches_python_entry_to_spans(self, spark):
+        """derive_spans_col (Catalyst) must equal entry_to_spans
+        (kernel) field-for-field across presence combinations."""
+        from content_extractor_spark.kernel.analyzer import RawEntryInformation
+        from content_extractor_spark.kernel.spans import entry_to_spans
+        from content_extractor_spark.operators.extract import derive_spans_col
+
+        cases = [
+            ("t", "s", "c", "d", ["a", "b"], "http://i/1"),
+            ("t", None, "c", None, None, None),
+            ("t", None, None, None, [], "http://i/2"),
+            ("", "s", None, "d", ["x"], None),
+            (None, None, None, None, None, None),  # no entry -> null spans
+        ]
+        df = spark.createDataFrame(
+            [(i, *c) for i, c in enumerate(cases)],
+            "i int, title string, summary string, content string, "
+            "date string, tags array<string>, image_url string",
+        )
+        got = {
+            r["i"]: r["spans"]
+            for r in df.withColumn("spans", derive_spans_col()).collect()
+        }
+        for i, (title, summary, content, date, tags, img) in enumerate(cases):
+            if title is None:
+                assert got[i] is None
+                continue
+            want = entry_to_spans(RawEntryInformation(
+                title=title, summary=summary, content=content, date=date,
+                tags=tags, image_url=img,
+            ))
+            assert [r.asDict() for r in got[i]] == want, f"case {i}"
+
+
 class TestCuration:
     def test_pii_scrub(self, spark):
         from content_extractor_spark.operators.curation import pii_scrub
