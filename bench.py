@@ -201,11 +201,17 @@ def main():
         }
         _write_baseline_md(n_docs, summary, scaling)
 
+    try:  # ambient-load transparency: this VM has noisy neighbors
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
     result = {
         "metric": "docs-extracted/sec (span-equality maintained) on synthetic interleaved corpus",
         "value": round(sum(query_times.values()) + wall_main, 3),
         "unit": "sec",
         "queries": query_times,
+        "ambient_load_1m": round(load1, 2),
+        "ambient_load_5m": round(load5, 2),
         "sf": sf,
         "extraction": {
             "n_docs": summary["docs_parsed"],

@@ -77,6 +77,24 @@ def test_top_terms_partial_aggregates_before_shuffle(spark):
     assert rep["python_stages"] == 0
 
 
+def test_bucket_partition_pruning(spark, tmp_path):
+    """Reading one bucket of the partitioned spans output must prune to
+    that partition directory (PartitionFilters, not a post-scan
+    Filter) — the property resume relies on at 10^12 rows."""
+    path = str(tmp_path / "parts")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 8).cast("int").alias("bucket")
+    )
+    df.write.partitionBy("bucket").parquet(path)
+    rd = spark.read.parquet(path).where(F.col("bucket") == 3)
+    rep = plan_report(rd)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", rep["text"])
+    assert m and "bucket" in m.group(1), rep["text"][:2000]
+    assert rd.count() == 13  # ids 3, 11, ..., 99
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """The benchmark shingle set must broadcast: doc shingles then never
     shuffle — the semi join is map-side at any corpus size."""
