@@ -373,6 +373,39 @@ def q_media_image_dims(spark, sf_dir):
     return feats.select("media_ref", "fmt", "width", "height", "n_bytes")
 
 
+def q_media_pixel_stats(spark, sf_dir):
+    # REAL pixel decode (binary Netpbm P6, pure Python): a solid-color
+    # RGB image is assembled per row in SQL; the decoder reads the raw
+    # samples and the oracle reconstructs the exact channel means
+    from content_extractor_spark.operators.multimodal import extract_pixel_stats
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    w = (F.col("doc_id") % 16 + 1).cast("int")
+    h = (F.col("doc_id") % 8 + 1).cast("int")
+    px_hex = F.concat(
+        F.lpad(F.hex(F.col("doc_id") % 256), 2, "0"),
+        F.lpad(F.hex(F.col("doc_id") * 2 % 256), 2, "0"),
+        F.lpad(F.hex(F.col("doc_id") * 3 % 256), 2, "0"),
+    )
+    header = F.encode(
+        F.concat(
+            F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "utf-8",
+    )
+    payload = F.concat(header, F.unhex(F.repeat(px_hex, w * h)))
+    media = docs.select(
+        F.concat(F.lit("pix-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        payload.alias("payload"),
+    )
+    stats = extract_pixel_stats(media)
+    return stats.select(
+        "media_ref", "fmt", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b", "status",
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     # paragraph-granularity exact dedup (training-data op): explode
     # sentence-ish chunks of 12 tokens, keep first (doc_id, idx) per digest
@@ -867,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_host_agg": q_salted_host_agg,
         "media_features": q_media_features,
         "media_image_dims": q_media_image_dims,
+        "media_pixel_stats": q_media_pixel_stats,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "density_extract": q_density_extract,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1058,6 +1092,18 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 640 + 1)::int AS width,
                    (doc_id % 480 + 1)::int AS height,
                    33::BIGINT AS n_bytes
+            FROM documents WHERE doc_id < 200
+        """,
+        "media_pixel_stats": """
+            SELECT 'pix-' || doc_id::varchar AS media_ref,
+                   'ppm' AS fmt,
+                   (doc_id % 16 + 1)::int AS width,
+                   (doc_id % 8 + 1)::int AS height,
+                   3 AS channels,
+                   (doc_id % 256)::double AS mean_r,
+                   (doc_id * 2 % 256)::double AS mean_g,
+                   (doc_id * 3 % 256)::double AS mean_b,
+                   'ok' AS status
             FROM documents WHERE doc_id < 200
         """,
         "paragraph_dedup": r"""

@@ -183,6 +183,111 @@ def extract_audio_features(
     return df.mapInPandas(run, schema=AUDIO_FEATURES_DDL)
 
 
+PIXEL_STATS_DDL = (
+    "media_ref string, fmt string, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, status string, "
+    "error string"
+)
+
+
+def decode_netpbm(data: bytes):
+    """REAL pixel decode for binary Netpbm (P5 gray / P6 RGB).
+
+    Pure Python: header tokens (width, height, maxval; '#' comments
+    allowed), then raw samples. Returns (fmt, width, height, channels,
+    per-channel means) or None. This is the no-dependency proof path of
+    the decode stage — PNG/JPEG pixel decode still needs a real codec
+    library and stays stubbed.
+    """
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 3 if data[:2] == b"P6" else 1
+    i = 2
+    fields = []
+    n = len(data)
+    while len(fields) < 3 and i < n:
+        c = data[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            j = i
+            while j < n and not data[j : j + 1].isspace():
+                j += 1
+            tok = data[i:j]
+            if not tok.isdigit():
+                return None
+            fields.append(int(tok))
+            i = j
+    if len(fields) < 3 or i >= n:
+        return None
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None  # 16-bit samples out of scope
+    need = w * h * channels
+    pixels = data[i : i + need]
+    if len(pixels) < need:
+        return None
+    sums = [0] * channels
+    for c in range(channels):
+        sums[c] = sum(pixels[c::channels])
+    cnt = w * h
+    means = [s / cnt for s in sums]
+    return ("ppm" if channels == 3 else "pgm", w, h, channels, means)
+
+
+def extract_pixel_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """binary image payloads -> real per-channel statistics (Netpbm).
+
+    Unsupported containers get status='unsupported' rows; the Arrow
+    plumbing is shared with the other media operators.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_ref": [], "fmt": [], "width": [], "height": [],
+                "channels": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                "status": [], "error": [],
+            }
+
+            def row(ref, fmt=None, w=None, h=None, ch=None, means=None,
+                    status="ok", error=None):
+                out["media_ref"].append(ref)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                m = (means or []) + [None] * 3
+                out["mean_r"].append(m[0])
+                out["mean_g"].append(m[1] if ch == 3 else None)
+                out["mean_b"].append(m[2] if ch == 3 else None)
+                out["status"].append(status)
+                out["error"].append(error)
+
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                if payload is None:
+                    row(ref, status="error", error="null payload")
+                    continue
+                dec = decode_netpbm(bytes(payload))
+                if dec is None:
+                    row(ref, status="unsupported",
+                        error="not binary netpbm (P5/P6)")
+                else:
+                    fmt, w, h, ch, means = dec
+                    row(ref, fmt, w, h, ch, means)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=PIXEL_STATS_DDL)
+
+
 def _fake_decode(payload: bytes):
     """Deterministic stand-in for image decode + feature extraction.
 

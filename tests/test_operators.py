@@ -525,6 +525,38 @@ class TestMultimodal:
         assert decode_image_header(bmp) == ("bmp", 12, 34)
         assert decode_image_header(b"not an image at all......") is None
 
+    def test_netpbm_pixel_decode(self):
+        from content_extractor_spark.operators.multimodal import decode_netpbm
+
+        # 2x1 RGB: (10,20,30) and (30,40,50) -> means (20,30,40)
+        p6 = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 30, 40, 50])
+        assert decode_netpbm(p6) == ("ppm", 2, 1, 3, [20.0, 30.0, 40.0])
+        # comments in the header (spec-legal)
+        p6c = b"P6\n# a comment\n2 1\n# another\n255\n" + bytes([0, 0, 0, 2, 4, 6])
+        assert decode_netpbm(p6c) == ("ppm", 2, 1, 3, [1.0, 2.0, 3.0])
+        # grayscale P5
+        p5 = b"P5\n4 1\n255\n" + bytes([0, 100, 100, 200])
+        assert decode_netpbm(p5) == ("pgm", 4, 1, 1, [100.0])
+        # truncated payload / ascii variant / garbage -> None
+        assert decode_netpbm(b"P6\n4 4\n255\n\x00\x00") is None
+        assert decode_netpbm(b"P3\n1 1\n255\n0 0 0") is None
+        assert decode_netpbm(b"\x89PNG\r\n\x1a\n") is None
+
+    def test_pixel_stats_in_spark(self, spark):
+        from content_extractor_spark.operators.multimodal import extract_pixel_stats
+
+        p6 = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 30, 40, 50])
+        df = spark.createDataFrame(
+            [("i1", bytearray(p6)), ("i2", bytearray(b"jpeg-ish"))],
+            "media_ref string, payload binary",
+        )
+        out = {r["media_ref"]: r for r in extract_pixel_stats(df).collect()}
+        assert out["i1"]["status"] == "ok"
+        assert (out["i1"]["width"], out["i1"]["height"]) == (2, 1)
+        assert (out["i1"]["mean_r"], out["i1"]["mean_g"], out["i1"]["mean_b"]) == (
+            20.0, 30.0, 40.0)
+        assert out["i2"]["status"] == "unsupported"
+
     def test_audio_header_decode(self):
         from content_extractor_spark.operators.multimodal import decode_audio_header
 
