@@ -1,4 +1,9 @@
 """Structured Streaming adapters for incremental extraction."""
 
-from .incremental import host_rates, run_available_now, streaming_extract  # noqa: F401
+from .incremental import (  # noqa: F401
+    host_rates,
+    run_available_now,
+    run_upsert_stream,
+    streaming_extract,
+)
 from .stateful import streaming_dedup  # noqa: F401

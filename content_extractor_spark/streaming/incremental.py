@@ -66,6 +66,60 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_upsert_stream(
+    extracted: DataFrame,
+    entries_ref: str,
+    checkpoint_path: str,
+    clock: str = "1970-01-01T00:00:00Z",
+    reanalysis_interval_hours: int = 48,
+) -> None:
+    """Stream extracted entries INTO the entries table via the S7 MERGE
+    dispatcher (foreachBatch): each micro-batch plans create/update/skip
+    against the current table state and upserts — Iceberg `MERGE INTO`
+    when available, parquet rewrite otherwise. Checkpointing makes the
+    whole incremental loop resumable; foreachBatch executes batches
+    serially, which is the streaming analog of the reference's
+    single-mutator write serialization (O8, Mutator.scala).
+    """
+    from ..operators.changes import plan_actions
+    from ..operators.dedup import mark_duplicates
+    from ..sources.io import read_table, upsert_entries
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ok = batch_df.where(F.col("status") == "ok")  # same gate as pipeline.py
+        if ok.isEmpty():
+            return
+        try:
+            existing = read_table(spark, entries_ref)
+            existing.schema
+        except Exception:
+            existing = None
+        if existing is not None:
+            planned = plan_actions(mark_duplicates(ok, existing), existing)
+        else:
+            empty = spark.createDataFrame(
+                [],
+                "entry_id string, url_id string, title string, "
+                "summary string, content string, date string, "
+                "tags array<string>, etag string, image_url string, "
+                "content_hash long, disabled boolean",
+            )
+            planned = plan_actions(mark_duplicates(ok), empty)
+        upsert_entries(
+            spark, entries_ref, planned, clock, reanalysis_interval_hours
+        )
+
+    q = (
+        extracted.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def host_rates(docs: DataFrame, window: str = "1 minute",
                watermark: str = "2 minutes") -> DataFrame:
     """Windowed per-host document counts with late-data watermarking —

@@ -175,6 +175,53 @@ class TestEntryMerge:
         assert out == {"e1": True, "e2": False}
 
 
+class TestStreamingUpsert:
+    def test_stream_into_entries_create_then_skip(self, spark, tmp_path):
+        """Two streamed waves of the same corpus: wave 1 creates entries,
+        wave 2 (identical content) plans only skips — the table state is
+        unchanged and nothing is duplicated. Checkpoint makes the loop
+        resumable."""
+        from content_extractor_spark.streaming import (
+            run_upsert_stream,
+            streaming_extract,
+        )
+
+        in_dir = str(tmp_path / "landing")
+        entries_dir = str(tmp_path / "entries")
+        ckpt = str(tmp_path / "ckpt")
+        synth.write_documents(spark, in_dir, 40, n_hosts=3, seed=21, partitions=1)
+        profiles = synth.all_profiles(3)
+
+        run_upsert_stream(
+            streaming_extract(spark, in_dir, profiles), entries_dir, ckpt,
+            clock="2021-07-01T00:00:00Z",
+        )
+        first = spark.read.parquet(entries_dir)
+        n1 = first.count()
+        assert n1 > 0
+        assert first.select("entry_id").distinct().count() == n1
+        assert {r["updated_at"] for r in first.select("updated_at").collect()} == {
+            "2021-07-01T00:00:00Z"
+        }
+
+        # identical docs land again as new FILES -> new micro-batch;
+        # every row plans 'skip', so the table must be unchanged
+        (
+            synth.documents_df(spark, 40, n_hosts=3, seed=21, partitions=1)
+            .write.mode("append").parquet(in_dir)
+        )
+        run_upsert_stream(
+            streaming_extract(spark, in_dir, profiles), entries_dir, ckpt,
+            clock="2021-08-01T00:00:00Z",
+        )
+        second = spark.read.parquet(entries_dir)
+        assert second.count() == n1
+        # unchanged content -> no update -> updated_at stays at wave 1
+        assert {r["updated_at"] for r in second.select("updated_at").collect()} == {
+            "2021-07-01T00:00:00Z"
+        }
+
+
 class TestStreaming:
     def test_available_now_extraction_and_resume(self, spark, tmp_path):
         in_dir = str(tmp_path / "landing")
