@@ -406,6 +406,31 @@ def q_media_pixel_stats(spark, sf_dir):
     )
 
 
+def q_media_manifest(spark, sf_dir):
+    # interleaved-spans media manifest (pure array ops, zero shuffle):
+    # a variable-length alternating text/media document is synthesized
+    # per row, so the oracle reconstructs every manifest row from
+    # doc_id arithmetic
+    from content_extractor_spark.operators.multimodal import media_manifest
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    spans = F.expr(
+        """
+        flatten(transform(sequence(0, cast(doc_id % 4 as int)), i -> array(
+          named_struct('kind','text','text', concat('t', cast(i as string)),
+                       'media_ref', cast(null as string),
+                       'offset', cast(2*i as int)),
+          named_struct('kind','media','text', cast(null as string),
+                       'media_ref', concat('m-', cast(doc_id as string),
+                                           '-', cast(i as string)),
+                       'offset', cast(2*i+1 as int))
+        )))
+        """
+    )
+    corpus = docs.select("doc_id", spans.alias("spans"))
+    return media_manifest(corpus)
+
+
 def q_paragraph_dedup(spark, sf_dir):
     # paragraph-granularity exact dedup (training-data op): explode
     # sentence-ish chunks of 12 tokens, keep first (doc_id, idx) per digest
@@ -901,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_image_dims": q_media_image_dims,
         "media_pixel_stats": q_media_pixel_stats,
+        "media_manifest": q_media_manifest,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "density_extract": q_density_extract,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1093,6 +1119,15 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 480 + 1)::int AS height,
                    33::BIGINT AS n_bytes
             FROM documents WHERE doc_id < 200
+        """,
+        "media_manifest": """
+            SELECT d.doc_id,
+                   (2*g.i + 1)::int AS offset,
+                   'm-' || d.doc_id::varchar || '-' || g.i::varchar AS media_ref,
+                   (g.i + 1)::int AS texts_before
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(0, d.doc_id % 4 + 1)) AS i) g
+            WHERE d.doc_id < 300
         """,
         "media_pixel_stats": """
             SELECT 'pix-' || doc_id::varchar AS media_ref,

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "media_features",
     "media_image_dims",
     "media_pixel_stats",
+    "media_manifest",
     "audio_duration",
     "repetition_ngrams",
     "top_terms_per_lang",

@@ -183,6 +183,47 @@ def extract_audio_features(
     return df.mapInPandas(run, schema=AUDIO_FEATURES_DDL)
 
 
+def media_manifest(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> "DataFrame":
+    """Manifest of media spans in an interleaved document: one row per
+    media span with its offset, ref, and how many text spans precede it
+    (the anchor a caption/alt-text joiner or a media fetcher needs).
+
+    Pure array expressions — a map-only operator with no shuffle and no
+    Python, so it runs at scan speed on 10^12-row interleaved tables.
+    """
+    from pyspark.sql import functions as F
+
+    spans = F.col(spans_col)
+    media = F.filter(spans, lambda x: x["kind"] == F.lit("media"))
+    entries = F.transform(
+        media,
+        lambda x: F.struct(
+            x["offset"].alias("offset"),
+            x["media_ref"].alias("media_ref"),
+            F.size(
+                F.filter(
+                    spans,
+                    lambda y: (y["kind"] == F.lit("text"))
+                    & (y["offset"] < x["offset"]),
+                )
+            ).cast("int").alias("texts_before"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(entries).alias("m"))
+        .select(
+            id_col,
+            F.col("m.offset").alias("offset"),
+            F.col("m.media_ref").alias("media_ref"),
+            F.col("m.texts_before").alias("texts_before"),
+        )
+    )
+
+
 PIXEL_STATS_DDL = (
     "media_ref string, fmt string, width int, height int, channels int, "
     "mean_r double, mean_g double, mean_b double, status string, "

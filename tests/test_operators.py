@@ -525,6 +525,31 @@ class TestMultimodal:
         assert decode_image_header(bmp) == ("bmp", 12, 34)
         assert decode_image_header(b"not an image at all......") is None
 
+    def test_media_manifest(self, spark):
+        from content_extractor_spark.operators.multimodal import media_manifest
+
+        spans = [
+            {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+            {"kind": "media", "text": None, "media_ref": "m0", "offset": 1},
+            {"kind": "text", "text": "b", "media_ref": None, "offset": 2},
+            {"kind": "media", "text": None, "media_ref": "m1", "offset": 3},
+        ]
+        df = spark.createDataFrame(
+            [("d1", spans), ("d2", [spans[0]])],  # d2 has no media
+            "doc_id string, spans array<struct<kind string, text string, "
+            "media_ref string, offset int>>",
+        )
+        rows = [
+            (r["doc_id"], r["offset"], r["media_ref"], r["texts_before"])
+            for r in media_manifest(df).orderBy("doc_id", "offset").collect()
+        ]
+        assert rows == [("d1", 1, "m0", 1), ("d1", 3, "m1", 2)]
+        # pure array expressions: no shuffle, no Python stage
+        from content_extractor_spark.plans import plan_report
+
+        rep = plan_report(media_manifest(df))
+        assert rep["exchanges"] == 0 and rep["python_stages"] == 0
+
     def test_netpbm_pixel_decode(self):
         from content_extractor_spark.operators.multimodal import decode_netpbm
 
