@@ -792,6 +792,15 @@ def q_audio_duration(spark, sf_dir):
     )
 
 
+def q_length_band_filter(spark, sf_dir):
+    # per-language outlier cut: drop the shortest 5% / longest 5% by
+    # exact rank fraction (deterministic, no approximate percentiles)
+    from content_extractor_spark.operators.textstats import length_band_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return length_band_filter(docs, group_col="lang")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
@@ -946,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "doc_fingerprint": q_doc_fingerprint,
         "repetition_ngrams": q_repetition_ngrams,
+        "length_band_filter": q_length_band_filter,
         "top_terms_per_lang": q_top_terms_per_lang,
         "sessionize_events": q_sessionize_events,
         "audio_duration": q_audio_duration,
@@ -1443,6 +1453,15 @@ def oracle_sql() -> dict[str, str]:
                      * (CASE WHEN q_stopword_hits >= 1 THEN 1.0 ELSE 0.3 END), 4
                    )::DOUBLE AS q_score
             FROM g
+        """,
+        "length_band_filter": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars ASC, doc_id ASC)
+                       / (count(*) OVER (PARTITION BY lang))::double AS frac
+              FROM documents
+            ) WHERE frac > 0.05 AND frac <= 0.95
         """,
         "repetition_ngrams": rf"""
             WITH tok AS (

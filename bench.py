@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "media_manifest",
     "audio_duration",
     "repetition_ngrams",
+    "length_band_filter",
     "top_terms_per_lang",
     "sessionize_events",
     "pii_scrub",

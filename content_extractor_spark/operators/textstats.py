@@ -202,6 +202,38 @@ def top_terms(
     )
 
 
+def length_band_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Keep rows inside the (lower, upper] per-group rank-fraction band.
+
+    The standard outlier cut for corpus curation ("drop the shortest 5%
+    and longest 5% per language"), expressed as exact rank fractions —
+    deterministic across engines (row_number with an id tie-break, no
+    approximate percentiles), so the DuckDB oracle matches bit-for-bit.
+    One shuffle on the group key; at extreme group skew pre-split via
+    operators/skew.py.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    frac = F.row_number().over(w) / F.count("*").over(
+        Window.partitionBy(group_col)
+    )
+    return (
+        df.withColumn("_frac", frac)
+        .where((F.col("_frac") > lower) & (F.col("_frac") <= upper))
+        .drop("_frac")
+    )
+
+
 def fingerprint(text_col: str = "text", window: int = 64) -> Column:
     """Rolling-hash style document fingerprint.
 

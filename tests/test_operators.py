@@ -403,6 +403,43 @@ class TestJvmSpanAssembly:
             ))
             assert [r.asDict() for r in got[i]] == want, f"case {i}"
 
+    def test_randomized_parity_with_python(self, spark):
+        """400 random presence/content combinations, one Spark job."""
+        import random
+
+        from content_extractor_spark.kernel.analyzer import RawEntryInformation
+        from content_extractor_spark.kernel.spans import entry_to_spans
+        from content_extractor_spark.operators.extract import derive_spans_col
+
+        rng = random.Random(7)
+        words = ["alpha", "beta", "", "x y z", "ümläut", "a(b)c"]
+
+        def maybe(p=0.5):
+            return rng.choice(words) if rng.random() < p else None
+
+        cases = []
+        for i in range(400):
+            tags = None
+            if rng.random() < 0.6:
+                tags = [rng.choice(words) for _ in range(rng.randrange(0, 4))]
+            cases.append((i, rng.choice(words), maybe(), maybe(), maybe(),
+                          tags, maybe(0.3)))
+        df = spark.createDataFrame(
+            cases,
+            "i int, title string, summary string, content string, "
+            "date string, tags array<string>, image_url string",
+        )
+        got = {
+            r["i"]: [s.asDict() for s in r["spans"]]
+            for r in df.withColumn("spans", derive_spans_col()).collect()
+        }
+        for i, title, summary, content, date, tags, img in cases:
+            want = entry_to_spans(RawEntryInformation(
+                title=title, summary=summary, content=content, date=date,
+                tags=tags, image_url=img,
+            ))
+            assert got[i] == want, f"case {i}"
+
 
 class TestCuration:
     def test_pii_scrub(self, spark):
@@ -475,6 +512,21 @@ class TestTextStats:
         assert row["ws"] == 4
         # Hello , world ! a b -> 6
         assert row["bpe"] == 6
+
+    def test_length_band_filter(self, spark):
+        from content_extractor_spark.operators.textstats import length_band_filter
+
+        df = spark.createDataFrame(
+            [(i, "en", i * 10) for i in range(1, 21)]
+            + [(100, "de", 5), (101, "de", 6)],
+            "doc_id long, lang string, n_chars int",
+        )
+        kept = length_band_filter(df, lower=0.1, upper=0.9)
+        en = sorted(r["doc_id"] for r in kept.where("lang='en'").collect())
+        # rank fractions: keep 0.1 < rn/20 <= 0.9 -> ranks 3..18
+        assert en == list(range(3, 19))
+        de = sorted(r["doc_id"] for r in kept.where("lang='de'").collect())
+        assert de == [100]  # rn/2: 0.5 kept, 1.0 dropped (> 0.9)
 
     def test_quality(self, spark, texts):
         out = quality_features(texts)
