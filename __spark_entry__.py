@@ -667,6 +667,20 @@ def q_simhash_groups(spark, sf_dir):
     )
 
 
+def q_simhash_hamming_pairs(spark, sf_dir):
+    # SimHash near-dup pairs within Hamming distance 2 via banded
+    # blocking (pigeonhole: <=2 bit flips over 4 bands must leave one
+    # band intact) — sound recall without an all-pairs join
+    from content_extractor_spark.operators.dedup_families import (
+        simhash_hamming_pairs,
+    )
+
+    return simhash_hamming_pairs(
+        _doubled_docs(spark, sf_dir, limit=200),
+        bits=16, bands=4, max_hamming=2,
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     # pairs -> groups: iterative min-label connected components over the
     # LSH candidate pairs; oracle = recursive-CTE transitive closure
@@ -948,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_groups": q_simhash_groups,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "language_id": q_language_id,
@@ -1344,6 +1359,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT sig, min(doc_id) AS keep_id, count(*) AS dup_count
             FROM sigs GROUP BY sig HAVING count(*) > 1
+        """,
+        "simhash_hamming_pairs": rf"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id < 200
+            ),
+            tok AS (
+              SELECT doc_id,
+                     [ {_PH.format(x='t')}
+                       for t in string_split_regex(lower(trim(text)), '\s+') ] AS hs
+              FROM base
+            ),
+            sigs AS (
+              SELECT doc_id,
+                     list_sum([ CASE WHEN list_sum(
+                         [CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                          for h in hs]) > 0
+                       THEN 1 << b ELSE 0 END for b in range(0, 16) ])::BIGINT AS sig
+              FROM tok
+            ),
+            banded AS (
+              SELECT doc_id, sig, j AS band_idx,
+                     (sig >> (j*4)) & 15 AS band_val
+              FROM sigs, (SELECT unnest(range(0, 4)) AS j)
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.sig, y.sig))::int AS hamming
+            FROM banded x JOIN banded y
+              ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+            WHERE x.doc_id < y.doc_id
+              AND bit_count(xor(x.sig, y.sig)) <= 2
         """,
         "ngram_jaccard_pairs": rf"""
             WITH base AS (

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "top_revenue_orders",
     "minhash_lsh_pairs",
     "simhash_groups",
+    "simhash_hamming_pairs",
     "language_id",
     "quality_features",
     "cosine_topk",

@@ -235,6 +235,66 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance <= max_hamming.
+
+    Banded blocking (the pigeonhole trick): split the signature into
+    `bands` equal bit-bands — any pair within Hamming distance
+    bands-1 must agree on at least one full band, so the candidate join
+    keys on (band_idx, band_bits) instead of all-pairs; bit_count(XOR)
+    then verifies the exact distance. Sound (no false negatives) for
+    max_hamming <= bands - 1; the distinct pair set shuffles on the
+    band value (uniform unless the corpus is one giant near-dup blob).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding with {bands} bands only guarantees recall up to "
+            f"Hamming {bands - 1}; raise `bands` or lower `max_hamming`"
+        )
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+    )
+    banded = sigs.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.shiftright(F.col("sig"), j * band_bits)
+                    .bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("b"),
+    ).select("id", "sig", "b.band_idx", "b.band_val")
+    left = banded.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("id").alias("a"), F.col("sig").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("id").alias("b"), F.col("sig").alias("sig_b"),
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", dist.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
+
+
 # -- n-gram Jaccard ---------------------------------------------------------------
 
 

@@ -60,6 +60,24 @@ class TestDedupFamilies:
         assert sigs[1] == sigs[2]
         assert sigs[1] != sigs[4]
 
+    def test_simhash_hamming_pairs(self, spark, texts):
+        from content_extractor_spark.operators.dedup_families import (
+            simhash_hamming_pairs,
+        )
+
+        pairs = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in simhash_hamming_pairs(
+                texts, bits=16, bands=4, max_hamming=3
+            ).collect()
+        }
+        assert pairs.get((1, 2)) == 0  # identical texts -> distance 0
+        # every reported pair respects the bound
+        assert all(h <= 3 for h in pairs.values())
+        # pigeonhole guard: banding can't certify beyond bands-1 flips
+        with pytest.raises(ValueError, match="bands"):
+            simhash_hamming_pairs(texts, bands=4, max_hamming=4)
+
     def test_ngram_jaccard(self, spark, texts):
         pairs = ngram_jaccard_pairs(texts, k=3, threshold=0.9).collect()
         assert [(p["a"], p["b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
