@@ -252,6 +252,10 @@ def simhash_hamming_pairs(
     then verifies the exact distance. Sound (no false negatives) for
     max_hamming <= bands - 1; the distinct pair set shuffles on the
     band value (uniform unless the corpus is one giant near-dup blob).
+
+    Join-key cardinality = bands * 2^(bits/bands): the 16-bit default
+    is for tests/small corpora — at corpus scale use bits=64, bands=4
+    (16-bit bands, ~262k keys) so no single band bucket explodes.
     """
     if max_hamming > bands - 1:
         raise ValueError(
