@@ -26,7 +26,7 @@ from urllib.parse import urlsplit
 from . import jsonld
 from .css import SelectorParseError, select, select_first
 from .dates import reformat_datetime
-from .dom import Document, Element, parse
+from .dom import PRESERVE_WS_TAGS, Document, Element, parse
 from .profiles import DateSelector, ImageSelector, PageType, ProfileConfig, Selectors
 from .scala_hash import content_hash
 
@@ -126,11 +126,16 @@ def extract_content(
         return None
     if selected is None:
         return None
-    if not exclude_selectors and not selected._preserves_ws():
-        # nothing to remove and no <pre>-ish ancestor whose inherited
-        # whitespace-preservation a re-parse would drop: the re-parsed
-        # document's text IS the selected element's text (pinned by
-        # test_clone_equals_reparse)
+    if not exclude_selectors and (
+        not selected.preserve or selected.tag in PRESERVE_WS_TAGS
+    ):
+        # nothing to remove and the node's text rendering doesn't depend
+        # on an ancestor OUTSIDE itself: re-parse makes `selected` the
+        # subtree root, which drops whitespace-preservation inherited
+        # from an enclosing <pre> (but keeps it when selected itself is
+        # <pre>-ish). The inherited `preserve` flag — not a capped
+        # ancestor walk — is the exact condition (pinned by
+        # test_clone_equals_reparse + deep-nesting cases)
         return selected.text()
     # The reference re-parses the selected element's outerHtml as a
     # fresh document (Analyzer.scala:597). A deep clone into the same

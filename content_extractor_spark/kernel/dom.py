@@ -97,11 +97,21 @@ class Element(Node):
         self._idx = None
 
     # -- tree ------------------------------------------------------------
-    def append(self, node: Node) -> None:
+    def _append_build(self, node: Node) -> None:
+        """Hot-path append for trees under construction (parser, clone):
+        no selector index can exist yet, so no invalidation walk."""
         node.parent = self
         if isinstance(node, Element) and self.preserve and not node.preserve:
             node.preserve = True  # inherit (jsoup checks ancestors)
         self.children.append(node)
+
+    def append(self, node: Node) -> None:
+        self._append_build(node)
+        # a selector index cached on ANY ancestor is now stale
+        anc: Optional[Element] = self
+        while anc is not None:
+            anc._idx = None
+            anc = anc.parent
 
     def remove(self) -> None:
         if self.parent is not None:
@@ -116,18 +126,26 @@ class Element(Node):
 
     def clone(self) -> "Element":
         """Deep copy with `preserve` recomputed from the new tree shape
-        (a subtree cloned out of a <pre> ancestor no longer preserves).
+        (a subtree cloned out of a <pre> ancestor no longer preserves;
+        a <pre> inside the subtree still propagates to ALL descendants).
         Equivalent to serialize→re-parse for trees our builder produced,
         without the double tokenizer cost (Analyzer.scala:597 re-parse)."""
         fresh = Element(self.tag, dict(self.attrs))
+        self._clone_children_into(fresh)
+        return fresh
+
+    def _clone_children_into(self, fresh: "Element") -> None:
+        # children are appended BEFORE their own subtrees are built so
+        # append()'s preserve inheritance cascades to every depth
         for child in self.children:
             if isinstance(child, Element):
-                fresh.append(child.clone())
+                c = Element(child.tag, dict(child.attrs))
+                fresh._append_build(c)
+                child._clone_children_into(c)
             elif isinstance(child, TextNode):
-                fresh.append(TextNode(child.text))
+                fresh._append_build(TextNode(child.text))
             else:
-                fresh.append(DataNode(child.text))
-        return fresh
+                fresh._append_build(DataNode(child.text))
 
     def iter_elements(self) -> Iterator["Element"]:
         """Depth-first pre-order over this element and its descendants."""
@@ -307,9 +325,9 @@ class _TreeBuilder(HTMLParser):
         self.html = Element("html")
         self.head = Element("head")
         self.body = Element("body")
-        self.doc.append(self.html)
-        self.html.append(self.head)
-        self.html.append(self.body)
+        self.doc._append_build(self.html)
+        self.html._append_build(self.head)
+        self.html._append_build(self.body)
         self.stack: List[Element] = [self.body]
         self._saw_body_content = False
 
@@ -377,7 +395,7 @@ class _TreeBuilder(HTMLParser):
         target = self._target_for(tag)
         if target is not self.head:
             self._saw_body_content = True
-        target.append(el)
+        target._append_build(el)
         if tag not in VOID_TAGS:
             self.stack.append(el)
 
@@ -389,7 +407,7 @@ class _TreeBuilder(HTMLParser):
         for k, v in attrs:
             if k not in el.attrs:
                 el.attrs[k] = v if v is not None else ""
-        self._target_for(tag).append(el)
+        self._target_for(tag)._append_build(el)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in ("html", "head", "body"):
@@ -400,7 +418,7 @@ class _TreeBuilder(HTMLParser):
                 return
         # HTML5: </p> with no open p creates an empty <p>
         if tag == "p":
-            self.cur.append(Element("p"))
+            self.cur._append_build(Element("p"))
         # otherwise: ignore stray end tag
 
     def handle_data(self, data: str) -> None:
@@ -409,14 +427,14 @@ class _TreeBuilder(HTMLParser):
         parent = self.cur if self.stack else self.body
         # script/style content are data nodes (excluded from text())
         if parent.tag in RAWTEXT_TAGS:
-            parent.append(DataNode(data))
+            parent._append_build(DataNode(data))
             return
         if parent is self.body and not self._saw_body_content:
             if data.strip():
                 self._saw_body_content = True
             else:
                 return  # inter-element whitespace before body content
-        parent.append(TextNode(data))
+        parent._append_build(TextNode(data))
 
     def handle_comment(self, data: str) -> None:
         pass  # comments carry no text

@@ -58,17 +58,9 @@ def pii_scrub(
 
 
 def _shingle_col(text: Column, n: int) -> Column:
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    cnt = F.size(toks) - (n - 1)
-    return F.when(
-        cnt >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from .textstats import _word_ngrams
+
+    return F.array_distinct(_word_ngrams(text, n))
 
 
 def decontaminate(
@@ -127,9 +119,10 @@ def pack_sequences(
     — rather than a handful of coarse source labels; packing semantics
     stay deterministic (contiguous by id within shard) at any grain.
     """
-    toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    )
+    # null-safe: size(split(NULL)) would yield -1 and corrupt every
+    # cumulative sum after the null row
+    t = F.coalesce(F.trim(F.col(text_col)), F.lit(""))
+    toks = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
     w = (
         Window.partitionBy(shard_col)
         .orderBy(F.col(id_col).asc())

@@ -79,19 +79,29 @@ def resolve_config(argv=None, env=None):
         p.add_argument("--target-zone", default="UTC")
         args = p.parse_args(argv)
 
-        args.input = _env("INPUT_TABLE") or args.input
-        args.output = _env("OUTPUT_PATH") or args.output
-        args.profiles = _env("PAGE_PROFILE_DIRECTORY_PATH") or args.profiles
-        args.mode = _env("EXTRACT_MODE") or args.mode
-        args.now = _env("EXTRACT_NOW") or args.now
-        args.reanalysis_hours = (
-            _env("RE_ANALYSIS_INTERVAL", int) or args.reanalysis_hours
-        )
-        args.buckets = _env("EXTRACT_BUCKETS", int) or args.buckets
-        args.run_id = _env("EXTRACT_RUN_ID") or args.run_id
-        args.entries = _env("ENTRIES_TABLE") or args.entries
-        args.target_pattern = _env("TARGET_DATE_TIME_PATTERN") or args.target_pattern
-        args.target_zone = _env("TARGET_TIME_ZONE") or args.target_zone
+        def take(attr: str, var: str, cast=str) -> None:
+            # explicit None check: a SET env var always wins, including
+            # falsy-but-valid values like RE_ANALYSIS_INTERVAL=0
+            try:
+                v = _env(var, cast)
+            except ValueError:
+                p.error(f"env {var} is not a valid {cast.__name__}")
+            if v is not None:
+                setattr(args, attr, v)
+
+        take("input", "INPUT_TABLE")
+        take("output", "OUTPUT_PATH")
+        take("profiles", "PAGE_PROFILE_DIRECTORY_PATH")
+        take("mode", "EXTRACT_MODE")
+        take("now", "EXTRACT_NOW")
+        take("reanalysis_hours", "RE_ANALYSIS_INTERVAL", int)
+        take("buckets", "EXTRACT_BUCKETS", int)
+        take("run_id", "EXTRACT_RUN_ID")
+        take("entries", "ENTRIES_TABLE")
+        take("target_pattern", "TARGET_DATE_TIME_PATTERN")
+        take("target_zone", "TARGET_TIME_ZONE")
+        if args.mode not in ("all", "new", "existing"):
+            p.error(f"invalid mode '{args.mode}' (all|new|existing)")
         missing = [k for k in ("input", "output", "profiles")
                    if not getattr(args, k)]
         if missing:

@@ -64,6 +64,26 @@ class TestJobConfigResolution:
         assert (args.input, args.output, args.profiles) == ("t", "o", "p")
         assert args.reanalysis_hours == 48  # defaults still apply
 
+    def test_falsy_env_value_still_wins(self):
+        from jobs.extract_job import resolve_config
+
+        args = resolve_config(
+            ["--input", "i", "--output", "o", "--profiles", "p"],
+            env={"RE_ANALYSIS_INTERVAL": "0"},
+        )
+        assert args.reanalysis_hours == 0  # 0 is valid: re-analyze always
+
+    def test_env_values_are_validated(self):
+        import pytest
+
+        from jobs.extract_job import resolve_config
+
+        base = ["--input", "i", "--output", "o", "--profiles", "p"]
+        with pytest.raises(SystemExit):
+            resolve_config(base, env={"EXTRACT_MODE": "bogus"})
+        with pytest.raises(SystemExit):
+            resolve_config(base, env={"RE_ANALYSIS_INTERVAL": "abc"})
+
     def test_missing_required_errors(self):
         import pytest
 

@@ -142,6 +142,42 @@ def test_clone_equals_reparse():
     assert span.clone().text() == "a b"   # cloned out: normalized
 
 
+def test_clone_preserve_cascades_to_all_depths():
+    """Regression: clone used to build grandchildren before appending
+    the child, so preserve inheritance stopped at depth 1 and code-block
+    markup (pre>span>b) lost its whitespace vs the re-parse reference."""
+    doc = parse("<pre><span><b>a  b</b></span></pre>")
+    pre = select_first(doc, "pre")
+    assert pre.clone().text() == parse(pre.outer_html()).text() == "a  b"
+    # cloned OUT of the pre: root is span -> collapse, like re-parse
+    span = select_first(doc, "span")
+    assert span.clone().text() == parse(span.outer_html()).text() == "a b"
+
+
+def test_extract_content_deep_pre_descendant_matches_reparse():
+    """Regression: the no-exclude fast path guarded on a 6-level
+    ancestor walk, so elements >6 below a <pre> kept preserved
+    whitespace where the reference outerHtml re-parse collapses it."""
+    from content_extractor_spark.kernel.analyzer import extract_content
+
+    html = ("<pre>" + "<span>" * 7 + "<em id='t'>a  b</em>"
+            + "</span>" * 7 + "</pre>")
+    doc = parse(html)
+    want = parse(select_first(doc, "#t").outer_html()).text()
+    assert extract_content(doc, "#t", None) == want == "a b"
+    # and a pre-ish element selected directly keeps its whitespace
+    assert extract_content(doc, "pre", None) == "a  b"
+
+
+def test_select_after_append_sees_new_element():
+    from content_extractor_spark.kernel.dom import Element
+
+    doc = parse("<div><p>x</p></div>")
+    assert len(select(doc, "p")) == 1  # builds + caches the index
+    select_first(doc, "div").append(Element("p"))
+    assert len(select(doc, "p")) == 2  # append invalidated the cache
+
+
 def test_select_after_removal_uses_fresh_index():
     doc = parse("<div><p class='ad'>x</p><p class='ad'>y</p><p>z</p></div>")
     ads = select(doc, "p.ad")

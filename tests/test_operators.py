@@ -504,6 +504,19 @@ class TestCuration:
         }
         assert out == {("s", 0): (2, 12), ("s", 1): (1, 6), ("t", 0): (1, 2)}
 
+    def test_pack_sequences_null_text_counts_zero(self, spark):
+        from content_extractor_spark.operators.curation import pack_sequences
+
+        rows = [("s", 1, "a b c d e f"), ("s", 2, None), ("s", 3, "g h i j k l")]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        out = {
+            (r["source"], r["pack_id"]): (r["n_docs"], r["n_tokens"])
+            for r in pack_sequences(df, seq_len=10).collect()
+        }
+        # null doc contributes 0 tokens (never -1): starts at 0,6,6 ->
+        # all pack 0 with 12 tokens (the -1 bug would report 11)
+        assert out == {("s", 0): (3, 12)}
+
     def test_train_val_split_deterministic(self, spark):
         from content_extractor_spark.operators.curation import train_val_split
 
