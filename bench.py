@@ -234,7 +234,7 @@ def main():
 # best clean-run times observed this round (quiet box, min-of-k); the
 # VM's noisy neighbors make single runs swing up to 3x, so the file
 # below always reports the latest run AND this best-known reference
-_BEST_KNOWN = {2: 68.88, 8: 17.84, 32: 6.31}
+_BEST_KNOWN = {2: 68.28, 8: 17.71, 32: 6.31}
 
 
 def _write_baseline_md(n_docs, summary, scaling):
