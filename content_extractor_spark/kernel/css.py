@@ -41,7 +41,6 @@ _token_re = re.compile(
       | (?P<attr>\[\s*(?P<attr_k>[-\w:]+)\s*(?:(?P<attr_op>[~^$*|!]?=)\s*
             (?:"(?P<attr_dq>[^"]*)"|'(?P<attr_sq>[^']*)'|(?P<attr_uq>[^\]]*?))\s*)?\])
       | :(?P<pseudo>[a-zA-Z][a-zA-Z-]*)
-            (?:\((?P<pseudo_arg>(?:[^()]|\([^()]*\))*)\))?
       | (?P<tag>%(id)s)
       | (?P<star>\*)
     )"""
@@ -56,6 +55,36 @@ _SUPPORTED_PSEUDOS = frozenset(
         "first-child", "last-child", "nth-child", "empty",
     ]
 )
+
+
+def _chomp_balanced(q: str, pos: int, query: str):
+    """Consume a balanced (...) group starting at q[pos] == '(' —
+    jsoup TokenQueue.chompBalanced: arbitrary nesting depth, backslash
+    escapes don't count toward balance. Returns (arg, next_pos)."""
+    depth = 0
+    i = pos
+    n = len(q)
+    while i < n:
+        c = q[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return q[pos + 1 : i], i + 1
+        i += 1
+    raise SelectorParseError(f"unbalanced '(' in '{query}' at {pos}")
+
+
+def _unwrap_quotes(a: str) -> str:
+    """Unwrap ONE balanced surrounding quote pair (jsoup behavior) —
+    never strip quote characters that are part of the search text."""
+    if len(a) >= 2 and a[0] == a[-1] and a[0] in "'\"":
+        return a[1:-1]
+    return a
 
 
 class _Simple:
@@ -152,11 +181,11 @@ def _pseudo_matches(el: Element, name: str, arg: Optional[str]) -> bool:
             for c in el.children
         )
     if name == "contains":
-        needle = (arg or "").strip("'\"").lower()
+        needle = _unwrap_quotes(arg or "").lower()
         return needle in el.text().lower()
     if name == "containsown":
         # jsoup :containsOwn — case-insensitive over ownText()
-        needle = (arg or "").strip("'\"").lower()
+        needle = _unwrap_quotes(arg or "").lower()
         return needle in el.own_text().lower()
     if name in ("matches", "matchesown"):
         # jsoup :matches/:matchesOwn — Pattern.find over text()/ownText().
@@ -314,7 +343,12 @@ def _parse(query: str) -> List[_Chain]:
             pname = m.group("pseudo").lower()
             if pname not in _SUPPORTED_PSEUDOS:
                 raise SelectorParseError(f"unsupported pseudo ':{pname}'")
-            current.pseudos.append((pname, m.group("pseudo_arg")))
+            arg = None
+            if pos < len(q) and q[pos] == "(":
+                # balanced-paren scan (arbitrary nesting — regex args
+                # like (?:(20)\d\d) exceed any fixed-depth pattern)
+                arg, pos = _chomp_balanced(q, pos, query)
+            current.pseudos.append((pname, arg))
         elif m.group("attr"):
             name = m.group("attr_k").lower()
             op = m.group("attr_op")
@@ -385,14 +419,17 @@ def _candidates(root: Element, chains: List[_Chain]):
     if len(chains) != 1:
         return None  # comma groups: keep the plain walk (global order)
     last = chains[0].parts[-1][1]
+    # check selectivity BEFORE touching the index: attribute-/pseudo-
+    # only selectors fall back to one full walk, not index-build + walk
+    if not (last.ids or last.classes
+            or (last.tag is not None and last.tag != "*")):
+        return None
     by_tag, by_cls, by_id = _index(root)
     if last.ids:
         return by_id.get(last.ids[0], ())
     if last.classes:
         return by_cls.get(last.classes[0], ())
-    if last.tag is not None and last.tag != "*":
-        return by_tag.get(last.tag, ())
-    return None
+    return by_tag.get(last.tag, ())
 
 
 def select(root: Element, query: str) -> List[Element]:

@@ -234,6 +234,29 @@ class TestPseudoSelectors:
         # div.text() contains 42, but ownText() doesn't
         assert [e.tag for e in select(doc, ":matchesOwn(\\d+)")] == ["span"]
 
+    def test_matches_nested_group_regex(self):
+        """Regression: the tokenizer's fixed-depth arg pattern rejected
+        regexes with nested groups, silently turning profile conditions
+        into profile_miss (jsoup chompBalanced allows any depth)."""
+        doc = parse("<p>year 2021 here</p><p>none</p>")
+        els = select(doc, "p:matches((?:(20)\\d\\d))")
+        assert len(els) == 1 and "2021" in els[0].text()
+        assert select_first(doc, "div:has(p:matches((?:x|(y))z))") is None
+
+    def test_unbalanced_paren_fails_loud(self):
+        doc = parse("<p>x</p>")
+        with pytest.raises(SelectorParseError):
+            select(doc, "p:matches((abc)")
+
+    def test_contains_keeps_literal_quotes(self):
+        """Regression: strip(quote-chars) mangled needles that start or
+        end with a quote; only ONE balanced surrounding pair unwraps."""
+        doc = parse("<p>rock 'til dawn</p><p>til dawn</p>")
+        els = select(doc, "p:contains('til dawn)")
+        assert len(els) == 1 and "'til" in els[0].text()
+        # one balanced pair still unwraps
+        assert len(select(doc, "p:contains('til dawn')")) == 2
+
     def test_matches_bad_regex_fails_loud(self):
         doc = parse("<p>x</p>")
         with pytest.raises(SelectorParseError):
