@@ -128,9 +128,12 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content/date/tags/n_spans are all SQL-reconstructible);
     # content_hash (Scala Tuple4 hashCode, not SQL-expressible) is
     # value-pinned separately by tests/test_kernel_dates_hash_url.py
+    # tags is projected as a joined scalar (not array<string>): the
+    # driver's pandas-based canonicalizer sorts every column and cannot
+    # factorize list cells (r2: "unhashable type: 'list'").
     return out.select(
         "doc_id", "status", "profile_name", "title", "summary", "date",
-        "tags", "content",
+        F.concat_ws("|", "tags").alias("tags_s"), "content",
         F.size(F.coalesce(F.col("spans"), F.array())).alias("n_spans"),
     )
 
@@ -1021,7 +1024,7 @@ def oracle_sql() -> dict[str, str]:
                    trim(substr(text, 1, 80)) AS summary,
                    '2021-07-0' || (doc_id % 9 + 1)::varchar
                        || 'T12:00:00Z' AS date,
-                   [lang, source] AS tags,
+                   lang || '|' || source AS tags_s,
                    substr(text, 1, 80) || 'x ' || text AS content,
                    6 AS n_spans
             FROM documents
@@ -1576,7 +1579,8 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS session_idx
               FROM flagged
             )
-            SELECT user_id, session_idx, count(*) AS n_events,
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
             FROM sess GROUP BY user_id, session_idx

@@ -4,6 +4,19 @@ Runs every `queries()` entry at sf0.01 on Spark, runs the matching
 `oracle_sql()` through DuckDB on the same parquet tables, and compares
 row count + schema (column names) + order-insensitive values.
 
+The comparison deliberately mirrors the driver's pandas-based
+canonicalizer, which is STRICTER than a tolerant stringify:
+
+* both sides are materialized as pandas DataFrames (``toPandas()`` /
+  ``fetchdf()``), so dtype artifacts are preserved — e.g. DuckDB's
+  HUGEINT windowed sums arrive as float64 ``11.0`` while Spark emits
+  int64 ``11``; those must NOT compare equal (they hash-mismatch on
+  the driver — seen in round 2's ``sessionize_events``),
+* list/array-typed output columns are rejected LOUDLY: the driver's
+  ``sort_values`` over all columns cannot factorize list cells
+  (round 2's ``extract_spans``: ``unhashable type: 'list'``), so we
+  raise the same way instead of stringifying them.
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
@@ -25,35 +38,46 @@ TABLES = (
 ).split()
 
 
-def canon_value(v):
+class UnsortableOutput(Exception):
+    """A query projected a column the driver's canonicalizer rejects."""
+
+
+def _cell_str(v):
+    """Dtype-preserving cell canonicalization (no float collapsing)."""
+    import numpy as np
+
     if v is None:
         return "\x00NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # driver-style canonicalization: repr with limited precision
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    try:
-        import datetime
-
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            return v.isoformat()
-    except Exception:
-        pass
+    if isinstance(v, float) and math.isnan(v):
+        return "\x00NULL"
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        # mirror the driver: pandas sort_values raises on list cells
+        raise UnsortableOutput(
+            f"unhashable type: {type(v).__name__!r} — project scalars only "
+            "(e.g. concat_ws the array); the driver's canonicalizer "
+            "cannot sort list-typed columns"
+        )
+    if isinstance(v, np.bool_):
+        return str(bool(v))
+    # str() keeps the dtype visible: float64 11.0 -> '11.0', int64 11
+    # -> '11' (exactly the distinction the driver's hash sees)
     return str(v)
 
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(canon_value(r[i]) for i in order))
-    out.sort()
-    return [cols[i] for i in order], out
+def canon_pandas(pdf):
+    """Sorted-columns, sorted-rows, dtype-preserving canonical rows.
+
+    Replicates the driver: sort columns by name, pandas ``sort_values``
+    over all columns (which raises on list cells), then stringify each
+    cell without dtype collapsing.
+    """
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = []
+    for tup in pdf.itertuples(index=False, name=None):
+        rows.append(tuple(_cell_str(v) for v in tup))
+    rows.sort()
+    return cols, rows
 
 
 def main():
@@ -83,29 +107,38 @@ def main():
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as exc:
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
             continue
         spark_sec = time.monotonic() - t0
+        try:
+            sc, sr = canon_pandas(spdf)
+        except UnsortableOutput as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark output not canonicalizable: {exc}")
+            continue
         if name not in oracles:
-            print(f"SKIP-ORACLE {name}: rows={len(srows)} ({spark_sec:.1f}s, rows-only check)")
-            if len(srows) == 0:
+            print(
+                f"SKIP-ORACLE {name}: rows={len(sr)} "
+                f"({spark_sec:.1f}s, rows-only check)"
+            )
+            if len(sr) == 0:
                 failures.append(name)
                 print(f"FAIL {name}: zero rows from spark")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).fetchdf()
+            dc, dr = canon_pandas(dpdf)
+        except UnsortableOutput as exc:
+            failures.append(name)
+            print(f"FAIL {name}: oracle output not canonicalizable: {exc}")
+            continue
         except Exception as exc:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
-        sc, sr = canon_rows(scols, srows)
-        dc, dr = canon_rows(dcols, drows)
         status = []
         if len(sr) != len(dr):
             status.append(f"rowcount {len(sr)} vs {len(dr)}")
