@@ -52,7 +52,11 @@ _token_re = re.compile(
 _SUPPORTED_PSEUDOS = frozenset(
     [
         "has", "not", "contains", "containsown", "matches", "matchesown",
-        "first-child", "last-child", "nth-child", "empty",
+        "first-child", "last-child", "nth-child", "nth-last-child",
+        "first-of-type", "last-of-type", "nth-of-type", "nth-last-of-type",
+        "only-child", "only-of-type", "empty", "root",
+        # jsoup index pseudos (Selector.java): 0-based sibling index
+        "eq", "gt", "lt",
     ]
 )
 
@@ -60,21 +64,29 @@ _SUPPORTED_PSEUDOS = frozenset(
 def _chomp_balanced(q: str, pos: int, query: str):
     """Consume a balanced (...) group starting at q[pos] == '(' —
     jsoup TokenQueue.chompBalanced: arbitrary nesting depth, backslash
-    escapes don't count toward balance. Returns (arg, next_pos)."""
+    escapes don't count toward balance, and parens inside quoted
+    strings are ignored (jsoup tracks single/double quote state, so
+    :contains(')') parses). Returns (arg, next_pos)."""
     depth = 0
     i = pos
     n = len(q)
+    in_single = in_double = False
     while i < n:
         c = q[i]
         if c == "\\":
             i += 2
             continue
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                return q[pos + 1 : i], i + 1
+        if c == "'" and not in_double:
+            in_single = not in_single
+        elif c == '"' and not in_single:
+            in_double = not in_double
+        elif not in_single and not in_double:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return q[pos + 1 : i], i + 1
         i += 1
     raise SelectorParseError(f"unbalanced '(' in '{query}' at {pos}")
 
@@ -85,6 +97,53 @@ def _unwrap_quotes(a: str) -> str:
     if len(a) >= 2 and a[0] == a[-1] and a[0] in "'\"":
         return a[1:-1]
     return a
+
+
+def _unescape(a: str) -> str:
+    """jsoup TokenQueue.unescape — drop one level of backslash escaping
+    (applied to :contains args, NOT to :matches regexes)."""
+    if "\\" not in a:
+        return a
+    out = []
+    i = 0
+    n = len(a)
+    while i < n:
+        c = a[i]
+        if c == "\\" and i + 1 < n:
+            i += 1
+            c = a[i]
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_NTH_RE = re.compile(r"^(?:([+-]?\d*)n([+-]\d+)?|([+-]?\d+))$")
+
+
+def _parse_nth(arg: Optional[str], pseudo: str):
+    """an+b argument of :nth-*() — jsoup QueryParser.cssNthChild subset
+    (odd/even/an+b/b). Returns (a, b)."""
+    s = (arg or "").strip().lower().replace(" ", "")
+    if s == "odd":
+        return 2, 1
+    if s == "even":
+        return 2, 0
+    m = _NTH_RE.match(s)
+    if m is None:
+        raise SelectorParseError(f"unsupported :{pseudo} arg '{arg}'")
+    if m.group(3) is not None:
+        return 0, int(m.group(3))
+    a_txt = m.group(1)
+    a = 1 if a_txt in ("", "+") else -1 if a_txt == "-" else int(a_txt)
+    b = int(m.group(2)) if m.group(2) else 0
+    return a, b
+
+
+def _nth_matches(pos: int, a: int, b: int) -> bool:
+    """jsoup CssNthEvaluator.matches: pos is 1-based."""
+    if a == 0:
+        return pos == b
+    return (pos - b) * a >= 0 and (pos - b) % a == 0
 
 
 class _Simple:
@@ -99,7 +158,7 @@ class _Simple:
         self.attrs: List[tuple] = []  # (name, op, value)
         self.pseudos: List[tuple] = []  # (name, arg)
 
-    def matches(self, el: Element) -> bool:
+    def matches(self, el: Element, root: Optional[Element] = None) -> bool:
         if self.tag is not None and self.tag != "*" and el.tag != self.tag:
             return False
         for i in self.ids:
@@ -141,7 +200,7 @@ class _Simple:
                 if actual == v:
                     return False
         for name, arg in self.pseudos:
-            if not _pseudo_matches(el, name, arg):
+            if not _pseudo_matches(el, name, arg, root):
                 return False
         return True
 
@@ -152,7 +211,10 @@ def _element_siblings(el: Element):
     return [c for c in el.parent.children if isinstance(c, Element)]
 
 
-def _pseudo_matches(el: Element, name: str, arg: Optional[str]) -> bool:
+def _pseudo_matches(
+    el: Element, name: str, arg: Optional[str],
+    root: Optional[Element] = None,
+) -> bool:
     """jsoup pseudo-selector subset (Selector.java dialect)."""
     if name == "first-child":
         sibs = _element_siblings(el)
@@ -160,18 +222,47 @@ def _pseudo_matches(el: Element, name: str, arg: Optional[str]) -> bool:
     if name == "last-child":
         sibs = _element_siblings(el)
         return bool(sibs) and sibs[-1] is el
-    if name == "nth-child":
-        sibs = _element_siblings(el)
-        a = (arg or "").strip().lower()
-        idx = sibs.index(el) + 1 if el in sibs else 0
-        if a == "even":
-            return idx % 2 == 0
-        if a == "odd":
-            return idx % 2 == 1
+    if name in ("eq", "gt", "lt"):
+        # jsoup :eq/:gt/:lt (Evaluator.IndexEquals/-Greater/-Less):
+        # 0-based index among ELEMENT siblings, not result-set index
         try:
-            return idx == int(a)
+            n = int((arg or "").strip())
         except ValueError:
-            raise SelectorParseError(f"unsupported nth-child arg '{arg}'")
+            raise SelectorParseError(f"bad :{name} index '{arg}'")
+        idx = _element_siblings(el).index(el)
+        if name == "eq":
+            return idx == n
+        return idx > n if name == "gt" else idx < n
+    if name in ("first-of-type", "last-of-type", "only-of-type"):
+        sibs = [s for s in _element_siblings(el) if s.tag == el.tag]
+        if name == "only-of-type":
+            return len(sibs) == 1
+        return (sibs[0] if name == "first-of-type" else sibs[-1]) is el
+    if name == "only-child":
+        sibs = _element_siblings(el)
+        return len(sibs) == 1 and sibs[0] is el
+    if name in ("nth-child", "nth-last-child",
+                "nth-of-type", "nth-last-of-type"):
+        sibs = _element_siblings(el)
+        if name.endswith("of-type"):
+            sibs = [s for s in sibs if s.tag == el.tag]
+        pos = sibs.index(el) + 1
+        if "last" in name:
+            pos = len(sibs) - pos + 1
+        a, b = _parse_nth(arg, name)
+        return _nth_matches(pos, a, b)
+    if name == "root":
+        # jsoup Evaluator.IsRoot: the evaluation root itself, or the
+        # Document's first element child when selecting from a Document
+        if root is not None:
+            r = root
+            if r.tag.startswith("#"):
+                r = next(
+                    (c for c in r.children if isinstance(c, Element)), None
+                )
+            return el is r
+        p = el.parent
+        return p is None or p.tag.startswith("#")
     if name == "empty":
         from .dom import TextNode
 
@@ -181,11 +272,13 @@ def _pseudo_matches(el: Element, name: str, arg: Optional[str]) -> bool:
             for c in el.children
         )
     if name == "contains":
-        needle = _unwrap_quotes(arg or "").lower()
+        # jsoup unescapes :contains args (TokenQueue.unescape), then
+        # strips one balanced surrounding quote pair
+        needle = _unwrap_quotes(_unescape(arg or "")).lower()
         return needle in el.text().lower()
     if name == "containsown":
         # jsoup :containsOwn — case-insensitive over ownText()
-        needle = _unwrap_quotes(arg or "").lower()
+        needle = _unwrap_quotes(_unescape(arg or "")).lower()
         return needle in el.own_text().lower()
     if name in ("matches", "matchesown"):
         # jsoup :matches/:matchesOwn — Pattern.find over text()/ownText().
@@ -197,13 +290,13 @@ def _pseudo_matches(el: Element, name: str, arg: Optional[str]) -> bool:
         return rx.search(hay) is not None
     if name == "not":
         chains = _parse(arg or "")
-        return not any(ch.matches(el) for ch in chains)
+        return not any(ch.matches(el, root) for ch in chains)
     if name == "has":
         chains = _parse(arg or "")
         for d in el.iter_elements():
             if d is el:
                 continue
-            if any(ch.matches(d) for ch in chains):
+            if any(ch.matches(d, root) for ch in chains):
                 return True
         return False
     raise SelectorParseError(f"unsupported pseudo ':{name}'")
@@ -218,14 +311,17 @@ class _Chain:
         # parts: [(combinator_to_previous, _Simple)], first combinator is None
         self.parts = parts
 
-    def matches(self, el: Element) -> bool:
-        return self._matches_at(el, len(self.parts) - 1)
+    def matches(self, el: Element, root: Optional[Element] = None) -> bool:
+        return self._matches_at(el, len(self.parts) - 1, root)
 
-    def _matches_at(self, el: Optional[Element], idx: int) -> bool:
+    def _matches_at(
+        self, el: Optional[Element], idx: int,
+        root: Optional[Element] = None,
+    ) -> bool:
         if el is None:
             return False
         comb, simple = self.parts[idx]
-        if not simple.matches(el):
+        if not simple.matches(el, root):
             return False
         if idx == 0:
             return True
@@ -233,19 +329,19 @@ class _Chain:
         if prev_comb == " ":
             anc = el.parent
             while anc is not None:
-                if self._matches_at(anc, idx - 1):
+                if self._matches_at(anc, idx - 1, root):
                     return True
                 anc = anc.parent
             return False
         if prev_comb == ">":
-            return self._matches_at(el.parent, idx - 1)
+            return self._matches_at(el.parent, idx - 1, root)
         if prev_comb == "+":
             sib = _prev_element_sibling(el)
-            return self._matches_at(sib, idx - 1) if sib else False
+            return self._matches_at(sib, idx - 1, root) if sib else False
         if prev_comb == "~":
             sib = _prev_element_sibling(el)
             while sib is not None:
-                if self._matches_at(sib, idx - 1):
+                if self._matches_at(sib, idx - 1, root):
                     return True
                 sib = _prev_element_sibling(sib)
             return False
@@ -443,7 +539,7 @@ def select(root: Element, query: str) -> List[Element]:
         if el.tag.startswith("#"):
             continue  # document pseudo-root
         for chain in chains:
-            if chain.matches(el):
+            if chain.matches(el, root):
                 out.append(el)
                 break
     return out
@@ -458,6 +554,6 @@ def select_first(root: Element, query: str) -> Optional[Element]:
         if el.tag.startswith("#"):
             continue
         for chain in chains:
-            if chain.matches(el):
+            if chain.matches(el, root):
                 return el
     return None

@@ -239,8 +239,31 @@ def _last_key_sep(out: List[str]) -> str:
     return ""
 
 
+class UnsupportedHoconError(ValueError):
+    """The profile uses HOCON features beyond the supported subset."""
+
+
+_HOCON_UNSUPPORTED = re.compile(
+    r"""(?mx)
+      ^\s*include[\s("]        # file inclusion
+    | \$\{[^}]*\}              # ${substitution} (incl. ?optional)
+    """
+)
+
+
 def load_profile_hocon(path: str) -> ProfileConfig:
     text = Path(path).read_text(encoding="utf-8")
+    # typesafe-config `include` and ${substitution} are legal in files
+    # the reference loads (ProfileConfig.scala:342-355) but outside this
+    # parser's subset — fail LOUDLY instead of regex-mangling silently
+    m = _HOCON_UNSUPPORTED.search(text)
+    if m:
+        raise UnsupportedHoconError(
+            f"{path}: HOCON feature {m.group(0).strip()!r} is not "
+            "supported by the subset parser (no `include`, no "
+            "${substitution}); inline the values or convert the "
+            "profile to JSON"
+        )
     # normalize newline-separated members to JSON commas
     jsonish = _hocon_to_json_text(text)
     jsonish = re.sub(r'"\s*\n\s*"', '",\n"', jsonish)

@@ -62,7 +62,10 @@ def plan_actions(
         # `sameAmount` (misnamed) = sizes differ; `nothingChanged`
         # (misnamed) = exists a scraped tag not in existing (scraped
         # None -> existing non-empty). Changed = both.
-        sizes_differ = F.size(e) != F.coalesce(F.size(s), F.lit(0))
+        # explicit null handling: size(NULL) is -1 under legacy conf
+        # (and NULL under ANSI), so spell out "null counts as 0" rather
+        # than relying on spark.sql.legacy.sizeOfNull
+        sizes_differ = F.size(e) != F.when(s.isNull(), F.lit(0)).otherwise(F.size(s))
         some_missing = F.when(s.isNull(), F.size(e) > 0).otherwise(
             F.size(F.array_except(s, e)) > 0
         )

@@ -132,7 +132,7 @@ def _decode_spans_columnar(arr: pa.Array):
     texts = values.field("text").to_pylist()
     offs = values.field("offset").to_pylist()
     bounds = arr.offsets.to_pylist()
-    valid = [arr.is_valid(i) for i in range(len(arr))] if arr.null_count else None
+    valid = arr.is_valid().to_pylist() if arr.null_count else None
     out = []
     for i in range(len(arr)):
         if valid is not None and not valid[i]:

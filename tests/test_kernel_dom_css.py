@@ -249,13 +249,66 @@ class TestPseudoSelectors:
             select(doc, "p:matches((abc)")
 
     def test_contains_keeps_literal_quotes(self):
-        """Regression: strip(quote-chars) mangled needles that start or
-        end with a quote; only ONE balanced surrounding pair unwraps."""
+        """jsoup semantics: escaped quotes are literal text; only ONE
+        balanced surrounding pair unwraps; an UNbalanced quote leaves
+        the paren group open (chompBalanced quote state) and fails."""
         doc = parse("<p>rock 'til dawn</p><p>til dawn</p>")
-        els = select(doc, "p:contains('til dawn)")
+        els = select(doc, "p:contains(\\'til dawn)")
         assert len(els) == 1 and "'til" in els[0].text()
         # one balanced pair still unwraps
         assert len(select(doc, "p:contains('til dawn')")) == 2
+        # unbalanced quote = unbalanced marker (jsoup raises here too)
+        with pytest.raises(SelectorParseError):
+            select(doc, "p:contains('til dawn)")
+
+    def test_contains_quoted_paren(self):
+        """jsoup chompBalanced ignores parens inside quoted strings, so
+        :contains(')') is parseable (ADVICE r2)."""
+        doc = parse("<p>a ) b</p><p>plain</p>")
+        els = select(doc, "p:contains(')')")
+        assert len(els) == 1 and ")" in els[0].text()
+        els = select(doc, 'p:contains("(x")')
+        assert els == []
+
+    def test_index_pseudos(self):
+        """jsoup :eq/:gt/:lt — 0-based index among element siblings."""
+        doc = parse("<ul><li>a</li><li>b</li><li>c</li><li>d</li></ul>")
+        assert [e.text() for e in select(doc, "li:eq(1)")] == ["b"]
+        assert [e.text() for e in select(doc, "li:gt(1)")] == ["c", "d"]
+        assert [e.text() for e in select(doc, "li:lt(2)")] == ["a", "b"]
+        # sibling index, NOT result-set index: filtering doesn't renumber
+        doc2 = parse("<div><p>skip</p><span>x</span><span>y</span></div>")
+        assert [e.text() for e in select(doc2, "span:eq(1)")] == ["x"]
+        with pytest.raises(SelectorParseError):
+            select(doc, "li:eq(x)")
+
+    def test_of_type_pseudos(self):
+        doc = parse(
+            "<div><p>p1</p><span>s1</span><p>p2</p><span>s2</span>"
+            "<em>only</em></div>"
+        )
+        assert [e.text() for e in select(doc, "p:first-of-type")] == ["p1"]
+        assert [e.text() for e in select(doc, "p:last-of-type")] == ["p2"]
+        assert [e.text() for e in select(doc, "div :only-of-type")] == ["only"]
+        assert [e.text() for e in select(doc, "span:nth-of-type(2)")] == ["s2"]
+        assert [e.text() for e in select(doc, "p:nth-last-of-type(1)")] == ["p2"]
+
+    def test_nth_child_an_plus_b(self):
+        doc = parse("<ul>" + "".join(f"<li>{i}</li>" for i in range(1, 9)) + "</ul>")
+        assert [e.text() for e in select(doc, "li:nth-child(3n+1)")] == ["1", "4", "7"]
+        assert [e.text() for e in select(doc, "li:nth-child(-n+3)")] == ["1", "2", "3"]
+        assert [e.text() for e in select(doc, "li:nth-last-child(2)")] == ["7"]
+        assert [e.text() for e in select(doc, "li:only-child")] == []
+        with pytest.raises(SelectorParseError):
+            select(doc, "li:nth-child(frog)")
+
+    def test_root_pseudo(self):
+        doc = parse("<html><body><p>x</p></body></html>")
+        assert [e.tag for e in select(doc, ":root")] == ["html"]
+        # selecting from a sub-element: that element is the root (jsoup
+        # Evaluator.IsRoot on a non-Document root)
+        body = select_first(doc, "body")
+        assert [e.tag for e in select(body, ":root")] == ["body"]
 
     def test_matches_bad_regex_fails_loud(self):
         doc = parse("<p>x</p>")

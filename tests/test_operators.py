@@ -713,3 +713,49 @@ class TestMultimodal:
         out = {r["media_ref"]: r for r in extract_image_features(df).collect()}
         assert (out["p1"]["fmt"], out["p1"]["width"], out["p1"]["height"]) == ("png", 7, 9)
         assert out["t1"]["fmt"] is None and out["t1"]["width"] is None
+
+
+class TestColumnarSpanDecode:
+    """Direct unit tests of the Arrow fast-path decoder (no Spark)."""
+
+    SPAN_T = None
+
+    def _arr(self, rows):
+        import pyarrow as pa
+
+        span_t = pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]
+        )
+        return pa.array(rows, type=pa.list_(span_t))
+
+    def test_null_row_fast_path(self):
+        """Regression (ADVICE r2): Array.is_valid() takes no index arg;
+        a null spans row must run through the COLUMNAR path, not fall
+        back to to_pylist."""
+        from content_extractor_spark.operators.extract import (
+            _decode_spans_columnar,
+        )
+
+        arr = self._arr([
+            [{"kind": "text", "text": "ab", "media_ref": None, "offset": 0},
+             {"kind": "media", "text": None, "media_ref": "m1", "offset": 1},
+             {"kind": "text", "text": "cd", "media_ref": None, "offset": 2}],
+            None,
+            [{"kind": "text", "text": "z", "media_ref": None, "offset": 0}],
+        ])
+        assert arr.null_count == 1
+        out = _decode_spans_columnar(arr)
+        assert out == [("abcd", 3, 1), ("", 0, 0), ("z", 1, 0)]
+
+    def test_no_null_rows(self):
+        from content_extractor_spark.operators.extract import (
+            _decode_spans_columnar,
+        )
+
+        arr = self._arr([
+            [{"kind": "text", "text": "b", "media_ref": None, "offset": 1},
+             {"kind": "text", "text": "a", "media_ref": None, "offset": 0}],
+        ])
+        # offset-ordered reassembly regardless of physical order
+        assert _decode_spans_columnar(arr) == [("ab", 2, 0)]

@@ -160,3 +160,27 @@ def test_normalize_host():
     assert normalize_host("https://www.coverified.info/") == "www.coverified.info"
     assert normalize_host("www.x.de/path") == "www.x.de"
     assert normalize_host("HTTP://UPPER.DE") == "upper.de"
+
+
+def test_unsupported_hocon_fails_loud(tmp_path):
+    """`include` and ${substitution} are legal typesafe-config that the
+    subset parser cannot honor — they must raise, never silently mangle
+    (VERDICT r2 #10)."""
+    import pytest
+
+    from content_extractor_spark.kernel.profiles import (
+        UnsupportedHoconError,
+        load_profile_hocon,
+    )
+
+    inc = tmp_path / "inc.conf"
+    inc.write_text('include "base.conf"\nprofile { hostname = "x.de" }\n')
+    with pytest.raises(UnsupportedHoconError, match="include"):
+        load_profile_hocon(str(inc))
+
+    sub = tmp_path / "sub.conf"
+    sub.write_text(
+        'profile { hostname = ${base.host}\n pageTypes = [] }\n'
+    )
+    with pytest.raises(UnsupportedHoconError, match="substitution"):
+        load_profile_hocon(str(sub))
