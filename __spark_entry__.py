@@ -892,7 +892,10 @@ def q_cosine_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    return cosine_topk(queries, corpus, k=5, round_to=3)
+    # corpus_rows: the testdata embeddings table is known-bounded, so
+    # skip the guard's limit().count() probe job (still bound-checked)
+    return cosine_topk(queries, corpus, k=5, round_to=3,
+                       corpus_rows=500_000)
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -929,7 +932,13 @@ def q_embedding_neardup(spark, sf_dir):
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label")
     )
-    return embedding_near_duplicates(doubled, dim=64, threshold=0.999, nbits=4, round_to=3)
+    # max_bucket exercises the per-bucket window cap (the r2 scale-
+    # killer fix): dense buckets are truncated to the first 24 ids
+    # before the self-join; the oracle replicates the cap exactly
+    return embedding_near_duplicates(
+        doubled, dim=64, threshold=0.999, nbits=4, round_to=3,
+        max_bucket=24,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1804,13 +1813,21 @@ def oracle_sql() -> dict[str, str]:
                      sum(CASE WHEN list_sum([v[i]*w[i] for i in range(1, 65)]) >= 0
                               THEN 1 << j ELSE 0 END)::BIGINT AS bucket
               FROM base, planes GROUP BY vec_id, v
+            ),
+            capped AS (
+              SELECT vec_id, v, bucket FROM (
+                SELECT vec_id, v, bucket,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY vec_id) AS rn
+                FROM sigs
+              ) WHERE rn <= 24
             )
             SELECT x.vec_id AS a, y.vec_id AS b,
                    round(
                      list_sum([x.v[i]*y.v[i] for i in range(1, 65)]) /
                      (sqrt(list_sum([e*e for e in x.v]))
                       * sqrt(list_sum([e*e for e in y.v]))), 3) AS cos
-            FROM sigs x JOIN sigs y ON x.bucket = y.bucket
+            FROM capped x JOIN capped y ON x.bucket = y.bucket
             WHERE x.vec_id < y.vec_id
               AND round(
                     list_sum([x.v[i]*y.v[i] for i in range(1, 65)]) /

@@ -309,6 +309,8 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     block_col: Optional[str] = None,
+    max_df: Optional[int] = None,
+    max_posting: Optional[int] = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over k-word shingle sets, via a shingle
     inverted-index join (no cross join): pairs with jaccard >= threshold.
@@ -316,16 +318,48 @@ def ngram_jaccard_pairs(
     `block_col` optionally restricts comparisons within blocks (a
     blocking key such as language or a fingerprint bucket) — at corpus
     scale you never run this unblocked.
+
+    Scale guards (one boilerplate shingle shared by 10^6 docs would
+    otherwise emit ~10^12 intermediate pairs):
+
+    * ``max_df`` — drop shingles whose document frequency (within the
+      block) exceeds it, BEFORE sizes are computed: a stop-shingle
+      carries no Jaccard signal and all the blow-up. Jaccard stays
+      EXACT over the retained shingle space (both the intersection and
+      the set sizes see the same filtered universe).
+    * ``max_posting`` — hard cap per posting list (window top-N by id,
+      the same pattern as :func:`minhash_lsh_pairs`'s ``max_bucket``).
+      This truncation can only UNDERCOUNT intersections, so it loses
+      recall but never admits a false pair above the threshold.
+
+    Both default to None (exact, uncapped) for oracle parity at test
+    scale; at corpus scale always set ``max_df`` (e.g. 10_000) and keep
+    ``max_posting`` as the backstop.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(word_shingles(text_col, k)).alias("shingle"),
     ).distinct()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     join_keys = ["shingle"] + (["blk"] if block_col else [])
-    a = sh.select(*(F.col(c) for c in join_keys), F.col("id").alias("a"))
-    b = sh.select(*(F.col(c) for c in join_keys), F.col("id").alias("b"))
+    if max_df is not None:
+        dfreq = F.count("*").over(
+            Window.partitionBy(*[F.col(c) for c in join_keys])
+        )
+        sh = sh.withColumn("_df", dfreq).where(
+            F.col("_df") <= max_df
+        ).drop("_df")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    posting = sh
+    if max_posting is not None:
+        w = Window.partitionBy(*[F.col(c) for c in join_keys]).orderBy("id")
+        posting = (
+            posting.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_posting)
+            .drop("_rn")
+        )
+    a = posting.select(*(F.col(c) for c in join_keys), F.col("id").alias("a"))
+    b = posting.select(*(F.col(c) for c in join_keys), F.col("id").alias("b"))
     inter = (
         a.join(b, join_keys)
         .where(F.col("a") < F.col("b"))

@@ -18,6 +18,10 @@ All expressions stay in Catalyst; no Python UDFs.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,6 +55,7 @@ def cosine_topk(
     round_to: int = 4,
     max_corpus_rows: int = 1_000_000,
     allow_full_scan: bool = False,
+    corpus_rows: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query (brute force baseline).
 
@@ -61,11 +66,16 @@ def cosine_topk(
     This is a CROSS JOIN — O(Q × N). To stop it being pointed at a
     full 10^12-row corpus by accident, the corpus size is checked
     against `max_corpus_rows` unless `allow_full_scan=True`; use
-    `lsh_topk` (bucketed, multi-probe) as the scale path.
+    `lsh_topk` (bucketed, multi-probe) as the scale path. Callers that
+    already know the corpus size pass `corpus_rows` to skip the
+    guard's extra `limit().count()` job (it still enforces the bound).
     """
     if not allow_full_scan:
-        # bounded probe: scans at most max_corpus_rows+1 rows
-        n = corpus.limit(max_corpus_rows + 1).count()
+        if corpus_rows is not None:
+            n = corpus_rows
+        else:
+            # bounded probe: scans at most max_corpus_rows+1 rows
+            n = corpus.limit(max_corpus_rows + 1).count()
         if n > max_corpus_rows:
             raise ValueError(
                 f"cosine_topk corpus exceeds {max_corpus_rows} rows; this "
@@ -89,24 +99,30 @@ def cosine_topk(
     )
 
 
+@lru_cache(maxsize=256)
+def _plane_weights(plane: int, dim: int) -> tuple:
+    """±1 weights for one hyperplane, computed ONCE on the driver.
+
+    Weight for (plane j, dim i) = +1 if the 56-bit md5 hash of "j_i"
+    is even else -1 — the exact arithmetic the DuckDB oracle runs in
+    SQL; here it runs in Python so executors never call md5 (the r2
+    plan audit flagged dim x nbits md5 calls PER ROW)."""
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[:14], 16)
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return tuple(out)
+
+
 def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Deterministic ±1 hyperplane dot-product sign.
 
-    Weight for (plane j, dim i) = +1 if the 56-bit md5 hash of "j_i"
-    is even else -1 — reproducible in ANSI SQL (DuckDB oracle).
+    The weights are embedded as an array LITERAL (constant-folded by
+    Catalyst), so the per-row work is one zip_with/aggregate pass —
+    no hashing on the executors. Values are unchanged vs the md5-in-SQL
+    formulation the oracle uses.
     """
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{plane}_"), i.cast("string"))), 1, 14
-                ),
-                16, 10,
-            ).cast("bigint") % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    weights = F.array(*[F.lit(w) for w in _plane_weights(plane, dim)])
     d = F.aggregate(
         F.zip_with(vec, weights, lambda x, w: x * w),
         F.lit(0.0),
@@ -182,9 +198,25 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cos >= threshold) via LSH blocking."""
+    """Near-duplicate vector pairs (cos >= threshold) via LSH blocking.
+
+    `max_bucket` caps rows per LSH bucket (window top-N by id, the same
+    guard as `minhash_lsh_pairs`): a dense bucket (~N/2^nbits rows)
+    otherwise goes quadratic in the self-join. Capping drops candidate
+    pairs (recall), never admits false ones. Default None keeps the
+    exact blocked semantics for oracle parity at test scale; at corpus
+    scale always set it (e.g. 10_000).
+    """
     b = df.withColumn("bucket", lsh_bucket(vec_col, nbits, dim))
+    if max_bucket is not None:
+        wcap = Window.partitionBy("bucket").orderBy(F.col(id_col))
+        b = (
+            b.withColumn("_rn", F.row_number().over(wcap))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     a = b.select(
         F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
     )

@@ -759,3 +759,76 @@ class TestColumnarSpanDecode:
         ])
         # offset-ordered reassembly regardless of physical order
         assert _decode_spans_columnar(arr) == [("ab", 2, 0)]
+
+
+class TestScaleCaps:
+    """The r2-flagged scale-killers: hot posting lists and dense LSH
+    buckets must be boundable without breaking exactness when the caps
+    don't bind."""
+
+    def test_ngram_boilerplate_shingle_bounded(self, spark):
+        # 1000 docs share ONE boilerplate shingle ("copyright acme corp")
+        # -> uncapped inverted index would emit ~500k intermediate pairs
+        # from that shingle alone; max_df drops it entirely.
+        rows = [
+            (i, f"unique words {i} alpha{i} beta{i} copyright acme corp")
+            for i in range(1000)
+        ]
+        # plus one true near-dup pair sharing all their shingles
+        rows += [
+            (2001, "the exact same long sentence appears twice here ok"),
+            (2002, "the exact same long sentence appears twice here ok"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string").repartition(8)
+        pairs = ngram_jaccard_pairs(
+            df, k=3, threshold=0.5, max_df=10, max_posting=10
+        ).collect()
+        got = {(p["a"], p["b"]) for p in pairs}
+        assert (2001, 2002) in got
+        # the boilerplate shingle produced no pair blow-up
+        assert len(got) < 50
+
+    def test_ngram_caps_do_not_bind_on_small_data(self, spark, texts):
+        exact = {
+            (p["a"], p["b"], p["jaccard"])
+            for p in ngram_jaccard_pairs(texts, k=3, threshold=0.9).collect()
+        }
+        capped = {
+            (p["a"], p["b"], p["jaccard"])
+            for p in ngram_jaccard_pairs(
+                texts, k=3, threshold=0.9, max_df=1000, max_posting=1000
+            ).collect()
+        }
+        assert exact == capped == {(1, 2, 1.0)}
+
+    def test_embedding_neardup_bucket_cap(self, spark):
+        from content_extractor_spark.operators.similarity import (
+            embedding_near_duplicates,
+        )
+
+        # 60 identical vectors -> one bucket -> 1770 uncapped pairs;
+        # cap at 10 -> C(10,2) = 45
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        capped = embedding_near_duplicates(
+            df, dim=4, threshold=0.99, nbits=2, max_bucket=10
+        ).collect()
+        assert len(capped) == 45
+        # only the first 10 ids (window ordered by id) survive the cap
+        ids = {r["a"] for r in capped} | {r["b"] for r in capped}
+        assert ids == set(range(10))
+
+    def test_cosine_guard_corpus_rows_hint(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(20)],
+            "vec_id int, embedding array<float>",
+        )
+        q = spark.createDataFrame(
+            [(100, [1.0, 0.0])], "query_id int, q_embedding array<float>"
+        )
+        # hint within bound: runs, no probe job
+        out = cosine_topk(q, emb, k=3, corpus_rows=20)
+        assert out.count() == 3
+        # hint above bound: guard still enforces
+        with pytest.raises(ValueError, match="cross join"):
+            cosine_topk(q, emb, k=3, corpus_rows=2_000_000)
