@@ -409,6 +409,40 @@ def q_media_pixel_stats(spark, sf_dir):
     )
 
 
+def q_png_pixel_stats(spark, sf_dir):
+    # REAL PNG pixel decode (stdlib zlib, no image library): a solid-
+    # color RGB PNG is encoded per row with the scanline filter type
+    # cycling 0..4 (None/Sub/Up/Average/Paeth), so the decoder must
+    # reverse EVERY filter to reproduce the color; the oracle
+    # reconstructs the exact channel means from doc_id arithmetic
+    from content_extractor_spark.operators.multimodal import extract_pixel_stats
+    from content_extractor_spark.synth import encode_png_solid
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            refs, payloads = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                refs.append(f"png-{d}")
+                payloads.append(
+                    encode_png_solid(
+                        d % 16 + 1, d % 8 + 5,
+                        (d % 256, d * 2 % 256, d * 3 % 256),
+                    )
+                )
+            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
+
+    media = docs.mapInPandas(enc, schema="media_ref string, payload binary")
+    return extract_pixel_stats(media).select(
+        "media_ref", "fmt", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b", "status",
+    )
+
+
 def q_media_manifest(spark, sf_dir):
     # interleaved-spans media manifest (pure array ops, zero shuffle):
     # a variable-length alternating text/media document is synthesized
@@ -659,13 +693,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_groups(spark, sf_dir):
-    from content_extractor_spark.operators.dedup_families import simhash
+    # scalable shape: explode + per-bit SUM votes with map-side combine
+    # (one pass over tokens) instead of bits aggregate-lambda passes per
+    # row; values are identical, so the oracle is unchanged
+    from content_extractor_spark.operators.dedup_families import (
+        simhash_signatures_df,
+    )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     return (
-        docs.select(simhash("text", bits=16).alias("sig"), "doc_id")
+        simhash_signatures_df(docs, bits=16)
         .groupBy("sig")
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
         .where(F.col("dup_count") > 1)
     )
 
@@ -961,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_image_dims": q_media_image_dims,
         "media_pixel_stats": q_media_pixel_stats,
+        "png_pixel_stats": q_png_pixel_stats,
         "media_manifest": q_media_manifest,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "density_extract": q_density_extract,
@@ -1171,6 +1211,18 @@ def oracle_sql() -> dict[str, str]:
                    'ppm' AS fmt,
                    (doc_id % 16 + 1)::int AS width,
                    (doc_id % 8 + 1)::int AS height,
+                   3 AS channels,
+                   (doc_id % 256)::double AS mean_r,
+                   (doc_id * 2 % 256)::double AS mean_g,
+                   (doc_id * 3 % 256)::double AS mean_b,
+                   'ok' AS status
+            FROM documents WHERE doc_id < 200
+        """,
+        "png_pixel_stats": """
+            SELECT 'png-' || doc_id::varchar AS media_ref,
+                   'png' AS fmt,
+                   (doc_id % 16 + 1)::int AS width,
+                   (doc_id % 8 + 5)::int AS height,
                    3 AS channels,
                    (doc_id % 256)::double AS mean_r,
                    (doc_id * 2 % 256)::double AS mean_g,

@@ -224,6 +224,42 @@ def simhash(text_col: str = "text", bits: int = 16) -> Column:
     return acc.cast("bigint")
 
 
+def simhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, sig) with values IDENTICAL to :func:`simhash` — the
+    scalable shape for corpus runs.
+
+    The expression form evaluates `bits` aggregate-lambdas over the
+    token-hash array (bits passes per row; 64 at production bits=64 —
+    flagged by the r2 plan audit). Here each token becomes one exploded
+    row and the per-bit signed votes are `bits` SUM aggregates with
+    map-side combine: one uniform shuffle on id, one pass over tokens.
+
+    Edge difference: rows whose text is NULL are dropped (explode emits
+    nothing), where `simhash()` yields a NULL signature; empty text
+    tokenizes to [""] in both and agrees.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    h = portable_hash(F.col("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = ex.groupBy("id").agg(*aggs)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select("id", sig.cast("bigint").alias("sig"))
+
+
 def simhash_duplicates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Docs sharing an identical simhash signature (near-dup groups)."""

@@ -8,9 +8,11 @@ partitioning) is real and tested.
 
 Container/header decode is REAL and dependency-free:
 ``decode_image_header`` struct-parses PNG / JPEG / GIF / BMP headers
-(format, width, height) from the payload bytes. Only the deep pixel
-decode + learned feature extraction is STUBBED, because no image/audio
-libraries exist in this container:
+(format, width, height) from the payload bytes. PIXEL decode is REAL
+for binary Netpbm (P5/P6) and 8-bit PNG (``decode_png_pixels``: chunk
+walk, stdlib-zlib inflate, all five scanline filters). Only JPEG pixel
+decode + learned feature extraction remain STUBBED, because no
+image/audio codec libraries exist in this container:
 
   * ``decode_stub_mode="fake"`` produces deterministic fake features
     (seeded by the payload digest) so pipelines are testable
@@ -236,9 +238,9 @@ def decode_netpbm(data: bytes):
 
     Pure Python: header tokens (width, height, maxval; '#' comments
     allowed), then raw samples. Returns (fmt, width, height, channels,
-    per-channel means) or None. This is the no-dependency proof path of
-    the decode stage — PNG/JPEG pixel decode still needs a real codec
-    library and stays stubbed.
+    per-channel means) or None. See :func:`decode_png_pixels` for the
+    PNG path; only JPEG pixel decode still needs a real codec library
+    and stays stubbed.
     """
     if data[:2] not in (b"P5", b"P6"):
         return None
@@ -280,15 +282,110 @@ def decode_netpbm(data: bytes):
     return ("ppm" if channels == 3 else "pgm", w, h, channels, means)
 
 
+def decode_png_pixels(data: bytes):
+    """REAL PNG pixel decode — pure Python, stdlib ``zlib`` only.
+
+    Supports the common web subset: 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. Walks the chunk
+    stream, inflates the concatenated IDAT payload, reverses the five
+    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), and
+    returns (fmt, width, height, channels, per-color-channel means) —
+    alpha is excluded from the means. Palette (3), 16-bit, and
+    interlaced images return None (unsupported), as does any structural
+    corruption: callers surface status='unsupported', never a task
+    failure.
+
+    At corpus scale the per-byte filter loops are the slow path — swap
+    in a numpy scanline unfilter (Up/Average vectorize; Sub/Paeth are
+    sequential in x but vectorize over rows) before pointing this at
+    billions of images.
+    """
+    import zlib
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, n = 8, len(data)
+    w = h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while i + 8 <= n:
+        ln = int.from_bytes(data[i : i + 4], "big")
+        ctype = data[i + 4 : i + 8]
+        if i + 8 + ln > n:
+            return None
+        chunk = data[i + 8 : i + 8 + ln]
+        if ctype == b"IHDR":
+            if ln < 13:
+                return None
+            w = int.from_bytes(chunk[0:4], "big")
+            h = int.from_bytes(chunk[4:8], "big")
+            bit_depth, color_type = chunk[8], chunk[9]
+            interlace = chunk[12]
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if not w or not h or bit_depth != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    sums = [0] * channels
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            return None
+        for c in range(channels):
+            sums[c] += sum(line[c::channels])
+        prev = line
+    color_ch = 3 if color_type in (2, 6) else 1
+    cnt = w * h
+    means = [sums[c] / cnt for c in range(color_ch)]
+    return ("png", w, h, channels, means)
+
+
 def extract_pixel_stats(
     df: DataFrame,
     payload_col: str = "payload",
     ref_col: str = "media_ref",
 ) -> DataFrame:
-    """binary image payloads -> real per-channel statistics (Netpbm).
+    """binary image payloads -> real per-channel statistics.
 
-    Unsupported containers get status='unsupported' rows; the Arrow
-    plumbing is shared with the other media operators.
+    REAL decode paths: binary Netpbm (P5/P6) and PNG (8-bit gray/RGB/
+    +alpha, all five scanline filters, stdlib zlib). Unsupported
+    containers get status='unsupported' rows; the Arrow plumbing is
+    shared with the other media operators.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -306,10 +403,12 @@ def extract_pixel_stats(
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(ch)
+                # means carries only COLOR channels (1 for gray, 3 for
+                # RGB/RGBA — alpha never contributes a mean)
                 m = (means or []) + [None] * 3
                 out["mean_r"].append(m[0])
-                out["mean_g"].append(m[1] if ch == 3 else None)
-                out["mean_b"].append(m[2] if ch == 3 else None)
+                out["mean_g"].append(m[1] if means and len(means) >= 3 else None)
+                out["mean_b"].append(m[2] if means and len(means) >= 3 else None)
                 out["status"].append(status)
                 out["error"].append(error)
 
@@ -317,10 +416,11 @@ def extract_pixel_stats(
                 if payload is None:
                     row(ref, status="error", error="null payload")
                     continue
-                dec = decode_netpbm(bytes(payload))
+                data = bytes(payload)
+                dec = decode_netpbm(data) or decode_png_pixels(data)
                 if dec is None:
                     row(ref, status="unsupported",
-                        error="not binary netpbm (P5/P6)")
+                        error="not binary netpbm (P5/P6) or 8-bit PNG")
                 else:
                     fmt, w, h, ch, means = dec
                     row(ref, fmt, w, h, ch, means)

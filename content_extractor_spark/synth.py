@@ -311,3 +311,58 @@ def write_documents(spark, path: str, n_docs: int, n_hosts: int = 20,
     documents_df(
         spark, n_docs, n_hosts, seed, partitions, para_range, words_range
     ).write.mode("overwrite").parquet(path)
+
+
+def encode_png_solid(w: int, h: int, rgb: Tuple[int, int, int]) -> bytes:
+    """Deterministic dependency-free PNG encoder for test corpora.
+
+    8-bit RGB, non-interlaced; zlib level 0 (stored blocks — byte-
+    stable across zlib builds). The per-row filter type cycles
+    0,1,2,3,4 so a decoder must exercise EVERY unfilter path
+    (None/Sub/Up/Average/Paeth) to reproduce the solid color.
+    """
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw_line = bytes(rgb) * w
+    prev = bytearray(len(raw_line))
+    stream = bytearray()
+    for y in range(h):
+        f = y % 5
+        line = bytearray(raw_line)
+        if f == 1:  # Sub: filt = raw - raw[x-3]
+            for x in range(len(line) - 1, 2, -1):
+                line[x] = (line[x] - raw_line[x - 3]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(len(line)):
+                line[x] = (line[x] - prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(len(line)):
+                a = raw_line[x - 3] if x >= 3 else 0
+                line[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(len(line)):
+                a = raw_line[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] - pr) & 0xFF
+        stream.append(f)
+        stream += line
+        prev = bytearray(raw_line)
+    idat = zlib.compress(bytes(stream), 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )

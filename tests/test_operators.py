@@ -832,3 +832,111 @@ class TestScaleCaps:
         # hint above bound: guard still enforces
         with pytest.raises(ValueError, match="cross join"):
             cosine_topk(q, emb, k=3, corpus_rows=2_000_000)
+
+    def test_simhash_df_variant_parity(self, spark, texts):
+        """simhash_signatures_df must emit bit-identical signatures to
+        the expression form (the scalable explode+sum shape vs the
+        per-row aggregate-lambda passes)."""
+        from content_extractor_spark.operators.dedup_families import (
+            simhash,
+            simhash_signatures_df,
+        )
+
+        expr_sigs = dict(
+            texts.select("doc_id", simhash("text", 16).alias("s")).collect()
+        )
+        df_sigs = dict(simhash_signatures_df(texts, bits=16).collect())
+        assert expr_sigs == df_sigs
+        # empty text agrees too (both hash the single "" token)
+        one = spark.createDataFrame([(9, "")], "doc_id int, text string")
+        e = one.select(simhash("text", 16).alias("s")).collect()[0]["s"]
+        d = simhash_signatures_df(one, bits=16).collect()[0]["sig"]
+        assert e == d
+
+
+class TestPngPixelDecode:
+    """Real dependency-free PNG pixel decode (stdlib zlib)."""
+
+    def test_roundtrip_all_filters(self):
+        from content_extractor_spark.operators.multimodal import (
+            decode_png_pixels,
+        )
+        from content_extractor_spark.synth import encode_png_solid
+
+        # h >= 5 guarantees every filter type 0..4 appears
+        for w, h, rgb in [(1, 5, (0, 0, 0)), (7, 9, (37, 74, 111)),
+                          (16, 12, (255, 1, 128))]:
+            png = encode_png_solid(w, h, rgb)
+            fmt, dw, dh, ch, means = decode_png_pixels(png)
+            assert (fmt, dw, dh, ch) == ("png", w, h, 3)
+            assert means == [float(c) for c in rgb]
+
+    def test_externally_encoded_gray(self):
+        """A PNG produced by an INDEPENDENT encoder (IPython's 2x2 gray
+        test image; raw content hand-verified: Sub then Up filter, all
+        four pixels 0x80) — guards against a self-cancelling filter
+        mistake shared by our encoder+decoder."""
+        from content_extractor_spark.operators.multimodal import (
+            decode_png_pixels,
+        )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            # IHDR: 2x2, depth 8, gray (+4-byte crc, not validated)
+            + bytes.fromhex(
+                "0000000d494844520000000200000002080000000000000000"
+            )
+            # IDAT: the VERBATIM 14 compressed bytes from IPython's
+            # 2x2.png (independent encoder) + crc placeholder
+            + bytes.fromhex("0000000e49444154789c636c6060626000000292008400000000")
+            + bytes.fromhex("0000000049454e44ae426082")
+        )
+        assert decode_png_pixels(png) == ("png", 2, 2, 1, [128.0])
+
+    def test_alpha_excluded_from_means(self):
+        import struct
+        import zlib
+
+        from content_extractor_spark.operators.multimodal import (
+            decode_png_pixels,
+        )
+
+        # hand-built 2x1 RGBA, filter 0: pixels (10,20,30,a=0) and
+        # (30, 40, 50, a=255) -> means ignore alpha entirely
+        def chunk(ctype, payload):
+            return (struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+        raw = bytes([0, 10, 20, 30, 0, 30, 40, 50, 255])
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw, 0)) + chunk(b"IEND", b""))
+        fmt, w, h, ch, means = decode_png_pixels(png)
+        assert (fmt, w, h, ch) == ("png", 2, 1, 4)
+        assert means == [20.0, 30.0, 40.0]
+
+    def test_unsupported_variants_return_none(self):
+        import struct
+        import zlib
+
+        from content_extractor_spark.operators.multimodal import (
+            decode_png_pixels,
+        )
+
+        def png_with(bit_depth, color_type, interlace=0):
+            def chunk(ctype, payload):
+                return (struct.pack(">I", len(payload)) + ctype + payload
+                        + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+            ihdr = struct.pack(">IIBBBBB", 1, 1, bit_depth, color_type, 0,
+                               0, interlace)
+            raw = bytes([0, 1])
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw, 0))
+                    + chunk(b"IEND", b""))
+
+        assert decode_png_pixels(png_with(16, 0)) is None     # 16-bit
+        assert decode_png_pixels(png_with(8, 3)) is None      # palette
+        assert decode_png_pixels(png_with(8, 0, 1)) is None   # interlaced
+        assert decode_png_pixels(b"\x89PNG\r\n\x1a\njunk") is None
+        assert decode_png_pixels(b"") is None
