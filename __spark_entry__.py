@@ -800,6 +800,75 @@ def q_top_terms_per_lang(spark, sf_dir):
     return top_terms(docs, group_col="lang", k=5)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    # corpus-level TF-IDF heavy hitters per language (smooth idf);
+    # token-keyed shuffles with map-side combine, window top-k
+    from content_extractor_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return tfidf_top_terms(docs, group_col="lang", k=5, round_to=5)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    # per-doc mean unigram log-probability under the corpus's own LM
+    # (cheap perplexity proxy for quality filtering)
+    from content_extractor_spark.operators.textstats import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return unigram_logprob(docs, round_to=5)
+
+
+def q_stratified_sample(spark, sf_dir):
+    # deterministic md5-hash stratified sampling with a per-group cap
+    # (map-only + one window; no rand(), engines agree row-for-row)
+    from content_extractor_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, group_col="lang", permille=300, per_group_cap=15
+    ).select("doc_id", "lang", "source")
+
+
+def _linked_corpus(spark, sf_dir):
+    """Documents with deterministic anchor links synthesized in SQL, so
+    the DuckDB oracle can reproduce the extraction end to end."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'),
+        ((d * 2 + 1) % 7).cast("string"),
+        F.lit('.example/p1">x</a><a href="/rel/p">y</a>'
+              '<a href="https://h'),
+        ((d * 3 + 2) % 10).cast("string"),
+        F.lit('.example/p2">z</a></body></html>'),
+    )
+    return docs.select(
+        F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example")).alias("host"),
+        html.alias("html"),
+    )
+
+
+def q_host_links(spark, sf_dir):
+    # anchor-href host edges via pure-Catalyst regexp extraction
+    # (map-only + one distinct); relative links and self-loops dropped
+    from content_extractor_spark.operators.linkgraph import extract_host_links
+
+    return extract_host_links(_linked_corpus(spark, sf_dir))
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    # 3 fixed PageRank iterations over the host graph (dangling mass
+    # redistributed uniformly); host set is tiny after aggregation, so
+    # per-iteration joins are broadcast-sized
+    from content_extractor_spark.operators.linkgraph import (
+        extract_host_links,
+        pagerank_hosts,
+    )
+
+    edges = extract_host_links(_linked_corpus(spark, sf_dir))
+    return pagerank_hosts(edges, iterations=3, damping=0.85, round_to=6)
+
+
 def q_sessionize_events(spark, sf_dir):
     # gap-based sessionization (30-min inactivity) over the events table
     from content_extractor_spark.operators.sessionize import session_stats
@@ -1024,6 +1093,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ngrams": q_repetition_ngrams,
         "length_band_filter": q_length_band_filter,
         "top_terms_per_lang": q_top_terms_per_lang,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "unigram_logprob": q_unigram_logprob,
+        "stratified_sample": q_stratified_sample,
+        "host_links": q_host_links,
+        "pagerank_hosts": q_pagerank_hosts,
         "sessionize_events": q_sessionize_events,
         "audio_duration": q_audio_duration,
         "pii_scrub": q_pii_scrub,
@@ -1618,6 +1692,147 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY n DESC, token ASC) AS rank
               FROM counts
             ) WHERE rank <= 5
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents WHERE doc_id < 300
+            ),
+            base AS (
+              SELECT doc_id, lang, term, count(*) AS tc FROM toks
+              WHERE term != '' GROUP BY doc_id, lang, term
+            ),
+            dl AS (SELECT doc_id, sum(tc) AS len FROM base GROUP BY doc_id),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM base GROUP BY term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n_docs
+                   FROM documents WHERE doc_id < 300),
+            scored AS (
+              SELECT lang, term,
+                     round(sum((tc::DOUBLE / len)
+                               * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1)),
+                           5) AS score
+              FROM base JOIN dl USING (doc_id) JOIN dfq USING (term), nd
+              GROUP BY lang, term
+            )
+            SELECT lang, term, score, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY lang
+                                           ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents WHERE doc_id < 300
+            ),
+            base AS (
+              SELECT doc_id, term, count(*) AS tc FROM toks
+              WHERE term != '' GROUP BY doc_id, term
+            ),
+            corpus AS (SELECT term, sum(tc) AS cc FROM base GROUP BY term),
+            tot AS (SELECT sum(cc)::DOUBLE AS tot FROM corpus)
+            SELECT doc_id,
+                   round(sum(tc * ln(cc::DOUBLE / tot)) / sum(tc), 5)
+                       AS mean_logprob,
+                   sum(tc)::BIGINT AS n_tokens
+            FROM base JOIN corpus USING (term), tot
+            GROUP BY doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     {_PH.format(x="doc_id::varchar")} % 1000 AS hb,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_PH.format(x="doc_id::varchar")} % 1000 ASC,
+                                doc_id ASC) AS rn
+              FROM documents
+              WHERE {_PH.format(x="doc_id::varchar")} % 1000 < 300
+            ) WHERE rn <= 15
+        """,
+        "host_links": """
+            WITH corpus AS (
+              SELECT 'h' || (doc_id % 7)::varchar || '.example' AS src,
+                     '<html><body><a href="https://h'
+                       || ((doc_id * 2 + 1) % 7)::varchar
+                       || '.example/p1">x</a><a href="/rel/p">y</a>'
+                       || '<a href="https://h'
+                       || ((doc_id * 3 + 2) % 10)::varchar
+                       || '.example/p2">z</a></body></html>' AS html
+              FROM documents WHERE doc_id < 400
+            ),
+            hrefs AS (
+              SELECT src,
+                     unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+                         AS href
+              FROM corpus
+            )
+            SELECT DISTINCT src,
+                   regexp_extract(href, '^https?://([^/]+)', 1) AS dst
+            FROM hrefs
+            WHERE regexp_extract(href, '^https?://([^/]+)', 1) != ''
+              AND regexp_extract(href, '^https?://([^/]+)', 1) != src
+        """,
+        "pagerank_hosts": """
+            WITH links AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT 'h' || (doc_id % 7)::varchar || '.example' AS src,
+                       'h' || ((doc_id * 2 + 1) % 7)::varchar
+                           || '.example' AS dst
+                FROM documents WHERE doc_id < 400
+                UNION ALL
+                SELECT 'h' || (doc_id % 7)::varchar || '.example',
+                       'h' || ((doc_id * 3 + 2) % 10)::varchar || '.example'
+                FROM documents WHERE doc_id < 400
+              ) WHERE src != dst
+            ),
+            nodes AS (
+              SELECT DISTINCT host FROM (
+                SELECT src AS host FROM links
+                UNION ALL SELECT dst FROM links
+              )
+            ),
+            p AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            deg AS (SELECT src, count(*)::DOUBLE AS outd
+                    FROM links GROUP BY src),
+            r0 AS (SELECT host, 1.0 / (SELECT n FROM p) AS rank FROM nodes),
+            d1 AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r0 r
+                   LEFT JOIN deg ON r.host = deg.src WHERE deg.src IS NULL),
+            c1 AS (SELECT l.dst AS host, sum(r.rank / deg.outd) AS inflow
+                   FROM r0 r JOIN deg ON r.host = deg.src
+                   JOIN links l ON l.src = r.host GROUP BY l.dst),
+            r1 AS (SELECT nodes.host,
+                          0.15 / (SELECT n FROM p)
+                          + 0.85 * (coalesce(c1.inflow, 0)
+                                    + (SELECT dm FROM d1) / (SELECT n FROM p))
+                              AS rank
+                   FROM nodes LEFT JOIN c1 ON nodes.host = c1.host),
+            d2 AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r1 r
+                   LEFT JOIN deg ON r.host = deg.src WHERE deg.src IS NULL),
+            c2 AS (SELECT l.dst AS host, sum(r.rank / deg.outd) AS inflow
+                   FROM r1 r JOIN deg ON r.host = deg.src
+                   JOIN links l ON l.src = r.host GROUP BY l.dst),
+            r2 AS (SELECT nodes.host,
+                          0.15 / (SELECT n FROM p)
+                          + 0.85 * (coalesce(c2.inflow, 0)
+                                    + (SELECT dm FROM d2) / (SELECT n FROM p))
+                              AS rank
+                   FROM nodes LEFT JOIN c2 ON nodes.host = c2.host),
+            d3 AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r2 r
+                   LEFT JOIN deg ON r.host = deg.src WHERE deg.src IS NULL),
+            c3 AS (SELECT l.dst AS host, sum(r.rank / deg.outd) AS inflow
+                   FROM r2 r JOIN deg ON r.host = deg.src
+                   JOIN links l ON l.src = r.host GROUP BY l.dst),
+            r3 AS (SELECT nodes.host,
+                          0.15 / (SELECT n FROM p)
+                          + 0.85 * (coalesce(c3.inflow, 0)
+                                    + (SELECT dm FROM d3) / (SELECT n FROM p))
+                              AS rank
+                   FROM nodes LEFT JOIN c3 ON nodes.host = c3.host)
+            SELECT host, round(rank, 6) AS rank FROM r3
         """,
         "sessionize_events": """
             WITH ordered AS (

@@ -156,3 +156,34 @@ def train_val_split(
         "split",
         F.when(h % 100 < 100 - val_pct, F.lit("train")).otherwise(F.lit("val")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    permille: int = 100,
+    per_group_cap: int | None = None,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ~permille/1000 of each
+    group, selected by an md5 hash of the id (never rand() — re-runs
+    and engines agree row-for-row).
+
+    Map-only (the hash predicate fuses into the scan) unless
+    `per_group_cap` is set, which adds one window over the group to
+    hard-cap each stratum (hash-ordered, so still deterministic).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10
+    ).cast("bigint")
+    out = df.where(h % 1000 < permille)
+    if per_group_cap is not None:
+        w = Window.partitionBy(F.col(group_col)).orderBy(
+            (h % 1000).asc(), F.col(id_col).asc()
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= per_group_cap)
+            .drop("_rn")
+        )
+    return out

@@ -247,3 +247,108 @@ def fingerprint(text_col: str = "text", window: int = 64) -> Column:
         F.substring(norm, -window, window),
         F.length(norm),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k terms per group by summed TF-IDF (smooth idf).
+
+    tf(term, doc)  = count / doc_len
+    idf(term)      = ln((N + 1) / (df + 1)) + 1   (sklearn-style smooth)
+    score(g, term) = round(sum over docs in g of tf * idf, round_to)
+
+    Plan shape: one explode -> (doc, term) count agg (map-side combine
+    carries partial counts, never raw tokens), doc lengths and term
+    document-frequencies are derived from that same aggregate (reused
+    subtree, no second scan), N is a broadcast 1-row join, and the
+    final top-k is a window over (group, term) scores. Every shuffle
+    key is either the token or the group — uniform at corpus scale.
+    Deterministic tie-break (score desc, term asc).
+    """
+    from pyspark.sql import Window
+
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    ).alias("term")
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"), toks)
+        .where(F.col("term") != "")
+        .groupBy("id", "grp", "term")
+        .agg(F.count("*").alias("tc"))
+    )
+    doc_len = base.groupBy("id").agg(F.sum("tc").alias("len"))
+    dfreq = base.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        base.join(doc_len, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tc") / F.col("len"))
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+        .groupBy("grp", "term")
+        .agg(F.round(F.sum("tfidf"), round_to).alias("score"))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "score", "rank")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap perplexity proxy for quality
+    filtering (low = rare-token gibberish, high = stopword soup).
+
+    p(term) = corpus_count(term) / corpus_total;
+    score(doc) = round(sum(count_in_doc * ln p) / doc_len, round_to).
+
+    Plan: the (doc, term) count aggregate is computed once; corpus
+    term counts derive from it (token-keyed shuffle with partial
+    aggregation), the corpus total is a broadcast scalar, and the final
+    per-doc combine shuffles on id. No pass ships raw token streams.
+    """
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    ).alias("term")
+    base = (
+        df.select(F.col(id_col).alias("id"), toks)
+        .where(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tc"))
+    )
+    corpus = base.groupBy("term").agg(F.sum("tc").alias("cc"))
+    total = corpus.select(F.sum("cc").alias("tot"))
+    return (
+        base.join(corpus, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.col("tc") * F.log(F.col("cc") / F.col("tot")))
+                / F.sum("tc"),
+                round_to,
+            ).alias("mean_logprob"),
+            F.sum("tc").alias("n_tokens"),
+        )
+        .select(F.col("id").alias(id_col), "mean_logprob", "n_tokens")
+    )

@@ -940,3 +940,74 @@ class TestPngPixelDecode:
         assert decode_png_pixels(png_with(8, 0, 1)) is None   # interlaced
         assert decode_png_pixels(b"\x89PNG\r\n\x1a\njunk") is None
         assert decode_png_pixels(b"") is None
+
+
+class TestCorpusStats:
+    def test_tfidf_distinctive_term_wins(self, spark):
+        from content_extractor_spark.operators.textstats import tfidf_top_terms
+
+        rows = [
+            (1, "en", "zebra zebra zebra"),
+            (2, "en", "common words common words"),
+            (3, "en", "common words again common"),
+            (4, "de", "anders hier"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+        top = tfidf_top_terms(df, k=1).collect()
+        by_lang = {r["lang"]: r["term"] for r in top}
+        # 'zebra' is unique to doc 1 and dominates its tf -> top en term
+        assert by_lang["en"] == "zebra"
+
+    def test_unigram_logprob_rare_lower(self, spark):
+        from content_extractor_spark.operators.textstats import unigram_logprob
+
+        rows = [(i, "the the the the") for i in range(5)] + [(9, "xylophone qat")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(df).collect()}
+        # the rare-token doc scores strictly lower than the stopword docs
+        assert out[9] < out[0]
+
+    def test_stratified_sample_deterministic_and_capped(self, spark):
+        from content_extractor_spark.operators.curation import stratified_sample
+
+        rows = [(i, "g%d" % (i % 2)) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        a = sorted(r["doc_id"] for r in stratified_sample(df, permille=200).collect())
+        b = sorted(r["doc_id"] for r in stratified_sample(df, permille=200).collect())
+        assert a == b and 0 < len(a) < 500
+        capped = stratified_sample(df, permille=1000, per_group_cap=7)
+        per_group = {
+            r["lang"]: r["n"]
+            for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_group == {"g0": 7, "g1": 7}
+
+
+class TestLinkGraph:
+    def _edges(self, spark):
+        from content_extractor_spark.operators.linkgraph import extract_host_links
+
+        rows = [
+            ("a.com", '<a href="https://b.com/x">1</a><a href="/rel">2</a>'),
+            ("a.com", '<a href="https://a.com/self">s</a>'
+                      '<a href="http://c.com/y">3</a>'),
+            ("b.com", '<a href="https://c.com/z">4</a>'),
+            ("d.com", "no links here"),
+        ]
+        df = spark.createDataFrame(rows, "host string, html string")
+        return extract_host_links(df)
+
+    def test_extract_host_links(self, spark):
+        got = {(r["src"], r["dst"]) for r in self._edges(spark).collect()}
+        # relative href and self-loop dropped; http and https both kept
+        assert got == {("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com")}
+
+    def test_pagerank_mass_conserved(self, spark):
+        from content_extractor_spark.operators.linkgraph import pagerank_hosts
+
+        ranks = pagerank_hosts(self._edges(spark), iterations=3).collect()
+        total = sum(r["rank"] for r in ranks)
+        assert abs(total - 1.0) < 1e-4  # dangling mass redistributed
+        by_host = {r["host"]: r["rank"] for r in ranks}
+        # c.com is the only sink with two in-edges -> highest rank
+        assert by_host["c.com"] == max(by_host.values())
