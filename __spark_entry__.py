@@ -866,7 +866,9 @@ def q_pagerank_hosts(spark, sf_dir):
     )
 
     edges = extract_host_links(_linked_corpus(spark, sf_dir))
-    return pagerank_hosts(edges, iterations=3, damping=0.85, round_to=6)
+    return pagerank_hosts(
+        edges, iterations=3, damping=0.85, round_to=6, graph_partitions=2
+    )
 
 
 def q_sessionize_events(spark, sf_dir):

@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "decontaminate",
     "pack_sequences",
     "train_val_split",
+    "png_pixel_stats",
+    "tfidf_top_terms",
+    "unigram_logprob",
+    "stratified_sample",
+    "host_links",
+    "pagerank_hosts",
 ]
 
 
@@ -231,10 +237,13 @@ def main():
     print(json.dumps(result))
 
 
-# best clean-run times observed this round (quiet box, min-of-k); the
+# best clean-run times observed so far (quiet box, min-of-k); the
 # VM's noisy neighbors make single runs swing up to 3x, so the file
-# below always reports the latest run AND this best-known reference
-_BEST_KNOWN = {2: 68.28, 8: 17.71, 32: 6.31}
+# below always reports the latest run AND this best-known reference.
+# r3 run (2026-08-16): 60.57/14.91/5.67 — the r2 advice fix let the
+# columnar Arrow decode path handle null-span rows instead of silently
+# falling back to to_pylist, which shows up at every parallelism level
+_BEST_KNOWN = {2: 60.57, 8: 14.91, 32: 5.67}
 
 
 def _write_baseline_md(n_docs, summary, scaling):

@@ -58,6 +58,7 @@ def pagerank_hosts(
     iterations: int = 3,
     damping: float = 0.85,
     round_to: int = 6,
+    graph_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank over host edges, fixed iteration count, deterministic.
 
@@ -65,14 +66,25 @@ def pagerank_hosts(
     over in-edges u->v + dangling_mass_t/N). Dangling hosts (no
     out-edges) redistribute their rank uniformly — the standard
     normalization, so ranks sum to 1 at every step.
+
+    `graph_partitions`: when the post-aggregation host graph is known
+    to be small relative to the corpus (the usual case — 10^6-10^8
+    hosts from 10^12 docs), coalesce the cached edge/node sets down so
+    the per-iteration joins don't pay corpus-sized task scheduling.
+    Leave None to keep the upstream partitioning.
     """
-    edges = edges.select("src", "dst").distinct().cache()
+    edges = edges.select("src", "dst").distinct()
+    if graph_partitions is not None:
+        edges = edges.coalesce(graph_partitions)
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .cache()
     )
+    if graph_partitions is not None:
+        nodes = nodes.coalesce(graph_partitions)
+    nodes = nodes.cache()
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
