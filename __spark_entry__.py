@@ -871,6 +871,34 @@ def q_pagerank_hosts(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    # canonical text cleanup (curly quotes, dashes, NBSP, controls,
+    # whitespace) — map-only; dirt is synthesized in SQL so the oracle
+    # reproduces the normalized output byte-for-byte
+    from content_extractor_spark.operators.curation import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("“Q” — "), F.col("text"),
+            F.lit("  ‘x’ y\t"),
+        ).alias("text"),
+    )
+    return normalize_text(dirty).select("doc_id", "text_norm")
+
+
+def q_kmeans_assign(spark, sf_dir):
+    # deterministic fixed-iteration Lloyd k-means (the IVF coarse
+    # quantizer): init = vectors of the 4 smallest ids, one update
+    # iteration, rounded centroids/distances, argmin ties to the
+    # lowest cluster — the oracle replays the identical arithmetic
+    from content_extractor_spark.operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return kmeans_assign(emb, dim=64, k=4, iterations=1, round_to=6)
+
+
 def q_sessionize_events(spark, sf_dir):
     # gap-based sessionization (30-min inactivity) over the events table
     from content_extractor_spark.operators.sessionize import session_stats
@@ -1100,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "host_links": q_host_links,
         "pagerank_hosts": q_pagerank_hosts,
+        "normalize_text": q_normalize_text,
+        "kmeans_assign": q_kmeans_assign,
         "sessionize_events": q_sessionize_events,
         "audio_duration": q_audio_duration,
         "pii_scrub": q_pii_scrub,
@@ -1835,6 +1865,72 @@ def oracle_sql() -> dict[str, str]:
                               AS rank
                    FROM nodes LEFT JOIN c3 ON nodes.host = c3.host)
             SELECT host, round(rank, 6) AS rank FROM r3
+        """,
+        "normalize_text": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     '“Q” — ' || text || '  ‘x’ y' || chr(9) AS t
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(t,
+                               '[‘’‚′]', '''', 'g'),
+                             '[“”„″]', '"', 'g'),
+                           '[–—−]', '-', 'g'),
+                         ' ', ' ', 'g'),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+                     '\s+', ' ', 'g')) AS text_norm
+            FROM dirty
+        """,
+        "kmeans_assign": """
+            WITH vecs AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 200
+            ),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+              FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 4)
+            ),
+            a1 AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist ASC, cluster ASC)
+                              AS rn
+                FROM (
+                  SELECT vecs.vec_id, vecs.v, c0.cluster,
+                         round(list_sum([
+                           (vecs.v[i] - c0.v[i]) * (vecs.v[i] - c0.v[i])
+                           for i in range(1, 65)]), 6) AS dist
+                  FROM vecs, c0
+                )
+              ) WHERE rn = 1
+            ),
+            dims AS (
+              SELECT a1.cluster, d.i, round(avg(a1.v[d.i]), 6) AS cv
+              FROM a1, (SELECT unnest(range(1, 65)) AS i) d
+              GROUP BY a1.cluster, d.i
+            ),
+            c1 AS (
+              SELECT cluster, list(cv ORDER BY i) AS v FROM dims
+              GROUP BY cluster
+            )
+            SELECT vec_id, cluster, dist FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist ASC, cluster ASC)
+                            AS rn
+              FROM (
+                SELECT vecs.vec_id, c1.cluster,
+                       round(list_sum([
+                         (vecs.v[i] - c1.v[i]) * (vecs.v[i] - c1.v[i])
+                         for i in range(1, 65)]), 6) AS dist
+                FROM vecs, c1
+              )
+            ) WHERE rn = 1
         """,
         "sessionize_events": """
             WITH ordered AS (

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "host_links",
     "pagerank_hosts",
+    "normalize_text",
+    "kmeans_assign",
 ]
 
 

@@ -187,3 +187,38 @@ def stratified_sample(
             .drop("_rn")
         )
     return out
+
+
+# portable normalization patterns — escape-only (no raw control chars),
+# identical semantics in Java regex (Spark) and RE2 (DuckDB)
+_CURLY_SINGLE = "[\u2018\u2019\u201a\u2032]"
+_CURLY_DOUBLE = "[\u201c\u201d\u201e\u2033]"
+_DASHES = "[\u2013\u2014\u2212]"
+_NBSP = "\u00a0"
+_CONTROLS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonical text cleanup for training corpora: curly quotes ->
+    ASCII, en/em-dash -> hyphen, NBSP -> space, control chars stripped,
+    whitespace collapsed, trimmed. Optionally lowercased.
+
+    Map-only regexp_replace chain — fuses into the scan's whole-stage
+    codegen, zero shuffle; every pattern is dialect-portable so the
+    DuckDB oracle reproduces the output byte-for-byte.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, _CURLY_SINGLE, "\'")
+    c = F.regexp_replace(c, _CURLY_DOUBLE, '"')
+    c = F.regexp_replace(c, _DASHES, "-")
+    c = F.regexp_replace(c, _NBSP, " ")
+    c = F.regexp_replace(c, _CONTROLS, "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)

@@ -234,3 +234,79 @@ def embedding_near_duplicates(
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def _sq_dist_to(vec: Column, centroid, round_to: int) -> Column:
+    """Squared euclidean distance to a centroid LITERAL (map-only)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_to,
+    )
+
+
+def _kmeans_assign_stage(base: DataFrame, cents, round_to: int) -> DataFrame:
+    """Argmin over centroid literals; ties break to the lowest cluster
+    index (array_position returns the FIRST minimum)."""
+    dists = F.array(*[_sq_dist_to(F.col("v"), c, round_to) for c in cents])
+    return (
+        base.withColumn("_d", dists)
+        .withColumn(
+            "cluster",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+            .cast("int"),
+        )
+        .withColumn("dist", F.array_min(F.col("_d")))
+        .drop("_d")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    dim: int,
+    k: int = 4,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means over an embedding
+    column — the coarse quantizer an IVF index is built from.
+
+    Determinism contract (engine-portable, no rand()):
+      * init centroids = the vectors of the k smallest ids,
+      * centroids and distances are rounded to `round_to` after every
+        update, so cross-engine float-summation-order noise (~1e-15)
+        never flips an assignment,
+      * argmin ties break to the lowest cluster index,
+      * a cluster that goes empty keeps its previous centroid.
+
+    Scale shape: assignment is MAP-ONLY (centroids are array literals —
+    k is small by definition); each iteration adds one groupBy(cluster)
+    with per-dimension AVG partial aggregation, and one k-row collect to
+    the driver. Total: `iterations` passes + the final assign pass.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).cache()
+    init = base.orderBy("id").limit(k).collect()
+    cents = [list(r["v"]) for r in init]
+    for _ in range(iterations):
+        assigned = _kmeans_assign_stage(base, cents, round_to)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(*[
+                F.round(F.avg(F.col("v")[i]), round_to).alias(f"c{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        got = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+        cents = [got.get(j, cents[j]) for j in range(len(cents))]
+    return _kmeans_assign_stage(base, cents, round_to).select(
+        F.col("id").alias(id_col), "cluster", "dist"
+    )

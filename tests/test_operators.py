@@ -1011,3 +1011,36 @@ class TestLinkGraph:
         by_host = {r["host"]: r["rank"] for r in ranks}
         # c.com is the only sink with two in-edges -> highest rank
         assert by_host["c.com"] == max(by_host.values())
+
+
+class TestKmeansAndNormalize:
+    def test_kmeans_separates_two_blobs(self, spark):
+        from content_extractor_spark.operators.similarity import kmeans_assign
+
+        rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)]
+        rows += [(100 + i, [10.0 + i * 0.01, 0.0]) for i in range(5)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        out = kmeans_assign(df, dim=2, k=2, iterations=2).collect()
+        by_id = {r["vec_id"]: r["cluster"] for r in out}
+        left = {by_id[i] for i in range(5)}
+        right = {by_id[100 + i] for i in range(5)}
+        assert len(left) == 1 and len(right) == 1 and left != right
+
+    def test_kmeans_deterministic(self, spark):
+        from content_extractor_spark.operators.similarity import kmeans_assign
+
+        rows = [(i, [float(i % 7), float(i % 3)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        a = sorted(map(tuple, kmeans_assign(df, dim=2, k=3, iterations=2).collect()))
+        b = sorted(map(tuple, kmeans_assign(df, dim=2, k=3, iterations=2).collect()))
+        assert a == b
+
+    def test_normalize_text_rules(self, spark):
+        from content_extractor_spark.operators.curation import normalize_text
+
+        dirty = "“Hi” — it’s  a\ttest\x01!"
+        df = spark.createDataFrame([(1, dirty)], "doc_id int, text string")
+        out = normalize_text(df).collect()[0]["text_norm"]
+        assert out == '"Hi" - it\'s a test!'
+        low = normalize_text(df, lowercase=True).collect()[0]["text_norm"]
+        assert low == '"hi" - it\'s a test!'

@@ -120,3 +120,51 @@ def test_wholestage_codegen_covers_relational_stages(spark, corpus_path):
     rep2 = plan_report(agg)
     assert rep2["aqe"]
     assert rep2["wholestage_codegen_spans"] >= 1
+
+
+def test_host_links_map_only_plus_distinct(spark):
+    """Anchor extraction must stay pure Catalyst: zero Python stages,
+    the only exchange is the final distinct."""
+    from content_extractor_spark.operators.linkgraph import extract_host_links
+
+    df = spark.createDataFrame(
+        [("a.com", '<a href="https://b.com/x">1</a>')], "host string, html string"
+    )
+    rep = plan_report(extract_host_links(df))
+    assert rep["python_stages"] == 0
+    assert rep["exchanges"] == 1
+
+
+def test_stratified_sample_uncapped_is_map_only(spark):
+    from content_extractor_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id int, lang string")
+    rep = plan_report(stratified_sample(df, permille=100))
+    assert rep["python_stages"] == 0
+    assert rep["exchanges"] == 0  # hash predicate fuses into the scan
+
+
+def test_tfidf_no_cartesian_and_broadcast_scalar(spark):
+    from content_extractor_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "a d")], "doc_id int, lang string, text string"
+    )
+    rep = plan_report(tfidf_top_terms(df))
+    assert "CartesianProduct" not in rep["text"]
+    # the 1-row N scalar joins as a broadcast nested loop, never a
+    # shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in rep["text"] or rep["has_broadcast_join"]
+    assert rep["python_stages"] == 0
+
+
+def test_ngram_caps_stay_catalyst(spark):
+    """max_df/max_posting add windows, never Python or a cartesian."""
+    from content_extractor_spark.operators.dedup_families import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    rep = plan_report(ngram_jaccard_pairs(df, max_df=10, max_posting=5))
+    assert rep["python_stages"] == 0
+    assert "CartesianProduct" not in rep["text"]
