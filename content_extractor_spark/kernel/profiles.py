@@ -243,33 +243,168 @@ class UnsupportedHoconError(ValueError):
     """The profile uses HOCON features beyond the supported subset."""
 
 
-_HOCON_UNSUPPORTED = re.compile(
-    r"""(?mx)
-      ^\s*include[\s("]        # file inclusion
-    | \$\{[^}]*\}              # ${substitution} (incl. ?optional)
-    """
+_INCLUDE_RE = re.compile(
+    r'^\s*include\s+(?:file\(\s*)?"(?P<path>[^"]+)"\s*\)?\s*$', re.M
 )
+_SUB_SENTINEL = "\x01SUB:{opt}:{path}\x01"
+_SUB_TOKEN_RE = re.compile("\x01SUB:(\\??):([^\x01]*)\x01")
 
 
-def load_profile_hocon(path: str) -> ProfileConfig:
+def _mark_substitutions(text: str, path: str) -> str:
+    """Replace ${path} / ${?path} OUTSIDE quoted strings with quoted
+    sentinel tokens the JSON-ification passes through untouched.
+
+    Typesafe semantics honored: "${x}" inside a quoted string is
+    LITERAL text (never marked). Value concatenation (`www.${x}.de`,
+    unquoted adjacency) is outside the subset — fail loud.
+    """
+    out = []
+    i, n = 0, len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            out.append(c)
+            if c == '"' and text[i - 1] != "\\":
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "$" and i + 1 < n and text[i + 1] == "{":
+            j = text.find("}", i)
+            if j < 0:
+                raise UnsupportedHoconError(f"{path}: unterminated ${{...}}")
+            inner = text[i + 2 : j]
+            opt = ""
+            if inner.startswith("?"):
+                opt, inner = "?", inner[1:]
+            before = text[i - 1] if i > 0 else " "
+            after = text[j + 1] if j + 1 < n else "\n"
+            if not (before.isspace() or before in ":=,[{") or not (
+                after.isspace() or after in "}],#"
+            ):
+                raise UnsupportedHoconError(
+                    f"{path}: value concatenation around ${{{inner}}} is "
+                    "outside the supported HOCON subset — use a whole-"
+                    "value substitution or inline the string"
+                )
+            out.append(
+                json.dumps(_SUB_SENTINEL.format(opt=opt, path=inner.strip()))
+            )
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _lookup(root, dotted: str):
+    cur = root
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            raise KeyError(dotted)
+        cur = cur[part]
+    return cur
+
+
+def _resolve_substitutions(node, root, path: str, depth: int = 0):
+    """Resolve sentinel tokens against the merged root object (typesafe
+    resolves after include-merging). Chained substitutions resolve up
+    to a bounded depth; unresolved required paths fail loud."""
+    if depth > 8:
+        raise UnsupportedHoconError(f"{path}: substitution cycle")
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            rv = _resolve_substitutions(v, root, path, depth)
+            if rv is not _DROP:
+                out[k] = rv
+        return out
+    if isinstance(node, list):
+        return [
+            rv for rv in (
+                _resolve_substitutions(v, root, path, depth) for v in node
+            ) if rv is not _DROP
+        ]
+    if isinstance(node, str):
+        m = _SUB_TOKEN_RE.fullmatch(node)
+        if m:
+            opt, dotted = m.group(1), m.group(2)
+            try:
+                target = _lookup(root, dotted)
+            except KeyError:
+                if opt:
+                    return _DROP
+                raise UnsupportedHoconError(
+                    f"{path}: unresolved substitution ${{{dotted}}}"
+                )
+            return _resolve_substitutions(target, root, path, depth + 1)
+        if "\x01" in node:
+            raise UnsupportedHoconError(
+                f"{path}: partial substitution token in string value"
+            )
+    return node
+
+
+_DROP = object()  # sentinel: optional ${?x} with missing target
+
+
+def _deep_merge(base, over):
+    """typesafe-config object merge: later keys win, objects merge."""
+    if isinstance(base, dict) and isinstance(over, dict):
+        out = dict(base)
+        for k, v in over.items():
+            out[k] = _deep_merge(out[k], v) if k in out else v
+        return out
+    return over
+
+
+def _hocon_file_to_dict(path: str, seen=None) -> dict:
+    """One HOCON file -> dict: strip `include` lines (top-level subset),
+    recursively load and merge them (file body wins), mark + later
+    resolve substitutions."""
+    seen = set() if seen is None else seen
+    rp = str(Path(path).resolve())
+    if rp in seen:
+        raise UnsupportedHoconError(f"{path}: include cycle")
+    seen.add(rp)
     text = Path(path).read_text(encoding="utf-8")
-    # typesafe-config `include` and ${substitution} are legal in files
-    # the reference loads (ProfileConfig.scala:342-355) but outside this
-    # parser's subset — fail LOUDLY instead of regex-mangling silently
-    m = _HOCON_UNSUPPORTED.search(text)
-    if m:
-        raise UnsupportedHoconError(
-            f"{path}: HOCON feature {m.group(0).strip()!r} is not "
-            "supported by the subset parser (no `include`, no "
-            "${substitution}); inline the values or convert the "
-            "profile to JSON"
-        )
-    # normalize newline-separated members to JSON commas
-    jsonish = _hocon_to_json_text(text)
+    merged: dict = {}
+    for m in _INCLUDE_RE.finditer(text):
+        inc = Path(path).parent / m.group("path")
+        if not inc.exists():
+            raise UnsupportedHoconError(
+                f"{path}: include {m.group('path')!r} not found"
+            )
+        merged = _deep_merge(merged, _hocon_file_to_dict(str(inc), seen))
+    body = _INCLUDE_RE.sub("", text)
+    body = _mark_substitutions(body, path)
+    jsonish = _hocon_to_json_text(body)
     jsonish = re.sub(r'"\s*\n\s*"', '",\n"', jsonish)
     jsonish = re.sub(r'([}\]"]|true|false|\d)\s*\n\s*(")', r"\1,\n\2", jsonish)
     jsonish = re.sub(r",\s*([}\]])", r"\1", jsonish)  # trailing commas
-    data = json.loads("{" + jsonish + "}") if not jsonish.lstrip().startswith("{") else json.loads(jsonish)
+    data = (
+        json.loads("{" + jsonish + "}")
+        if not jsonish.lstrip().startswith("{")
+        else json.loads(jsonish)
+    )
+    return _deep_merge(merged, data)
+
+
+def load_profile_hocon(path: str) -> ProfileConfig:
+    """HOCON profile -> ProfileConfig. Supported subset: the page-
+    profile shapes (domains.template.conf) PLUS top-level `include
+    "file"` (deep-merged, body wins — ProfileConfig.scala:342-355 loads
+    typesafe-config files where both are legal) and whole-value
+    ${path} / ${?path} substitutions resolved against the merged
+    object. Anything beyond (value concatenation, env fallbacks,
+    self-referential `+=`) fails loudly with UnsupportedHoconError."""
+    data = _hocon_file_to_dict(path)
+    data = _resolve_substitutions(data, data, path)
     return profile_from_dict(data)
 
 

@@ -162,10 +162,10 @@ def test_normalize_host():
     assert normalize_host("HTTP://UPPER.DE") == "upper.de"
 
 
-def test_unsupported_hocon_fails_loud(tmp_path):
-    """`include` and ${substitution} are legal typesafe-config that the
-    subset parser cannot honor — they must raise, never silently mangle
-    (VERDICT r2 #10)."""
+def test_hocon_include_and_substitution(tmp_path):
+    """typesafe-config `include` (deep-merge, body wins) and whole-value
+    ${path} / ${?path} substitutions are honored for real; everything
+    beyond the subset fails loud (VERDICT r2 #10 upgraded)."""
     import pytest
 
     from content_extractor_spark.kernel.profiles import (
@@ -173,14 +173,60 @@ def test_unsupported_hocon_fails_loud(tmp_path):
         load_profile_hocon,
     )
 
-    inc = tmp_path / "inc.conf"
-    inc.write_text('include "base.conf"\nprofile { hostname = "x.de" }\n')
-    with pytest.raises(UnsupportedHoconError, match="include"):
-        load_profile_hocon(str(inc))
-
-    sub = tmp_path / "sub.conf"
-    sub.write_text(
-        'profile { hostname = ${base.host}\n pageTypes = [] }\n'
+    (tmp_path / "base.conf").write_text(
+        'base { host = "x.de", title = "h1" }\n'
+        'profile { hostname = "overridden.de" }\n'
     )
-    with pytest.raises(UnsupportedHoconError, match="substitution"):
-        load_profile_hocon(str(sub))
+    main = tmp_path / "main.conf"
+    main.write_text(
+        'include "base.conf"\n'
+        "profile {\n"
+        "  hostname = ${base.host}\n"
+        "  pageTypes = [{\n"
+        '    name = "url"\n'
+        "    selectors { title = ${base.title}\n"
+        "                summary = ${?base.missing} }\n"
+        "  }]\n"
+        "}\n"
+    )
+    cfg = load_profile_hocon(str(main))
+    # include merged, body won; substitutions resolved from the root
+    assert cfg.hostname == "x.de"
+    assert cfg.page_types[0].selectors.title == "h1"
+    # optional ${?...} with a missing target drops the key -> None
+    assert cfg.page_types[0].selectors.summary is None
+
+    # quoted "${x}" stays literal (typesafe semantics)
+    lit = tmp_path / "lit.conf"
+    lit.write_text('profile { hostname = "${not.a.sub}", pageTypes = [] }\n')
+    assert load_profile_hocon(str(lit)).hostname == "${not.a.sub}"
+
+    # loud-fail boundaries: concatenation, unresolved path, missing file
+    cat = tmp_path / "cat.conf"
+    cat.write_text('a = "x"\nprofile { hostname = www.${a}.de, pageTypes = [] }\n')
+    with pytest.raises(UnsupportedHoconError, match="concatenation"):
+        load_profile_hocon(str(cat))
+
+    bad = tmp_path / "bad.conf"
+    bad.write_text("profile { hostname = ${no.such.key}\n pageTypes = [] }\n")
+    with pytest.raises(UnsupportedHoconError, match="unresolved"):
+        load_profile_hocon(str(bad))
+
+    noinc = tmp_path / "noinc.conf"
+    noinc.write_text('include "ghost.conf"\nprofile { hostname = "x" }\n')
+    with pytest.raises(UnsupportedHoconError, match="not found"):
+        load_profile_hocon(str(noinc))
+
+
+def test_hocon_include_cycle_fails_loud(tmp_path):
+    import pytest
+
+    from content_extractor_spark.kernel.profiles import (
+        UnsupportedHoconError,
+        load_profile_hocon,
+    )
+
+    (tmp_path / "a.conf").write_text('include "b.conf"\nx = 1\n')
+    (tmp_path / "b.conf").write_text('include "a.conf"\ny = 2\n')
+    with pytest.raises(UnsupportedHoconError, match="cycle"):
+        load_profile_hocon(str(tmp_path / "a.conf"))
