@@ -66,17 +66,21 @@ def scan(html: str, builder) -> None:
             _emit_text(builder, "<")  # lone '<' is text (browser behavior)
             pos = lt + 1
             continue
-        if m.group("endname"):
-            builder.handle_endtag(m.group("endname").lower())
+        # the alternatives are exclusive: lastindex identifies the
+        # branch with one C-level access (group order: 1=endname,
+        # 2=comment, 3=decl, 4=pi, 5=name)
+        branch = m.lastindex
+        if branch == 1:
+            builder.handle_endtag(m.group(1).lower())
             pos = m.end()
             continue
-        if m.group("comment"):
+        if branch == 2:
             end = html.find("-->", m.end())
             if end < 0:
                 return  # unterminated comment swallows to EOF (jsoup/HTML5)
             pos = end + 3
             continue
-        if m.group("decl") or m.group("pi"):
+        if branch in (3, 4):
             end = html.find(">", m.end())
             if end < 0:
                 _emit_text(builder, html[lt:])
@@ -84,7 +88,7 @@ def scan(html: str, builder) -> None:
             pos = end + 1
             continue
         # -- start tag ----------------------------------------------------
-        name = m.group("name").lower()
+        name = m.group(5).lower()
         attrs: list = []
         seen: set = set()
         i = m.end()
@@ -95,19 +99,21 @@ def scan(html: str, builder) -> None:
             if am is None or am.end() == i:
                 i += 1
                 continue
-            if am.group("gt"):
-                selfclose = am.group("gt") == "/>"
+            # one tuple fetch instead of five named lookups
+            # (group order: 1=gt, 2=aname, 3=dq, 4=sq, 5=uq)
+            gt, aname, dq, sq, uq = am.group(1, 2, 3, 4, 5)
+            if gt:
+                selfclose = gt == "/>"
                 i = am.end()
                 closed = True
                 break
-            aname = am.group("aname")
             if aname:
                 aname = aname.lower()
-                val = am.group("dq")
+                val = dq
                 if val is None:
-                    val = am.group("sq")
+                    val = sq
                 if val is None:
-                    val = am.group("uq")
+                    val = uq
                 if val is None:
                     val = ""
                 elif "&" in val:
