@@ -443,6 +443,38 @@ def q_png_pixel_stats(spark, sf_dir):
     )
 
 
+def q_gif_pixel_stats(spark, sf_dir):
+    # REAL GIF pixel decode (pure-Python variable-width LZW + palette
+    # resolution): a solid-color GIF is encoded per row; the oracle
+    # reconstructs the channel means from doc_id arithmetic
+    from content_extractor_spark.operators.multimodal import extract_pixel_stats
+    from content_extractor_spark.synth import encode_gif_solid
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            refs, payloads = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                refs.append(f"gif-{d}")
+                payloads.append(
+                    encode_gif_solid(
+                        d % 12 + 1, d % 9 + 1,
+                        (d * 5 % 256, d * 7 % 256, d * 11 % 256),
+                    )
+                )
+            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
+
+    media = docs.mapInPandas(enc, schema="media_ref string, payload binary")
+    return extract_pixel_stats(media).select(
+        "media_ref", "fmt", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b", "status",
+    )
+
+
 def q_media_manifest(spark, sf_dir):
     # interleaved-spans media manifest (pure array ops, zero shuffle):
     # a variable-length alternating text/media document is synthesized
@@ -1100,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_dims": q_media_image_dims,
         "media_pixel_stats": q_media_pixel_stats,
         "png_pixel_stats": q_png_pixel_stats,
+        "gif_pixel_stats": q_gif_pixel_stats,
         "media_manifest": q_media_manifest,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "density_extract": q_density_extract,
@@ -1321,6 +1354,18 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 256)::double AS mean_r,
                    (doc_id * 2 % 256)::double AS mean_g,
                    (doc_id * 3 % 256)::double AS mean_b,
+                   'ok' AS status
+            FROM documents WHERE doc_id < 200
+        """,
+        "gif_pixel_stats": """
+            SELECT 'gif-' || doc_id::varchar AS media_ref,
+                   'gif' AS fmt,
+                   (doc_id % 12 + 1)::int AS width,
+                   (doc_id % 9 + 1)::int AS height,
+                   3 AS channels,
+                   (doc_id * 5 % 256)::double AS mean_r,
+                   (doc_id * 7 % 256)::double AS mean_g,
+                   (doc_id * 11 % 256)::double AS mean_b,
                    'ok' AS status
             FROM documents WHERE doc_id < 200
         """,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "train_val_split",
     "png_pixel_stats",
+    "gif_pixel_stats",
     "tfidf_top_terms",
     "unigram_logprob",
     "stratified_sample",

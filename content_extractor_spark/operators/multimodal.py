@@ -9,10 +9,11 @@ partitioning) is real and tested.
 Container/header decode is REAL and dependency-free:
 ``decode_image_header`` struct-parses PNG / JPEG / GIF / BMP headers
 (format, width, height) from the payload bytes. PIXEL decode is REAL
-for binary Netpbm (P5/P6) and 8-bit PNG (``decode_png_pixels``: chunk
-walk, stdlib-zlib inflate, all five scanline filters). Only JPEG pixel
-decode + learned feature extraction remain STUBBED, because no
-image/audio codec libraries exist in this container:
+for binary Netpbm (P5/P6), 8-bit PNG (``decode_png_pixels``: chunk
+walk, stdlib-zlib inflate, all five scanline filters), and GIF
+(``decode_gif_pixels``: variable-width LZW, palette resolution). Only
+JPEG pixel decode + learned feature extraction remain STUBBED, because
+no image codec libraries exist in this container:
 
   * ``decode_stub_mode="fake"`` produces deterministic fake features
     (seeded by the payload digest) so pipelines are testable
@@ -417,10 +418,14 @@ def extract_pixel_stats(
                     row(ref, status="error", error="null payload")
                     continue
                 data = bytes(payload)
-                dec = decode_netpbm(data) or decode_png_pixels(data)
+                dec = (
+                    decode_netpbm(data)
+                    or decode_png_pixels(data)
+                    or decode_gif_pixels(data)
+                )
                 if dec is None:
                     row(ref, status="unsupported",
-                        error="not binary netpbm (P5/P6) or 8-bit PNG")
+                        error="not binary netpbm (P5/P6), 8-bit PNG, or GIF")
                 else:
                     fmt, w, h, ch, means = dec
                     row(ref, fmt, w, h, ch, means)
@@ -492,3 +497,136 @@ def extract_image_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=IMAGE_FEATURES_DDL)
+
+
+def _gif_lzw(data: bytes, min_code: int, max_pixels: int):
+    """GIF variable-width LZW decode (LSB-first bit packing) -> color
+    indices, or None on corruption. Bounded by max_pixels."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    n = len(data)
+    table = None
+    code_size = 0
+    prev = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < code_size and pos < n:
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        if len(out) > max_pixels:
+            return None
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    return out
+
+
+def decode_gif_pixels(data: bytes):
+    """REAL GIF pixel decode — pure Python (variable-width LZW per the
+    GIF89a spec), first image frame only.
+
+    Returns (fmt, width, height, channels=3, [mean_r, mean_g, mean_b])
+    over the frame's palette-resolved RGB values, or None. Channel
+    means are pixel-ORDER independent, so interlaced frames need no
+    deinterlacing; transparency is ignored (the transparent index still
+    contributes its palette color — documented, deterministic). Local
+    color tables override the global one for the frame.
+    """
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    packed = data[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        gct_len = 3 * (2 << (packed & 0x07))
+        gct = data[i : i + gct_len]
+        if len(gct) < gct_len:
+            return None
+        i += gct_len
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0x3B:  # trailer
+            return None
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+            continue
+        if b != 0x2C:  # not an image descriptor
+            return None
+        if i + 10 > n:
+            return None
+        w = int.from_bytes(data[i + 5 : i + 7], "little")
+        h = int.from_bytes(data[i + 7 : i + 9], "little")
+        ipacked = data[i + 9]
+        i += 10
+        pal = gct
+        if ipacked & 0x80:
+            lct_len = 3 * (2 << (ipacked & 0x07))
+            pal = data[i : i + lct_len]
+            if len(pal) < lct_len:
+                return None
+            i += lct_len
+        if pal is None or w <= 0 or h <= 0 or i >= n:
+            return None
+        min_code = data[i]
+        i += 1
+        if not 2 <= min_code <= 11:
+            return None
+        lzw = bytearray()
+        while i < n and data[i] != 0:
+            blen = data[i]
+            lzw += data[i + 1 : i + 1 + blen]
+            i += 1 + blen
+        idx = _gif_lzw(bytes(lzw), min_code, w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        npal = len(pal) // 3
+        sums = [0, 0, 0]
+        for px in idx[: w * h]:
+            if px >= npal:
+                return None
+            p = px * 3
+            sums[0] += pal[p]
+            sums[1] += pal[p + 1]
+            sums[2] += pal[p + 2]
+        cnt = w * h
+        return ("gif", w, h, 3, [s / cnt for s in sums])
+    return None

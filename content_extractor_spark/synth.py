@@ -366,3 +366,42 @@ def encode_png_solid(w: int, h: int, rgb: Tuple[int, int, int]) -> bytes:
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def encode_gif_solid(w: int, h: int, rgb: Tuple[int, int, int]) -> bytes:
+    """Deterministic dependency-free GIF89a encoder for test corpora.
+
+    4-entry global palette (target color at index 0), LZW stream that
+    emits a CLEAR before every literal code so the code table never
+    grows (fixed 3-bit code width, min code size 2) — a valid stream
+    any conformant decoder accepts.
+    """
+    import struct
+
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+    pal = bytes(rgb) + bytes(9)  # 4 entries x RGB, index 0 = color
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    clear, literal = 4, 0  # min code size 2 -> clear=4, eoi=5, width 3
+    bits = []
+    for _ in range(w * h):
+        bits.append(clear)
+        bits.append(literal)
+    bits.append(5)  # EOI
+    acc = nbits = 0
+    payload = bytearray()
+    for code in bits:
+        acc |= code << nbits
+        nbits += 3
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(acc & 0xFF)
+    blocks = bytearray([2])  # LZW min code size
+    for off in range(0, len(payload), 255):
+        chunk = payload[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return hdr + pal + desc + bytes(blocks) + b"\x3b"

