@@ -475,6 +475,39 @@ def q_gif_pixel_stats(spark, sf_dir):
     )
 
 
+def q_jpeg_pixel_stats(spark, sf_dir):
+    # REAL baseline-JPEG decode (pure Python+numpy huffman/IDCT): a
+    # solid-color JPEG with FLAT quant tables round-trips exactly (a
+    # constant block is DC-only), so the oracle reproduces the decoded
+    # means with the same floor(x+0.5) BT.601 arithmetic
+    from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
+    from content_extractor_spark.operators.multimodal import extract_pixel_stats
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            refs, payloads = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                refs.append(f"jpg-{d}")
+                payloads.append(
+                    encode_jpeg_solid(
+                        d % 16 + 1, d % 8 + 1,
+                        (d * 3 % 256, d * 5 % 256, d * 7 % 256),
+                    )
+                )
+            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
+
+    media = docs.mapInPandas(enc, schema="media_ref string, payload binary")
+    return extract_pixel_stats(media).select(
+        "media_ref", "fmt", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b", "status",
+    )
+
+
 def q_media_manifest(spark, sf_dir):
     # interleaved-spans media manifest (pure array ops, zero shuffle):
     # a variable-length alternating text/media document is synthesized
@@ -1133,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixel_stats": q_media_pixel_stats,
         "png_pixel_stats": q_png_pixel_stats,
         "gif_pixel_stats": q_gif_pixel_stats,
+        "jpeg_pixel_stats": q_jpeg_pixel_stats,
         "media_manifest": q_media_manifest,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "density_extract": q_density_extract,
@@ -1356,6 +1390,39 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id * 3 % 256)::double AS mean_b,
                    'ok' AS status
             FROM documents WHERE doc_id < 200
+        """,
+        "jpeg_pixel_stats": """
+            WITH base AS (
+              SELECT doc_id,
+                     (doc_id * 3 % 256)::DOUBLE AS r,
+                     (doc_id * 5 % 256)::DOUBLE AS g,
+                     (doc_id * 7 % 256)::DOUBLE AS b
+              FROM documents WHERE doc_id < 200
+            ),
+            ycc AS (
+              SELECT doc_id,
+                greatest(0, least(255,
+                  floor(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+                greatest(0, least(255,
+                  floor(128 - 0.168736*r - 0.331264*g + 0.5 + 0.5*b))) AS cb,
+                greatest(0, least(255,
+                  floor(128 + 0.5*r - 0.418688*g - 0.081312*b + 0.5))) AS cr
+              FROM base
+            )
+            SELECT 'jpg-' || doc_id::varchar AS media_ref,
+                   'jpeg' AS fmt,
+                   (doc_id % 16 + 1)::int AS width,
+                   (doc_id % 8 + 1)::int AS height,
+                   3 AS channels,
+                   greatest(0, least(255,
+                     floor(y + 1.402*(cr - 128.0) + 0.5)))::DOUBLE AS mean_r,
+                   greatest(0, least(255,
+                     floor(y - 0.344136*(cb - 128.0)
+                             - 0.714136*(cr - 128.0) + 0.5)))::DOUBLE AS mean_g,
+                   greatest(0, least(255,
+                     floor(y + 1.772*(cb - 128.0) + 0.5)))::DOUBLE AS mean_b,
+                   'ok' AS status
+            FROM ycc
         """,
         "gif_pixel_stats": """
             SELECT 'gif-' || doc_id::varchar AS media_ref,

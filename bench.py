@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "train_val_split",
     "png_pixel_stats",
     "gif_pixel_stats",
+    "jpeg_pixel_stats",
     "tfidf_top_terms",
     "unigram_logprob",
     "stratified_sample",

@@ -10,10 +10,12 @@ Container/header decode is REAL and dependency-free:
 ``decode_image_header`` struct-parses PNG / JPEG / GIF / BMP headers
 (format, width, height) from the payload bytes. PIXEL decode is REAL
 for binary Netpbm (P5/P6), 8-bit PNG (``decode_png_pixels``: chunk
-walk, stdlib-zlib inflate, all five scanline filters), and GIF
-(``decode_gif_pixels``: variable-width LZW, palette resolution). Only
-JPEG pixel decode + learned feature extraction remain STUBBED, because
-no image codec libraries exist in this container:
+walk, stdlib-zlib inflate, all five scanline filters), GIF
+(``decode_gif_pixels``: variable-width LZW, palette resolution), and
+baseline JPEG (``kernel.jpeg.decode_jpeg_pixels``: huffman entropy
+decode, dequant, exact float IDCT, chroma upsampling, BT.601 —
+progressive/arithmetic return unsupported). Only LEARNED feature
+extraction remains stubbed (it genuinely needs a model):
 
   * ``decode_stub_mode="fake"`` produces deterministic fake features
     (seeded by the payload digest) so pipelines are testable
@@ -227,6 +229,12 @@ def media_manifest(
     )
 
 
+def _decode_jpeg(data: bytes):
+    from ..kernel.jpeg import decode_jpeg_pixels
+
+    return decode_jpeg_pixels(data)
+
+
 PIXEL_STATS_DDL = (
     "media_ref string, fmt string, width int, height int, channels int, "
     "mean_r double, mean_g double, mean_b double, status string, "
@@ -422,10 +430,12 @@ def extract_pixel_stats(
                     decode_netpbm(data)
                     or decode_png_pixels(data)
                     or decode_gif_pixels(data)
+                    or _decode_jpeg(data)
                 )
                 if dec is None:
                     row(ref, status="unsupported",
-                        error="not binary netpbm (P5/P6), 8-bit PNG, or GIF")
+                        error="not binary netpbm (P5/P6), 8-bit PNG, GIF, "
+                              "or baseline JPEG")
                 else:
                     fmt, w, h, ch, means = dec
                     row(ref, fmt, w, h, ch, means)
@@ -485,7 +495,10 @@ def extract_image_features(
                 try:
                     if decode_stub_mode == "raise":
                         raise NotImplementedError(
-                            "image decode requires PIL/libvips — not in this container"
+                            "learned image-feature extraction needs an "
+                            "embedding model — not in this container "
+                            "(pixel decode itself is real: see "
+                            "extract_pixel_stats)"
                         )
                     out["feat"].append(_fake_decode(data))
                     out["status"].append("ok")

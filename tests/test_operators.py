@@ -1132,3 +1132,63 @@ class TestGifPixelDecode:
         fmt, w, h, ch, means = r
         # pixels: three 0s (black) and three 1s (white) -> mean 127.5
         assert (w, h) == (2, 3) and means == [127.5, 127.5, 127.5]
+
+
+class TestJpegPixelDecode:
+    def test_solid_roundtrip_exact(self):
+        import math
+
+        from content_extractor_spark.kernel.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_solid,
+            rgb_to_ycbcr,
+        )
+
+        for w, h, rgb in [(8, 8, (0, 0, 0)), (7, 5, (37, 74, 111)),
+                          (20, 13, (200, 10, 99)), (1, 1, (128, 128, 128))]:
+            fmt, dw, dh, ch, means = decode_jpeg_pixels(
+                encode_jpeg_solid(w, h, rgb)
+            )
+            assert (fmt, dw, dh, ch) == ("jpeg", w, h, 3)
+            y, cb, cr = rgb_to_ycbcr(*rgb)
+            clamp = lambda v: max(0.0, min(255.0, float(v)))
+            assert means == [
+                clamp(math.floor(y + 1.402 * (cr - 128) + 0.5)),
+                clamp(math.floor(
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                )),
+                clamp(math.floor(y + 1.772 * (cb - 128) + 0.5)),
+            ]
+
+    def test_externally_encoded_grayscale(self):
+        """IPython's 2x2.jpg, VERBATIM bytes from an independent encoder
+        (libjpeg): 2x2 grayscale, all pixels 128 — the same image whose
+        PNG twin decodes to mean 128.0, so the two independent decode
+        paths corroborate each other."""
+        from content_extractor_spark.kernel.jpeg import decode_jpeg_pixels
+
+        jpg = bytes.fromhex(
+            "ffd8ffe000104a46494600010100000100010000ffdb0043000806060705"
+            "0508070707090908 0a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c"
+            "20242e2720222c231c1c2837292c30313434341f27393d38323c2e333432"
+            "ffc0000b080002000201011100ffc4001f00000105010101010101000000"
+            "00000000000102030405060708090a0bffc400b51000020103030204030505"
+            "04040000017d01020300041105122131410613516107227114328191a108"
+            "2342b1c11552d1f02433627282090a161718191a25262728292a34353637"
+            "38393a434445464748494a535455565758595a636465666768696a737475"
+            "767778797a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9"
+            "aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+            "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffda0008010100003f002bff"
+            "d9".replace(" ", "")
+        )
+        assert decode_jpeg_pixels(jpg) == ("jpeg", 2, 2, 1, [128.0])
+
+    def test_unsupported_returns_none(self):
+        from content_extractor_spark.kernel.jpeg import decode_jpeg_pixels
+
+        assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+        assert decode_jpeg_pixels(b"not a jpeg") is None
+        # progressive (SOF2) refused, not garbled
+        prog = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x02\x00\x02\x01\x01"
+                b"\x11\x00\xff\xd9")
+        assert decode_jpeg_pixels(prog) is None
