@@ -159,6 +159,13 @@ def time_queries(spark, sf_dir: str) -> dict:
 
 
 def main():
+    # ambient-load transparency: sample BEFORE any Spark session exists,
+    # so the number reflects the neighbors, not our own executors (the
+    # r3 end-of-run sample read 10+ while the box idled at 2)
+    try:
+        ambient1, ambient5, _ = os.getloadavg()
+    except OSError:
+        ambient1 = ambient5 = -1.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     do_scaling = os.environ.get("CE_BENCH_SCALING", "1") != "0"
@@ -213,9 +220,9 @@ def main():
             "efficiency_n8_to_n32": round(eff_8_32, 3),
             "efficiency": round(eff_2_8, 3),
         }
-        _write_baseline_md(n_docs, summary, scaling)
+        _write_baseline_md(n_docs, summary, scaling, ambient1, ambient5)
 
-    try:  # ambient-load transparency: this VM has noisy neighbors
+    try:  # end-of-run load for contrast (includes our own executors)
         load1, load5, _ = os.getloadavg()
     except OSError:
         load1 = load5 = -1.0
@@ -224,8 +231,9 @@ def main():
         "value": round(sum(query_times.values()) + wall_main, 3),
         "unit": "sec",
         "queries": query_times,
-        "ambient_load_1m": round(load1, 2),
-        "ambient_load_5m": round(load5, 2),
+        "ambient_load_1m": round(ambient1, 2),
+        "ambient_load_5m": round(ambient5, 2),
+        "end_load_1m": round(load1, 2),
         "sf": sf,
         "extraction": {
             "n_docs": summary["docs_parsed"],
@@ -250,11 +258,7 @@ def main():
 _BEST_KNOWN = {2: 60.57, 8: 14.91, 32: 5.67}
 
 
-def _write_baseline_md(n_docs, summary, scaling):
-    try:
-        load1, load5, _ = os.getloadavg()
-    except OSError:
-        load1 = load5 = -1.0
+def _write_baseline_md(n_docs, summary, scaling, load1=-1.0, load5=-1.0):
     if n_docs == 200_000:  # the reference corpus _BEST_KNOWN was measured on
         best = {
             par: min(t, scaling[f"t_local{par}_sec"])
