@@ -508,6 +508,37 @@ def q_jpeg_pixel_stats(spark, sf_dir):
     )
 
 
+def q_bmp_pixel_stats(spark, sf_dir):
+    # REAL BMP pixel decode (uncompressed 24-bit, padded bottom-up
+    # rows); solid-color payloads, arithmetic oracle
+    from content_extractor_spark.operators.multimodal import extract_pixel_stats
+    from content_extractor_spark.synth import encode_bmp_solid
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            refs, payloads = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                refs.append(f"bmp-{d}")
+                payloads.append(
+                    encode_bmp_solid(
+                        d % 10 + 1, d % 6 + 1,
+                        (d * 13 % 256, d * 17 % 256, d * 19 % 256),
+                    )
+                )
+            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
+
+    media = docs.mapInPandas(enc, schema="media_ref string, payload binary")
+    return extract_pixel_stats(media).select(
+        "media_ref", "fmt", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b", "status",
+    )
+
+
 def q_media_manifest(spark, sf_dir):
     # interleaved-spans media manifest (pure array ops, zero shuffle):
     # a variable-length alternating text/media document is synthesized
@@ -936,6 +967,53 @@ def q_pagerank_hosts(spark, sf_dir):
     )
 
 
+def q_anchor_texts(spark, sf_dir):
+    # anchor-text profile per destination host (caption/query training
+    # pairs): pure-Catalyst anchor extraction + one keyed aggregate
+    from content_extractor_spark.operators.linkgraph import extract_anchor_texts
+
+    triples = extract_anchor_texts(_linked_corpus(spark, sf_dir))
+    return triples.groupBy("dst", "anchor_text").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_robots_filter(spark, sf_dir):
+    # group-aware robots.txt Disallow filtering (User-agent: * groups
+    # only — a non-star group's rules must NOT apply): urls and robots
+    # are synthesized deterministically; the oracle reproduces the
+    # allowed set arithmetically, so the parser itself is under test
+    from content_extractor_spark.operators.scans import robots_disallow_filter
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example"))
+    seg = F.element_at(
+        F.array(F.lit("/a"), F.lit("/private"), F.lit("/tmp"), F.lit("/pub")),
+        (d % 4 + 1).cast("int"),
+    )
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, seg, F.lit("/p"),
+                 d.cast("string")).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.example",
+             "User-agent: *\nDisallow: /private\nDisallow: /tmp"),
+            ("h1.example",
+             "User-agent: googlebot\nUser-agent: *\n"
+             "Disallow: /private\nDisallow: /tmp\n\n"
+             "User-agent: foo\nDisallow: /"),
+            ("h2.example", "User-agent: foo\nDisallow: /"),
+            ("h3.example", "User-agent: *\nDisallow: /a"),
+        ],
+        "host string, robots_txt string",
+    )
+    return robots_disallow_filter(urls, robots).select("doc_id", "host", "url")
+
+
 def q_normalize_text(spark, sf_dir):
     # canonical text cleanup (curly quotes, dashes, NBSP, controls,
     # whitespace) — map-only; dirt is synthesized in SQL so the oracle
@@ -1167,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_pixel_stats": q_png_pixel_stats,
         "gif_pixel_stats": q_gif_pixel_stats,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        "bmp_pixel_stats": q_bmp_pixel_stats,
         "media_manifest": q_media_manifest,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "density_extract": q_density_extract,
@@ -1197,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "normalize_text": q_normalize_text,
         "kmeans_assign": q_kmeans_assign,
+        "anchor_texts": q_anchor_texts,
+        "robots_filter": q_robots_filter,
         "sessionize_events": q_sessionize_events,
         "audio_duration": q_audio_duration,
         "pii_scrub": q_pii_scrub,
@@ -1388,6 +1469,18 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 256)::double AS mean_r,
                    (doc_id * 2 % 256)::double AS mean_g,
                    (doc_id * 3 % 256)::double AS mean_b,
+                   'ok' AS status
+            FROM documents WHERE doc_id < 200
+        """,
+        "bmp_pixel_stats": """
+            SELECT 'bmp-' || doc_id::varchar AS media_ref,
+                   'bmp' AS fmt,
+                   (doc_id % 10 + 1)::int AS width,
+                   (doc_id % 6 + 1)::int AS height,
+                   3 AS channels,
+                   (doc_id * 13 % 256)::double AS mean_r,
+                   (doc_id * 17 % 256)::double AS mean_g,
+                   (doc_id * 19 % 256)::double AS mean_b,
                    'ok' AS status
             FROM documents WHERE doc_id < 200
         """,
@@ -1977,6 +2070,34 @@ def oracle_sql() -> dict[str, str]:
                               AS rank
                    FROM nodes LEFT JOIN c3 ON nodes.host = c3.host)
             SELECT host, round(rank, 6) AS rank FROM r3
+        """,
+        "anchor_texts": """
+            WITH t AS (
+              SELECT 'h' || ((doc_id * 2 + 1) % 7)::varchar
+                         || '.example' AS dst, 'x' AS anchor_text
+              FROM documents WHERE doc_id < 400
+              UNION ALL
+              SELECT 'h' || ((doc_id * 3 + 2) % 10)::varchar
+                         || '.example', 'z'
+              FROM documents WHERE doc_id < 400
+            )
+            SELECT dst, anchor_text, count(*) AS n
+            FROM t GROUP BY dst, anchor_text
+        """,
+        "robots_filter": """
+            SELECT doc_id,
+                   'h' || (doc_id % 5)::varchar || '.example' AS host,
+                   'https://h' || (doc_id % 5)::varchar || '.example'
+                     || (CASE doc_id % 4 WHEN 0 THEN '/a'
+                         WHEN 1 THEN '/private' WHEN 2 THEN '/tmp'
+                         ELSE '/pub' END)
+                     || '/p' || doc_id::varchar AS url
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT (
+                (doc_id % 5 IN (0, 1) AND doc_id % 4 IN (1, 2))
+                OR (doc_id % 5 = 3 AND doc_id % 4 = 0)
+              )
         """,
         "normalize_text": r"""
             WITH dirty AS (

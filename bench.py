@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "pagerank_hosts",
     "normalize_text",
     "kmeans_assign",
+    "bmp_pixel_stats",
+    "anchor_texts",
+    "robots_filter",
 ]
 
 

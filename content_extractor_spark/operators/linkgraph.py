@@ -116,3 +116,30 @@ def pagerank_hosts(
             )
         )
     return ranks.select("host", F.round("rank", round_to).alias("rank"))
+
+
+ANCHOR_RE = r'<a href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def extract_anchor_texts(
+    docs: DataFrame,
+    html_col: str = "html",
+    src_host_col: str = "host",
+) -> DataFrame:
+    """(src, dst, anchor_text) triples from absolute-href anchors —
+    the raw material for anchor-text/caption training pairs and
+    link-context quality signals. Pure Catalyst: regexp_extract_all of
+    whole anchors, per-element href/text extraction, map-only until the
+    caller aggregates.
+    """
+    anchors = F.explode(
+        F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), F.lit(0))
+    ).alias("a")
+    href = F.regexp_extract(F.col("a"), r'href="([^"]*)"', 1)
+    text = F.trim(F.regexp_extract(F.col("a"), r">([^<]*)<", 1))
+    dst = F.regexp_extract(href, HOST_RE, 1)
+    return (
+        docs.select(F.col(src_host_col).alias("src"), anchors)
+        .select("src", dst.alias("dst"), text.alias("anchor_text"))
+        .where((F.col("dst") != "") & (F.col("anchor_text") != ""))
+    )

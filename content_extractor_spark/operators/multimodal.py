@@ -11,7 +11,8 @@ Container/header decode is REAL and dependency-free:
 (format, width, height) from the payload bytes. PIXEL decode is REAL
 for binary Netpbm (P5/P6), 8-bit PNG (``decode_png_pixels``: chunk
 walk, stdlib-zlib inflate, all five scanline filters), GIF
-(``decode_gif_pixels``: variable-width LZW, palette resolution), and
+(``decode_gif_pixels``: variable-width LZW, palette resolution),
+uncompressed 24/32-bit BMP (``decode_bmp_pixels``), and
 baseline JPEG (``kernel.jpeg.decode_jpeg_pixels``: huffman entropy
 decode, dequant, exact float IDCT, chroma upsampling, BT.601 —
 progressive/arithmetic return unsupported). Only LEARNED feature
@@ -430,12 +431,13 @@ def extract_pixel_stats(
                     decode_netpbm(data)
                     or decode_png_pixels(data)
                     or decode_gif_pixels(data)
+                    or decode_bmp_pixels(data)
                     or _decode_jpeg(data)
                 )
                 if dec is None:
                     row(ref, status="unsupported",
                         error="not binary netpbm (P5/P6), 8-bit PNG, GIF, "
-                              "or baseline JPEG")
+                              "24/32-bit BMP, or baseline JPEG")
                 else:
                     fmt, w, h, ch, means = dec
                     row(ref, fmt, w, h, ch, means)
@@ -643,3 +645,40 @@ def decode_gif_pixels(data: bytes):
         cnt = w * h
         return ("gif", w, h, 3, [s / cnt for s in sums])
     return None
+
+
+def decode_bmp_pixels(data: bytes):
+    """REAL BMP pixel decode — uncompressed 24/32-bit BITMAPINFOHEADER.
+
+    Rows are 4-byte aligned (24-bit) and stored bottom-up (negative
+    height = top-down); channel means are row-order independent so both
+    orientations share one path. Palette/RLE/16-bit return None.
+    """
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    pix_off = int.from_bytes(data[10:14], "little")
+    dib = int.from_bytes(data[14:18], "little")
+    if dib < 40:
+        return None
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if w <= 0 or h == 0 or comp != 0 or bpp not in (24, 32):
+        return None
+    nrows = abs(h)
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3 if bpp == 24 else w * 4
+    need = pix_off + stride * nrows
+    if len(data) < need:
+        return None
+    sums = [0, 0, 0]
+    for row in range(nrows):
+        base = pix_off + row * stride
+        line = data[base : base + w * nbytes]
+        # BGR(A) order
+        sums[2] += sum(line[0::nbytes])
+        sums[1] += sum(line[1::nbytes])
+        sums[0] += sum(line[2::nbytes])
+    cnt = w * nrows
+    return ("bmp", w, nrows, 3, [s / cnt for s in sums])

@@ -91,3 +91,83 @@ def etag_unchanged_skip(docs: DataFrame, entries: DataFrame) -> DataFrame:
         & (docs["etag"] == unchanged["e_etag"]),
         "left_anti",
     )
+
+
+def robots_disallow_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, prefix) Disallow rules that apply to User-agent: * —
+    GROUP-AWARE robots.txt parsing in pure Catalyst.
+
+    A robots group is one-or-more consecutive User-agent lines followed
+    by its rules; a Disallow applies to us only if its group names
+    agent '*'. Directive names match case-insensitively, rule paths
+    keep their case. Implemented with one posexplode + two windows
+    (group id = running count of group-STARTING user-agent lines) and
+    one group-level aggregate — no Python.
+    """
+    from pyspark.sql import Window
+
+    h = F.col(host_col)
+    lines = robots.select(
+        h.alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+    ).withColumn("line", F.trim(F.col("line")))
+    is_ua = F.col("line").rlike(r"(?i)^user-agent\s*:")
+    w = Window.partitionBy("host").orderBy("pos")
+    lines = (
+        lines.withColumn("_ua", is_ua)
+        .withColumn("_prev_ua", F.coalesce(F.lag("_ua").over(w), F.lit(False)))
+        .withColumn(
+            "grp",
+            F.sum(
+                (F.col("_ua") & ~F.col("_prev_ua")).cast("int")
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    star_groups = (
+        lines.where(F.col("_ua"))
+        .withColumn(
+            "agent",
+            F.trim(F.regexp_extract(F.col("line"), r"(?i)^user-agent\s*:(.*)$", 1)),
+        )
+        .where(F.col("agent") == "*")
+        .select("host", "grp")
+        .distinct()
+    )
+    rules = (
+        lines.where(F.col("line").rlike(r"(?i)^disallow\s*:"))
+        .withColumn(
+            "prefix",
+            F.trim(F.regexp_extract(F.col("line"), r"(?i)^disallow\s*:(.*)$", 1)),
+        )
+        .where(F.col("prefix") != "")
+        .select("host", "grp", "prefix")
+    )
+    return rules.join(star_groups, ["host", "grp"]).select("host", "prefix")
+
+
+def robots_disallow_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    robots_host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Drop urls whose path falls under a User-agent:* Disallow prefix
+    of their host. One host-keyed left-anti join; the rules side is
+    tiny (one robots.txt per host) so Spark broadcasts it.
+    """
+    rules = robots_disallow_rules(robots, robots_host_col, txt_col)
+    path = F.regexp_replace(F.col(url_col), r"^https?://[^/]+", "")
+    flagged = urls.withColumn("_path", path)
+    r = rules.select(
+        F.col("host").alias("_r_host"), F.col("prefix").alias("_r_prefix")
+    )
+    cond = (F.col(host_col) == F.col("_r_host")) & F.col("_path").startswith(
+        F.col("_r_prefix")
+    )
+    return flagged.join(F.broadcast(r), cond, "left_anti").drop("_path")

@@ -405,3 +405,16 @@ def encode_gif_solid(w: int, h: int, rgb: Tuple[int, int, int]) -> bytes:
         blocks += chunk
     blocks.append(0)  # block terminator
     return hdr + pal + desc + bytes(blocks) + b"\x3b"
+
+
+def encode_bmp_solid(w: int, h: int, rgb: Tuple[int, int, int]) -> bytes:
+    """Deterministic 24-bit uncompressed BMP (bottom-up, padded rows)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pix = (bytes((rgb[2], rgb[1], rgb[0])) * w).ljust(stride, b"\x00") * h
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(pix), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                    2835, 2835, 0, 0)
+    return header + pix

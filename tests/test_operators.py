@@ -1192,3 +1192,76 @@ class TestJpegPixelDecode:
         prog = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x02\x00\x02\x01\x01"
                 b"\x11\x00\xff\xd9")
         assert decode_jpeg_pixels(prog) is None
+
+
+class TestRobotsAndAnchors:
+    def test_robots_group_aware(self, spark):
+        from content_extractor_spark.operators.scans import (
+            robots_disallow_rules,
+        )
+
+        robots = spark.createDataFrame(
+            [
+                # consecutive UA lines share ONE group; star applies
+                ("a.com", "User-agent: googlebot\nUser-agent: *\n"
+                          "DISALLOW: /x\n\nUser-agent: foo\nDisallow: /"),
+                # non-star group only -> no rules for us
+                ("b.com", "User-agent: foo\nDisallow: /"),
+                # empty Disallow value = allow-all, must be ignored
+                ("c.com", "user-agent: *\ndisallow:\ndisallow: /y"),
+            ],
+            "host string, robots_txt string",
+        )
+        rules = {(r["host"], r["prefix"])
+                 for r in robots_disallow_rules(robots).collect()}
+        assert rules == {("a.com", "/x"), ("c.com", "/y")}
+
+    def test_robots_filter_paths(self, spark):
+        from content_extractor_spark.operators.scans import (
+            robots_disallow_filter,
+        )
+
+        urls = spark.createDataFrame(
+            [("a.com", "https://a.com/x/1"), ("a.com", "https://a.com/ok"),
+             ("b.com", "https://b.com/x/1")],
+            "host string, url string",
+        )
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /x")],
+            "host string, robots_txt string",
+        )
+        kept = {r["url"] for r in robots_disallow_filter(urls, robots).collect()}
+        # b.com has no robots -> untouched; a.com/x/* dropped
+        assert kept == {"https://a.com/ok", "https://b.com/x/1"}
+
+    def test_anchor_texts(self, spark):
+        from content_extractor_spark.operators.linkgraph import (
+            extract_anchor_texts,
+        )
+
+        df = spark.createDataFrame(
+            [("s.com", '<a href="https://d.com/x" rel="nofollow">Click me</a>'
+                       '<a href="/rel">skip</a>'
+                       '<a href="https://e.com/y"></a>')],
+            "host string, html string",
+        )
+        got = [(r["src"], r["dst"], r["anchor_text"])
+               for r in extract_anchor_texts(df).collect()]
+        # relative href and empty anchor text are both dropped
+        assert got == [("s.com", "d.com", "Click me")]
+
+    def test_bmp_decode_variants(self):
+        from content_extractor_spark.operators.multimodal import (
+            decode_bmp_pixels,
+        )
+        from content_extractor_spark.synth import encode_bmp_solid
+
+        r = decode_bmp_pixels(encode_bmp_solid(13, 9, (200, 100, 50)))
+        assert r == ("bmp", 13, 9, 3, [200.0, 100.0, 50.0])
+        # top-down (negative height) decodes identically for means
+        import struct
+
+        b = bytearray(encode_bmp_solid(4, 2, (1, 2, 3)))
+        b[22:26] = struct.pack("<i", -2)
+        assert decode_bmp_pixels(bytes(b)) == ("bmp", 4, 2, 3, [1.0, 2.0, 3.0])
+        assert decode_bmp_pixels(b"BM" + b"\x00" * 60) is None
