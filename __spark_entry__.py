@@ -1042,6 +1042,38 @@ def q_kmeans_assign(spark, sf_dir):
     return kmeans_assign(emb, dim=64, k=4, iterations=1, round_to=6)
 
 
+def q_tumbling_window_agg(spark, sf_dir):
+    # event-time tumbling window (1h) — F.window in batch mode, the
+    # same operator Structured Streaming uses; epoch-aligned starts
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 500)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(24,6)")), 3)
+            .cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def q_sliding_window_agg(spark, sf_dir):
+    # sliding window (1h window, 30m slide): every event lands in two
+    # windows; Spark explodes window slots before the partial aggregate
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "n",
+        )
+    )
+
+
 def q_sessionize_events(spark, sf_dir):
     # gap-based sessionization (30-min inactivity) over the events table
     from content_extractor_spark.operators.sessionize import session_stats
@@ -1278,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "anchor_texts": q_anchor_texts,
         "robots_filter": q_robots_filter,
+        "tumbling_window_agg": q_tumbling_window_agg,
+        "sliding_window_agg": q_sliding_window_agg,
         "sessionize_events": q_sessionize_events,
         "audio_duration": q_audio_duration,
         "pii_scrub": q_pii_scrub,
@@ -2164,6 +2198,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM vecs, c1
               )
             ) WHERE rn = 1
+        """,
+        "tumbling_window_agg": """
+            SELECT strftime(to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600),
+                            '%Y-%m-%d %H:%M:%S') AS w_start,
+                   event_type, count(*) AS n,
+                   round(sum(value::DECIMAL(24,6)), 3)::DOUBLE AS sum_value
+            FROM events WHERE user_id < 500
+            GROUP BY 1, 2
+        """,
+        "sliding_window_agg": """
+            WITH slotted AS (
+              SELECT to_timestamp((floor(epoch(ts))::BIGINT // 1800) * 1800
+                                  - k.k) AS w_start
+              FROM events, (SELECT unnest([0, 1800]) AS k) k
+              WHERE user_id < 300
+            )
+            SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+                   count(*) AS n
+            FROM slotted GROUP BY 1
         """,
         "sessionize_events": """
             WITH ordered AS (

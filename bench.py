@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "bmp_pixel_stats",
     "anchor_texts",
     "robots_filter",
+    "tumbling_window_agg",
+    "sliding_window_agg",
 ]
 
 
