@@ -1014,6 +1014,23 @@ def q_robots_filter(spark, sf_dir):
     return robots_disallow_filter(urls, robots).select("doc_id", "host", "url")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    # CDC between two corpus snapshots (added/removed/changed/unchanged
+    # by content digest): one full outer join; the oracle reproduces the
+    # expected change set arithmetically
+    from content_extractor_spark.operators.curation import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 350).select("doc_id", "text")
+    new = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 400)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
 def q_normalize_text(spark, sf_dir):
     # canonical text cleanup (curly quotes, dashes, NBSP, controls,
     # whitespace) — map-only; dirt is synthesized in SQL so the oracle
@@ -1312,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "tumbling_window_agg": q_tumbling_window_agg,
         "sliding_window_agg": q_sliding_window_agg,
+        "snapshot_diff": q_snapshot_diff,
         "sessionize_events": q_sessionize_events,
         "audio_duration": q_audio_duration,
         "pii_scrub": q_pii_scrub,
@@ -2198,6 +2216,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM vecs, c1
               )
             ) WHERE rn = 1
+        """,
+        "snapshot_diff": """
+            SELECT doc_id,
+                   CASE WHEN doc_id < 50 THEN 'removed'
+                        WHEN doc_id >= 350 THEN 'added'
+                        WHEN doc_id % 10 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM documents WHERE doc_id < 400
         """,
         "tumbling_window_agg": """
             SELECT strftime(to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600),

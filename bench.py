@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "tumbling_window_agg",
     "sliding_window_agg",
+    "snapshot_diff",
 ]
 
 

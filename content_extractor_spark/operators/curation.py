@@ -222,3 +222,67 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(out_col, c)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDC between two corpus snapshots: (id, change) where change in
+    {added, removed, changed, unchanged} by content digest.
+
+    One full outer join on the id — the incremental-crawl primitive
+    that decides which documents re-enter the pipeline (the reference's
+    re-analysis phase S3/O7 compares ETags per url; this is the
+    corpus-level equivalent for snapshot inputs).
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_od")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_nd")
+    )
+    joined = o.join(n, "id", "full_outer")
+    change = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col("id").alias(id_col), change.alias("change"))
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "zlib_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Gopher/RefinedWeb-style quality signal: zlib-compressed size /
+    raw size (low = repetitive boilerplate, ~1 = high-entropy noise).
+
+    Needs real compression, so this is an Arrow-batched pandas UDF (the
+    approved slow path) — still map-only, no shuffle. Deterministic for
+    a fixed zlib level; value-pinned by pytest rather than a SQL oracle
+    (DuckDB cannot zlib).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts):
+        import zlib
+
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8", "replace")
+            out.append(round(len(zlib.compress(raw, level)) / len(raw), 6))
+        return pd.Series(out, dtype="float64")
+
+    return df.withColumn(out_col, ratio(F.col(text_col)))

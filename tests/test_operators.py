@@ -1265,3 +1265,38 @@ class TestRobotsAndAnchors:
         b[22:26] = struct.pack("<i", -2)
         assert decode_bmp_pixels(bytes(b)) == ("bmp", 4, 2, 3, [1.0, 2.0, 3.0])
         assert decode_bmp_pixels(b"BM" + b"\x00" * 60) is None
+
+
+class TestSnapshotAndCompression:
+    def test_snapshot_diff(self, spark):
+        from content_extractor_spark.operators.curation import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id int, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "CHANGED"), (4, "d")], "doc_id int, text string"
+        )
+        got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_compression_ratio_signal(self, spark):
+        from content_extractor_spark.operators.curation import compression_ratio
+
+        import hashlib
+
+        noisy = "".join(
+            hashlib.sha256(str(i).encode()).hexdigest() for i in range(64)
+        )
+        rows = [
+            (1, "spam " * 400),  # repetitive -> low ratio
+            (2, noisy),          # high-entropy hex -> high ratio
+            (3, ""),             # empty -> null
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+        assert out[1] < 0.05 < 0.4 < out[2]
+        assert out[3] is None
+        # deterministic across runs (fixed level)
+        again = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+        assert out == again
