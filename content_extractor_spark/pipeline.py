@@ -128,6 +128,12 @@ def run_extraction(
         except Exception:
             pass  # ledger existed but no spans written yet
     deduped = mark_duplicates(extracted, dedup_baseline)
+    # n_spans is materialized at write time so the metrics pass never
+    # re-reads the heavy spans array column (column pruning makes the
+    # read-back scan footers + small ints only)
+    deduped = deduped.withColumn(
+        "n_spans", F.size(F.coalesce(F.col("spans"), F.array())).cast("int")
+    )
     (
         deduped.repartition(cfg.num_buckets, "bucket")
         .write.mode("overwrite")
@@ -155,7 +161,7 @@ def run_extraction(
         new_out.groupBy("bucket")
         .agg(
             F.count("*").alias("docs_parsed"),
-            F.sum(F.size(F.coalesce(F.col("spans"), F.array()))).alias("spans_emitted"),
+            F.sum("n_spans").alias("spans_emitted"),
             F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
             F.sum((F.col("status") == "profile_miss").cast("long")).alias("profile_miss"),
             F.sum((F.col("status") == "no_title").cast("long")).alias("no_title"),
@@ -163,17 +169,20 @@ def run_extraction(
             F.sum(F.coalesce(F.col("disabled").cast("long"), F.lit(0))).alias("disabled_dups"),
         )
         .withColumn("run_id", F.lit(cfg.run_id))
+        .cache()  # tiny (one row per bucket); reused for the ledger
     )
     metrics.write.mode("append").parquet(os.path.join(output_path, "metrics"))
 
-    # commit ledger rows for the buckets processed in this run
-    processed = new_out.select("bucket").distinct()
+    # commit ledger rows for the buckets processed in this run — derived
+    # from the cached metrics, NOT a second scan of the output
+    processed = metrics.select("bucket").distinct()
     (
         processed.withColumn("status", F.lit("done"))
         .withColumn("run_id", F.lit(cfg.run_id))
         .write.mode("append")
         .parquet(ledger_path)
     )
+    metrics.unpersist()
 
     summary_rows = (
         spark.read.parquet(os.path.join(output_path, "metrics"))
