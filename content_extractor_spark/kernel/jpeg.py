@@ -217,6 +217,10 @@ def _decode(data: bytes):
             if frame is None:
                 return None
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # multi-scan baseline (one scan per component) would
+                # silently decode as grayscale — refuse instead
+                return None
             scan = []
             for c in range(ns):
                 cs = seg[1 + c * 2]

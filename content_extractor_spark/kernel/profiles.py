@@ -363,24 +363,84 @@ def _deep_merge(base, over):
     return over
 
 
+def _strip_hocon_comments(text: str) -> str:
+    """Remove # and // comments, preserving '#'/'//' inside quoted
+    strings. Runs FIRST so neither the substitution marker nor the
+    include scanner can be confused by quotes inside comments."""
+    out = []
+    i, n = 0, len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            out.append(c)
+            if c == '"' and text[i - 1] != "\\":
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "#" or text[i : i + 2] == "//":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _brace_depth_at(text: str, pos: int) -> int:
+    """Object-nesting depth at `pos` (string-aware; comment-free input)."""
+    depth = 0
+    in_str = False
+    for j in range(pos):
+        c = text[j]
+        if in_str:
+            if c == '"' and text[j - 1] != "\\":
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+    return depth
+
+
 def _hocon_file_to_dict(path: str, seen=None) -> dict:
     """One HOCON file -> dict: strip `include` lines (top-level subset),
     recursively load and merge them (file body wins), mark + later
-    resolve substitutions."""
+    resolve substitutions.
+
+    `seen` tracks the CURRENT include path only (removed on return), so
+    diamond includes — two siblings including the same file — are legal
+    while true cycles still fail loud."""
     seen = set() if seen is None else seen
     rp = str(Path(path).resolve())
     if rp in seen:
         raise UnsupportedHoconError(f"{path}: include cycle")
     seen.add(rp)
-    text = Path(path).read_text(encoding="utf-8")
-    merged: dict = {}
-    for m in _INCLUDE_RE.finditer(text):
-        inc = Path(path).parent / m.group("path")
-        if not inc.exists():
-            raise UnsupportedHoconError(
-                f"{path}: include {m.group('path')!r} not found"
-            )
-        merged = _deep_merge(merged, _hocon_file_to_dict(str(inc), seen))
+    try:
+        text = _strip_hocon_comments(Path(path).read_text(encoding="utf-8"))
+        merged: dict = {}
+        for m in _INCLUDE_RE.finditer(text):
+            if _brace_depth_at(text, m.start()) != 0:
+                raise UnsupportedHoconError(
+                    f"{path}: nested `include` (inside an object body) is "
+                    "outside the supported subset — move it to the top "
+                    "level or inline the values"
+                )
+            inc = Path(path).parent / m.group("path")
+            if not inc.exists():
+                raise UnsupportedHoconError(
+                    f"{path}: include {m.group('path')!r} not found"
+                )
+            merged = _deep_merge(merged, _hocon_file_to_dict(str(inc), seen))
+    finally:
+        seen.discard(rp)
     body = _INCLUDE_RE.sub("", text)
     body = _mark_substitutions(body, path)
     jsonish = _hocon_to_json_text(body)

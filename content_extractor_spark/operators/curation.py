@@ -237,18 +237,26 @@ def snapshot_diff(
     that decides which documents re-enter the pipeline (the reference's
     re-analysis phase S3/O7 compares ETags per url; this is the
     corpus-level equivalent for snapshot inputs).
+
+    Presence is tracked with explicit flags, NOT digest nullness: a row
+    whose text is NULL (a failed extraction) still EXISTS in its
+    snapshot, and md5(NULL) = NULL must not masquerade as absence.
     """
     o = old.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_od")
+        F.col(id_col).alias("id"),
+        F.lit(True).alias("_in_old"),
+        F.md5(F.col(text_col)).alias("_od"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_nd")
+        F.col(id_col).alias("id"),
+        F.lit(True).alias("_in_new"),
+        F.md5(F.col(text_col)).alias("_nd"),
     )
     joined = o.join(n, "id", "full_outer")
     change = (
-        F.when(F.col("_od").isNull(), F.lit("added"))
-        .when(F.col("_nd").isNull(), F.lit("removed"))
-        .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_od").eqNullSafe(F.col("_nd")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col("id").alias(id_col), change.alias("change"))

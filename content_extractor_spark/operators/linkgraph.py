@@ -115,7 +115,16 @@ def pagerank_hosts(
                 ).alias("rank"),
             )
         )
-    return ranks.select("host", F.round("rank", round_to).alias("rank"))
+    out = ranks.select("host", F.round("rank", round_to).alias("rank"))
+    # materialize the (tiny) final ranks and truncate the iteration
+    # lineage, THEN drop the edge/node caches — otherwise every call
+    # leaves cached blocks pinned for the session, and unpersisting
+    # without the checkpoint would re-derive edges once per iteration
+    # on the caller's action
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    return out
 
 
 ANCHOR_RE = r'<a href="[^"]*"[^>]*>[^<]*</a>'

@@ -114,7 +114,10 @@ def robots_disallow_rules(
     lines = robots.select(
         h.alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
-    ).withColumn("line", F.trim(F.col("line")))
+    ).withColumn(
+        # RFC 9309: '#' starts a comment anywhere on the line
+        "line", F.trim(F.regexp_replace(F.col("line"), "#.*", ""))
+    )
     is_ua = F.col("line").rlike(r"(?i)^user-agent\s*:")
     w = Window.partitionBy("host").orderBy("pos")
     lines = (

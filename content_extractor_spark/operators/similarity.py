@@ -307,6 +307,11 @@ def kmeans_assign(
         )
         got = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
         cents = [got.get(j, cents[j]) for j in range(len(cents))]
-    return _kmeans_assign_stage(base, cents, round_to).select(
+    out = _kmeans_assign_stage(base, cents, round_to).select(
         F.col("id").alias(id_col), "cluster", "dist"
     )
+    # release the iteration cache (the returned map-only assignment
+    # recomputes from source once on the caller's action — cheaper than
+    # pinning the full vector projection for the rest of the session)
+    base.unpersist(blocking=False)
+    return out

@@ -142,9 +142,13 @@ def run_extraction(
         .parquet(spans_path)
     )
 
-    # metrics per bucket, for the buckets processed in THIS run only
+    # metrics per bucket, for the buckets processed in THIS run only.
+    # mergeSchema: a resumed output may mix bucket files written by an
+    # older code version (without n_spans) with this run's files — the
+    # merged schema guarantees the column resolves (old buckets are
+    # excluded from the aggregate by the anti-join below anyway)
     try:
-        out_df = spark.read.parquet(spans_path)
+        out_df = spark.read.option("mergeSchema", "true").parquet(spans_path)
     except Exception:
         # zero-row input: nothing was written (no parquet footers to read)
         return {

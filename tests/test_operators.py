@@ -1300,3 +1300,93 @@ class TestSnapshotAndCompression:
         # deterministic across runs (fixed level)
         again = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
         assert out == again
+
+
+class TestReviewRegressions:
+    """Pins for the round-3 review findings."""
+
+    def test_snapshot_diff_null_text(self, spark):
+        from content_extractor_spark.operators.curation import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "doc_id int, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, None), (3, None), (4, None)], "doc_id int, text string"
+        )
+        got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+        # null text is PRESENCE, not absence; null==null digests compare
+        assert got == {
+            1: "removed", 2: "unchanged", 3: "changed", 4: "added",
+        }
+
+    def test_robots_trailing_comment(self, spark):
+        from content_extractor_spark.operators.scans import (
+            robots_disallow_rules,
+        )
+
+        robots = spark.createDataFrame(
+            [("a.com",
+              "User-agent: * # everyone\nDisallow: /private # staff only\n"
+              "# Disallow: /commented-out")],
+            "host string, robots_txt string",
+        )
+        rules = {(r["host"], r["prefix"])
+                 for r in robots_disallow_rules(robots).collect()}
+        assert rules == {("a.com", "/private")}
+
+    def test_jpeg_multiscan_refused(self):
+        """A 3-component frame followed by a 1-component scan must be
+        refused (multi-scan baseline), never decoded as grayscale."""
+        import struct
+
+        from content_extractor_spark.kernel.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_solid,
+        )
+
+        data = bytearray(encode_jpeg_solid(8, 8, (10, 20, 30)))
+        i = data.find(b"\xff\xda")
+        ln = int.from_bytes(data[i + 2 : i + 4], "big")
+        # rewrite the SOS header to scan only component 1
+        new_sos = bytes([0xFF, 0xDA]) + struct.pack(">H", 8) + bytes(
+            [1, 1, 0x00, 0, 63, 0]
+        )
+        data[i : i + 2 + ln] = new_sos
+        assert decode_jpeg_pixels(bytes(data)) is None
+
+    def test_hocon_diamond_include_and_nested_fail(self, tmp_path):
+        import pytest
+
+        from content_extractor_spark.kernel.profiles import (
+            UnsupportedHoconError,
+            _hocon_file_to_dict,
+            load_profile_hocon,
+        )
+
+        (tmp_path / "common.conf").write_text('shared = 1\n')
+        (tmp_path / "b.conf").write_text('include "common.conf"\nb = 2\n')
+        (tmp_path / "c.conf").write_text('include "common.conf"\nc = 3\n')
+        (tmp_path / "a.conf").write_text(
+            'include "b.conf"\ninclude "c.conf"\na = 4\n'
+        )
+        # diamond includes are legal, not a cycle
+        assert _hocon_file_to_dict(str(tmp_path / "a.conf")) == {
+            "shared": 1, "b": 2, "c": 3, "a": 4,
+        }
+        # nested include fails loud instead of hoisting to the root
+        nest = tmp_path / "nest.conf"
+        nest.write_text('profile {\n  include "common.conf"\n}\n')
+        with pytest.raises(UnsupportedHoconError, match="nested"):
+            load_profile_hocon(str(nest))
+
+    def test_hocon_quote_in_comment_does_not_corrupt(self, tmp_path):
+        from content_extractor_spark.kernel.profiles import load_profile_hocon
+
+        p = tmp_path / "q.conf"
+        p.write_text(
+            "# don't use \"x here\n"
+            'profile { hostname = "${not.a.sub}", pageTypes = [] }\n'
+        )
+        # the quoted "${...}" must stay LITERAL despite the comment's quote
+        assert load_profile_hocon(str(p)).hostname == "${not.a.sub}"
