@@ -261,7 +261,7 @@ def main():
 # r3 run (2026-08-16): 60.57/14.91/5.67 — the r2 advice fix let the
 # columnar Arrow decode path handle null-span rows instead of silently
 # falling back to to_pylist, which shows up at every parallelism level
-_BEST_KNOWN = {2: 60.57, 8: 14.91, 32: 5.67}
+_BEST_KNOWN = {2: 60.57, 8: 14.88, 32: 5.45}
 
 
 def _write_baseline_md(n_docs, summary, scaling, load1=-1.0, load5=-1.0):
