@@ -168,3 +168,31 @@ def test_ngram_caps_stay_catalyst(spark):
     rep = plan_report(ngram_jaccard_pairs(df, max_df=10, max_posting=5))
     assert rep["python_stages"] == 0
     assert "CartesianProduct" not in rep["text"]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing = the co-located-join strategy for repeated big joins
+    (SURVEY §2.6): two tables bucketed+sorted on the join key must join
+    with ZERO exchanges (no shuffle of either side)."""
+    df = spark.range(0, 2000).selectExpr("id AS k", "id % 7 AS v")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("t_bkt_a", "t_bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(8, "k").sortBy("k")
+                .option("path", str(tmp_path / name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        joined = spark.table("t_bkt_a").join(
+            spark.table("t_bkt_b").withColumnRenamed("v", "v2"), "k"
+        )
+        rep = plan_report(joined)
+        assert rep["exchanges"] == 0, rep["text"][:1500]
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for name in ("t_bkt_a", "t_bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
