@@ -118,3 +118,105 @@ def test_select_raises_only_selector_parse_error(q):
         select(doc, q)
     except SelectorParseError:
         pass
+
+
+class TestImageCodecFuzz:
+    """Property fuzz: every dependency-free encoder/decoder pair must
+    round-trip solid colors exactly for arbitrary small dimensions."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dims = st.tuples(st.integers(1, 24), st.integers(1, 16))
+    color = st.tuples(*[st.integers(0, 255)] * 3)
+
+    @given(dims=dims, rgb=color)
+    @settings(max_examples=40, deadline=None)
+    def test_png_gif_bmp_roundtrip(self, dims, rgb):
+        from content_extractor_spark.operators.multimodal import (
+            decode_bmp_pixels,
+            decode_gif_pixels,
+            decode_png_pixels,
+        )
+        from content_extractor_spark.synth import (
+            encode_bmp_solid,
+            encode_gif_solid,
+            encode_png_solid,
+        )
+
+        w, h = dims
+        want = [float(c) for c in rgb]
+        assert decode_png_pixels(encode_png_solid(w, h, rgb))[4] == want
+        assert decode_gif_pixels(encode_gif_solid(w, h, rgb))[4] == want
+        assert decode_bmp_pixels(encode_bmp_solid(w, h, rgb))[4] == want
+
+    @given(dims=dims, rgb=color)
+    @settings(max_examples=30, deadline=None)
+    def test_jpeg_roundtrip_exact_ycbcr(self, dims, rgb):
+        import math
+
+        from content_extractor_spark.kernel.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_solid,
+            rgb_to_ycbcr,
+        )
+
+        w, h = dims
+        r = decode_jpeg_pixels(encode_jpeg_solid(w, h, rgb))
+        assert r is not None and r[1:4] == (w, h, 3)
+        y, cb, cr = rgb_to_ycbcr(*rgb)
+        clamp = lambda v: max(0.0, min(255.0, float(v)))
+        assert r[4] == [
+            clamp(math.floor(y + 1.402 * (cr - 128) + 0.5)),
+            clamp(math.floor(
+                y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+            )),
+            clamp(math.floor(y + 1.772 * (cb - 128) + 0.5)),
+        ]
+
+    @given(data=st.binary(min_size=0, max_size=400))
+    @settings(max_examples=60, deadline=None)
+    def test_decoders_never_raise_on_garbage(self, data):
+        from content_extractor_spark.kernel.jpeg import decode_jpeg_pixels
+        from content_extractor_spark.operators.multimodal import (
+            decode_bmp_pixels,
+            decode_gif_pixels,
+            decode_netpbm,
+            decode_png_pixels,
+        )
+
+        for dec in (decode_png_pixels, decode_gif_pixels,
+                    decode_bmp_pixels, decode_jpeg_pixels):
+            dec(data)  # None or a tuple — never an exception
+        try:
+            decode_netpbm(data)
+        except Exception:
+            raise AssertionError("netpbm decoder raised on garbage")
+
+    @given(
+        magic=st.sampled_from(
+            [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM",
+             b"\xff\xd8\xff", b"P5\n", b"P6\n"]
+        ),
+        data=st.binary(min_size=0, max_size=300),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_decoders_never_raise_on_truncated_containers(self, magic, data):
+        """Garbage behind a VALID magic prefix exercises the deep paths
+        (chunk walks, LZW, huffman) — still never an exception."""
+        from content_extractor_spark.kernel.jpeg import decode_jpeg_pixels
+        from content_extractor_spark.operators.multimodal import (
+            decode_bmp_pixels,
+            decode_gif_pixels,
+            decode_netpbm,
+            decode_png_pixels,
+        )
+
+        payload = magic + data
+        for dec in (decode_png_pixels, decode_gif_pixels,
+                    decode_bmp_pixels, decode_jpeg_pixels):
+            dec(payload)
+        try:
+            decode_netpbm(payload)
+        except Exception:
+            raise AssertionError("netpbm decoder raised")
