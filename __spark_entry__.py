@@ -1014,6 +1014,15 @@ def q_robots_filter(spark, sf_dir):
     return robots_disallow_filter(urls, robots).select("doc_id", "host", "url")
 
 
+def q_chunk_documents(spark, sf_dir):
+    # fixed-window token chunking (training/RAG segment prep): pure
+    # array ops + one explode — map-only, zero shuffle
+    from content_extractor_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return chunk_documents(docs, target_tokens=16)
+
+
 def q_snapshot_diff(spark, sf_dir):
     # CDC between two corpus snapshots (added/removed/changed/unchanged
     # by content digest): one full outer join; the oracle reproduces the
@@ -1330,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_agg": q_tumbling_window_agg,
         "sliding_window_agg": q_sliding_window_agg,
         "snapshot_diff": q_snapshot_diff,
+        "chunk_documents": q_chunk_documents,
         "sessionize_events": q_sessionize_events,
         "audio_duration": q_audio_duration,
         "pii_scrub": q_pii_scrub,
@@ -2216,6 +2226,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM vecs, c1
               )
             ) WHERE rn = 1
+        """,
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   i::int AS chunk_idx,
+                   array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk_text,
+                   least(len(t) - i*16, 16)::int AS n_tokens
+            FROM toks, (SELECT unnest(range(0, 64)) AS i)
+            WHERE i < greatest(ceil(len(t) / 16.0), 1)
         """,
         "snapshot_diff": """
             SELECT doc_id,

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "snapshot_diff",
+    "chunk_documents",
 ]
 
 

@@ -294,3 +294,37 @@ def compression_ratio(
         return pd.Series(out, dtype="float64")
 
     return df.withColumn(out_col, ratio(F.col(text_col)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    target_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-window token chunking (training/RAG segment prep): each
+    document becomes consecutive `target_tokens`-token chunks, the last
+    chunk keeping the tail. Deterministic: chunk k = tokens
+    [k*target, (k+1)*target).
+
+    Pure array expressions (split/sequence/slice/array_join) + one
+    explode — MAP-ONLY, zero shuffle, so it runs at scan speed on
+    10^12-row tables; no window function and no per-doc sort.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    nchunks = F.ceil(n / F.lit(target_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(nchunks, F.lit(1)) - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * target_tokens + 1, target_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - i * target_tokens, F.lit(target_tokens))
+            .cast("int").alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )

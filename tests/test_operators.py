@@ -1390,3 +1390,32 @@ class TestReviewRegressions:
         )
         # the quoted "${...}" must stay LITERAL despite the comment's quote
         assert load_profile_hocon(str(p)).hostname == "${not.a.sub}"
+
+
+class TestChunking:
+    def test_chunk_documents_windows(self, spark):
+        from content_extractor_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "x"), (3, "")],
+            "doc_id int, text string",
+        )
+        rows = sorted(
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(df, target_tokens=3).collect()
+        )
+        assert rows == [
+            (1, 0, "a b c", 3),
+            (1, 1, "d e f", 3),
+            (1, 2, "g", 1),
+            (2, 0, "x", 1),
+            (3, 0, "", 1),  # empty text tokenizes to one empty token
+        ]
+
+    def test_chunk_plan_is_map_only(self, spark):
+        from content_extractor_spark.operators.curation import chunk_documents
+        from content_extractor_spark.plans import plan_report
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+        rep = plan_report(chunk_documents(df, 4))
+        assert rep["exchanges"] == 0 and rep["python_stages"] == 0
