@@ -2230,15 +2230,20 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": r"""
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(trim(text), '\s+') AS t
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\s+'),
+                                 x -> x != '') AS t
               FROM documents WHERE doc_id < 300
-            )
+            ),
+            -- data-driven chunk-index domain: no silent cap
+            mx AS (SELECT greatest(max(ceil(len(t) / 16.0)), 1)::BIGINT AS m
+                   FROM toks)
             SELECT doc_id,
                    i::int AS chunk_idx,
                    array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk_text,
                    least(len(t) - i*16, 16)::int AS n_tokens
-            FROM toks, (SELECT unnest(range(0, 64)) AS i)
-            WHERE i < greatest(ceil(len(t) / 16.0), 1)
+            FROM toks, (SELECT unnest(range(0, (SELECT m FROM mx))) AS i)
+            WHERE len(t) > 0 AND i < ceil(len(t) / 16.0)
         """,
         "snapshot_diff": """
             SELECT doc_id,

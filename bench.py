@@ -259,9 +259,10 @@ def main():
 # best clean-run times observed so far (quiet box, min-of-k); the
 # VM's noisy neighbors make single runs swing up to 3x, so the file
 # below always reports the latest run AND this best-known reference.
-# r3 run (2026-08-16): 60.57/14.91/5.67 — the r2 advice fix let the
-# columnar Arrow decode path handle null-span rows instead of silently
-# falling back to to_pylist, which shows up at every parallelism level
+# r3 minima (2026-08-16, two clean windows): 60.57 / 14.88 / 5.45 —
+# the r2 advice fix let the columnar Arrow decode path handle
+# null-span rows instead of silently falling back to to_pylist, which
+# shows up at every parallelism level
 _BEST_KNOWN = {2: 60.57, 8: 14.88, 32: 5.45}
 
 

@@ -310,21 +310,33 @@ def chunk_documents(
     Pure array expressions (split/sequence/slice/array_join) + one
     explode — MAP-ONLY, zero shuffle, so it runs at scan speed on
     10^12-row tables; no window function and no per-doc sort.
+
+    Tokens are the NON-EMPTY \\s+-separated pieces (so edge tabs and
+    newlines never create phantom tokens); NULL or whitespace-only
+    documents produce NO chunks.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
     n = F.size(toks)
     nchunks = F.ceil(n / F.lit(target_tokens)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.greatest(nchunks, F.lit(1)) - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.array_join(
-                F.slice(toks, i * target_tokens + 1, target_tokens), " "
-            ).alias("chunk_text"),
-            F.least(n - i * target_tokens, F.lit(target_tokens))
-            .cast("int").alias("n_tokens"),
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.array_join(
+                    F.slice(toks, i * target_tokens + 1, target_tokens), " "
+                ).alias("chunk_text"),
+                F.least(n - i * target_tokens, F.lit(target_tokens))
+                .cast("int").alias("n_tokens"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
+    ))
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
     )

@@ -59,6 +59,7 @@ def pagerank_hosts(
     damping: float = 0.85,
     round_to: int = 6,
     graph_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """PageRank over host edges, fixed iteration count, deterministic.
 
@@ -120,7 +121,13 @@ def pagerank_hosts(
     # lineage, THEN drop the edge/node caches — otherwise every call
     # leaves cached blocks pinned for the session, and unpersisting
     # without the checkpoint would re-derive edges once per iteration
-    # on the caller's action
+    # on the caller's action. `materialize=False` keeps the raw
+    # iterative plan visible (plan audits/tests) and leaves cache
+    # lifecycle to the caller — note tools/plan_audit.py therefore
+    # shows only the post-checkpoint scan for the default path; the
+    # pre-checkpoint plan shape is pinned by test_plan_shape.py.
+    if not materialize:
+        return out
     out = out.localCheckpoint(eager=True)
     edges.unpersist(blocking=False)
     nodes.unpersist(blocking=False)

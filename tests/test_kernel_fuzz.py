@@ -124,9 +124,6 @@ class TestImageCodecFuzz:
     """Property fuzz: every dependency-free encoder/decoder pair must
     round-trip solid colors exactly for arbitrary small dimensions."""
 
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
-
     dims = st.tuples(st.integers(1, 24), st.integers(1, 16))
     color = st.tuples(*[st.integers(0, 255)] * 3)
 

@@ -1397,19 +1397,22 @@ class TestChunking:
         from content_extractor_spark.operators.curation import chunk_documents
 
         df = spark.createDataFrame(
-            [(1, "a b c d e f g"), (2, "x"), (3, "")],
+            [(1, "a b c d e f g"), (2, "x"), (3, ""), (4, None),
+             (5, " \t\nhello  world\n")],
             "doc_id int, text string",
         )
         rows = sorted(
             (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
             for r in chunk_documents(df, target_tokens=3).collect()
         )
+        # empty/NULL/whitespace-only docs produce NO chunks; edge
+        # whitespace never creates phantom tokens (review regressions)
         assert rows == [
             (1, 0, "a b c", 3),
             (1, 1, "d e f", 3),
             (1, 2, "g", 1),
             (2, 0, "x", 1),
-            (3, 0, "", 1),  # empty text tokenizes to one empty token
+            (5, 0, "hello world", 2),
         ]
 
     def test_chunk_plan_is_map_only(self, spark):

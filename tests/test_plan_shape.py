@@ -196,3 +196,20 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for name in ("t_bkt_a", "t_bkt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pagerank_iterative_plan_shape(spark):
+    """The PRE-checkpoint PageRank plan (materialize=False): iterative
+    joins, no cartesian product, zero Python stages. The default path
+    localCheckpoints the tiny result, which hides this plan from
+    tools/plan_audit.py — so it is pinned here instead."""
+    from content_extractor_spark.operators.linkgraph import pagerank_hosts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    out = pagerank_hosts(edges, iterations=2, materialize=False)
+    rep = plan_report(out)
+    assert "CartesianProduct" not in rep["text"]
+    assert rep["python_stages"] == 0
+    assert rep["exchanges"] >= 2  # genuinely iterative, not collapsed
