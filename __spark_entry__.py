@@ -1007,7 +1007,9 @@ def q_robots_filter(spark, sf_dir):
              "Disallow: /private\nDisallow: /tmp\n\n"
              "User-agent: foo\nDisallow: /"),
             ("h2.example", "User-agent: foo\nDisallow: /"),
-            ("h3.example", "User-agent: *\nDisallow: /a"),
+            # Allow precedence: the longer /a/p9 prefix re-allows paths
+            # under the /a disallow (RFC 9309 longest-match)
+            ("h3.example", "User-agent: *\nDisallow: /a\nAllow: /a/p1"),
         ],
         "host string, robots_txt string",
     )
@@ -2158,7 +2160,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id < 400
               AND NOT (
                 (doc_id % 5 IN (0, 1) AND doc_id % 4 IN (1, 2))
-                OR (doc_id % 5 = 3 AND doc_id % 4 = 0)
+                OR (doc_id % 5 = 3 AND doc_id % 4 = 0
+                    AND doc_id::varchar NOT LIKE '1%')
               )
         """,
         "normalize_text": r"""

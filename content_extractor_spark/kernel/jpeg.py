@@ -388,7 +388,7 @@ def rgb_to_ycbcr(r: int, g: int, b: int):
     return clamp(y), clamp(cb), clamp(cr)
 
 
-def encode_jpeg_solid(w: int, h: int, rgb) -> bytes:
+def encode_jpeg_solid(w: int, h: int, rgb, restart_every: int = 0) -> bytes:
     """Spec-valid baseline JPEG of a solid color, flat quant tables.
 
     Every 8x8 block of a constant image has a single DC coefficient
@@ -411,6 +411,10 @@ def encode_jpeg_solid(w: int, h: int, rgb) -> bytes:
     ):
         payload = bytes([tc_th]) + bytes(counts) + bytes(syms)
         segs.append(b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload)
+    if restart_every:
+        # DRI: restart markers every `restart_every` MCUs (exercises
+        # decoder resync + DC-predictor reset)
+        segs.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_every))
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
     segs.append(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
 
@@ -421,7 +425,16 @@ def encode_jpeg_solid(w: int, h: int, rgb) -> bytes:
     by = (h + 7) // 8
     dc_prev = [0, 0, 0]
     vals = [y, cb, cr]
-    for _ in range(bx * by):
+    entropy_parts = []
+    rst = 0
+    for mcu in range(bx * by):
+        if restart_every and mcu and mcu % restart_every == 0:
+            wtr.flush()
+            entropy_parts.append(bytes(wtr.buf))
+            entropy_parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            wtr = _BitWriter()
+            dc_prev = [0, 0, 0]  # predictors reset at a restart
         for ci in range(3):
             dc = 8 * (vals[ci] - 128)
             diff = dc - dc_prev[ci]
@@ -438,6 +451,7 @@ def encode_jpeg_solid(w: int, h: int, rgb) -> bytes:
             code, length = ac_tab[0x00]  # EOB
             wtr.write(code, length)
     wtr.flush()
-    segs.append(bytes(wtr.buf))
+    entropy_parts.append(bytes(wtr.buf))
+    segs.append(b"".join(entropy_parts))
     segs.append(b"\xff\xd9")
     return b"".join(segs)

@@ -93,20 +93,21 @@ def etag_unchanged_skip(docs: DataFrame, entries: DataFrame) -> DataFrame:
     )
 
 
-def robots_disallow_rules(
+def robots_rules(
     robots: DataFrame,
     host_col: str = "host",
     txt_col: str = "robots_txt",
 ) -> DataFrame:
-    """(host, prefix) Disallow rules that apply to User-agent: * —
-    GROUP-AWARE robots.txt parsing in pure Catalyst.
+    """(host, kind, prefix) Allow/Disallow rules that apply to
+    User-agent: * — GROUP-AWARE robots.txt parsing in pure Catalyst.
 
     A robots group is one-or-more consecutive User-agent lines followed
-    by its rules; a Disallow applies to us only if its group names
-    agent '*'. Directive names match case-insensitively, rule paths
-    keep their case. Implemented with one posexplode + two windows
-    (group id = running count of group-STARTING user-agent lines) and
-    one group-level aggregate — no Python.
+    by its rules; a rule applies to us only if its group names agent
+    '*'. Directive names match case-insensitively, rule paths keep
+    their case; '#' comments are stripped (RFC 9309). Implemented with
+    one posexplode + two windows (group id = running count of
+    group-STARTING user-agent lines) and one group-level aggregate —
+    no Python.
     """
     from pyspark.sql import Window
 
@@ -141,15 +142,38 @@ def robots_disallow_rules(
         .distinct()
     )
     rules = (
-        lines.where(F.col("line").rlike(r"(?i)^disallow\s*:"))
+        lines.where(F.col("line").rlike(r"(?i)^(dis)?allow\s*:"))
+        .withColumn(
+            "kind",
+            F.when(
+                F.col("line").rlike(r"(?i)^disallow\s*:"), F.lit("disallow")
+            ).otherwise(F.lit("allow")),
+        )
         .withColumn(
             "prefix",
-            F.trim(F.regexp_extract(F.col("line"), r"(?i)^disallow\s*:(.*)$", 1)),
+            F.trim(
+                F.regexp_extract(F.col("line"), r"(?i)^(?:dis)?allow\s*:(.*)$", 1)
+            ),
         )
         .where(F.col("prefix") != "")
-        .select("host", "grp", "prefix")
+        .select("host", "grp", "kind", "prefix")
     )
-    return rules.join(star_groups, ["host", "grp"]).select("host", "prefix")
+    return rules.join(star_groups, ["host", "grp"]).select(
+        "host", "kind", "prefix"
+    )
+
+
+def robots_disallow_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, prefix) — the Disallow subset of :func:`robots_rules`."""
+    return (
+        robots_rules(robots, host_col, txt_col)
+        .where(F.col("kind") == "disallow")
+        .select("host", "prefix")
+    )
 
 
 def robots_disallow_filter(
@@ -160,17 +184,43 @@ def robots_disallow_filter(
     robots_host_col: str = "host",
     txt_col: str = "robots_txt",
 ) -> DataFrame:
-    """Drop urls whose path falls under a User-agent:* Disallow prefix
-    of their host. One host-keyed left-anti join; the rules side is
-    tiny (one robots.txt per host) so Spark broadcasts it.
+    """Drop urls blocked by their host's User-agent:* rules, with
+    RFC 9309 precedence: among all matching Allow/Disallow prefixes the
+    LONGEST wins, ties go to Allow; no matching rule means allowed.
+
+    Shape: the decision is computed once per distinct (host, path) — a
+    broadcast join against the tiny rules side plus one window — and
+    blocked paths anti-join back against the url set.
     """
-    rules = robots_disallow_rules(robots, robots_host_col, txt_col)
+    from pyspark.sql import Window
+
+    rules = robots_rules(robots, robots_host_col, txt_col)
     path = F.regexp_replace(F.col(url_col), r"^https?://[^/]+", "")
     flagged = urls.withColumn("_path", path)
+    paths = flagged.select(
+        F.col(host_col).alias("_p_host"), F.col("_path").alias("_p_path")
+    ).distinct()
     r = rules.select(
-        F.col("host").alias("_r_host"), F.col("prefix").alias("_r_prefix")
+        F.col("host").alias("_r_host"),
+        F.col("kind").alias("_r_kind"),
+        F.col("prefix").alias("_r_prefix"),
     )
-    cond = (F.col(host_col) == F.col("_r_host")) & F.col("_path").startswith(
-        F.col("_r_prefix")
+    cond = (F.col("_p_host") == F.col("_r_host")) & F.col(
+        "_p_path"
+    ).startswith(F.col("_r_prefix"))
+    matched = paths.join(F.broadcast(r), cond, "inner")
+    # longest prefix wins; tie -> allow ('allow' < 'disallow' asc)
+    w = Window.partitionBy("_p_host", "_p_path").orderBy(
+        F.length("_r_prefix").desc(), F.col("_r_kind").asc()
     )
-    return flagged.join(F.broadcast(r), cond, "left_anti").drop("_path")
+    blocked = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("_r_kind") == "disallow"))
+        .select("_p_host", "_p_path")
+    )
+    keep_cond = (F.col(host_col) == F.col("_p_host")) & (
+        F.col("_path") == F.col("_p_path")
+    )
+    return flagged.join(F.broadcast(blocked), keep_cond, "left_anti").drop(
+        "_path"
+    )

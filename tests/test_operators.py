@@ -1422,3 +1422,41 @@ class TestChunking:
         df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
         rep = plan_report(chunk_documents(df, 4))
         assert rep["exchanges"] == 0 and rep["python_stages"] == 0
+
+    def test_robots_allow_longest_match(self, spark):
+        """RFC 9309 precedence: longest matching prefix wins; ties go
+        to Allow; Allow in a non-star group is ignored."""
+        from content_extractor_spark.operators.scans import (
+            robots_disallow_filter,
+        )
+
+        urls = spark.createDataFrame(
+            [("a.com", "https://a.com/x/pub/1"),  # allow /x/pub beats /x
+             ("a.com", "https://a.com/x/secret"),
+             ("a.com", "https://a.com/tie"),      # equal-length tie -> allow
+             ("b.com", "https://b.com/x/pub/1")], # star allow elsewhere only
+            "host string, url string",
+        )
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /x\nAllow: /x/pub\n"
+                       "Disallow: /tie\nAllow: /tie"),
+             ("b.com", "User-agent: *\nDisallow: /x\n\n"
+                       "User-agent: foo\nAllow: /x/pub")],
+            "host string, robots_txt string",
+        )
+        kept = {r["url"] for r in robots_disallow_filter(urls, robots).collect()}
+        assert kept == {"https://a.com/x/pub/1", "https://a.com/tie"}
+
+    def test_jpeg_restart_markers(self):
+        """DRI/RSTn path: restart markers resync the bit reader and
+        reset DC predictors — decode must match the marker-free stream."""
+        from content_extractor_spark.kernel.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_solid,
+        )
+
+        plain = decode_jpeg_pixels(encode_jpeg_solid(40, 24, (37, 74, 111)))
+        rst = decode_jpeg_pixels(
+            encode_jpeg_solid(40, 24, (37, 74, 111), restart_every=4)
+        )
+        assert plain is not None and plain == rst
