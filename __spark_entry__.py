@@ -1016,6 +1016,23 @@ def q_robots_filter(spark, sf_dir):
     return robots_disallow_filter(urls, robots).select("doc_id", "host", "url")
 
 
+def q_weighted_source_sample(spark, sf_dir):
+    # training-mix sampling: per-source keep rates from a broadcast
+    # weights dim + deterministic md5 threshold (no rand())
+    from content_extractor_spark.operators.curation import (
+        weighted_source_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("src0", 1000), ("src1", 500), ("src2", 100)],
+        "source string, permille int",
+    )
+    return weighted_source_sample(docs, weights).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     # fixed-window token chunking (training/RAG segment prep): pure
     # array ops + one explode — map-only, zero shuffle
@@ -1342,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_agg": q_sliding_window_agg,
         "snapshot_diff": q_snapshot_diff,
         "chunk_documents": q_chunk_documents,
+        "weighted_source_sample": q_weighted_source_sample,
         "sessionize_events": q_sessionize_events,
         "audio_duration": q_audio_duration,
         "pii_scrub": q_pii_scrub,
@@ -2229,6 +2247,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM vecs, c1
               )
             ) WHERE rn = 1
+        """,
+        "weighted_source_sample": f"""
+            WITH w(source, permille) AS (
+              VALUES ('src0', 1000), ('src1', 500), ('src2', 100)
+            )
+            SELECT doc_id, d.source, lang
+            FROM documents d JOIN w USING (source)
+            WHERE {_PH.format(x="doc_id::varchar")} % 1000 < permille
         """,
         "chunk_documents": r"""
             WITH toks AS (

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "sliding_window_agg",
     "snapshot_diff",
     "chunk_documents",
+    "weighted_source_sample",
 ]
 
 

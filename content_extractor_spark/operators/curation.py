@@ -340,3 +340,33 @@ def chunk_documents(
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
     )
+
+
+def weighted_source_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "permille",
+) -> DataFrame:
+    """Training-mix sampling: keep ~weights[source]/1000 of each
+    source's documents, deterministically (md5 of the id — never
+    rand()). Sources missing from the weights table are dropped (weight
+    0), the usual semantics of an explicit mixing recipe.
+
+    The weights table is a tiny dim → broadcast join; the hash
+    predicate evaluates map-side, so the whole operator is one
+    broadcast join with no shuffle of the corpus.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10
+    ).cast("bigint")
+    w = weights.select(
+        F.col(source_col).alias("_w_src"),
+        F.col(weight_col).alias("_w_permille"),
+    )
+    return (
+        df.join(F.broadcast(w), F.col(source_col) == F.col("_w_src"), "inner")
+        .where(h % 1000 < F.col("_w_permille"))
+        .drop("_w_src", "_w_permille")
+    )

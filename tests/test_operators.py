@@ -1460,3 +1460,25 @@ class TestChunking:
             encode_jpeg_solid(40, 24, (37, 74, 111), restart_every=4)
         )
         assert plain is not None and plain == rst
+
+    def test_weighted_source_sample(self, spark):
+        from content_extractor_spark.operators.curation import (
+            weighted_source_sample,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+            "doc_id int, source string",
+        )
+        weights = spark.createDataFrame(
+            [("a", 1000), ("c", 500)], "source string, permille int"
+        )
+        out = weighted_source_sample(docs, weights).collect()
+        # full weight keeps every 'a' doc; unlisted 'b' is dropped
+        assert {r["source"] for r in out} == {"a"}
+        assert len(out) == 200
+        # deterministic across runs
+        again = weighted_source_sample(docs, weights).collect()
+        assert sorted(r["doc_id"] for r in out) == sorted(
+            r["doc_id"] for r in again
+        )
