@@ -51,7 +51,7 @@ _token_re = re.compile(
 
 _SUPPORTED_PSEUDOS = frozenset(
     [
-        "has", "not", "contains", "containsown", "matches", "matchesown",
+        "has", "not", "is", "contains", "containsown", "matches", "matchesown",
         "first-child", "last-child", "nth-child", "nth-last-child",
         "first-of-type", "last-of-type", "nth-of-type", "nth-last-of-type",
         "only-child", "only-of-type", "empty", "root",
@@ -291,6 +291,10 @@ def _pseudo_matches(
     if name == "not":
         chains = _parse(arg or "")
         return not any(ch.matches(el, root) for ch in chains)
+    if name == "is":
+        # jsoup 1.16+ :is(selector, ...) — matches any of the list
+        chains = _parse(arg or "")
+        return any(ch.matches(el, root) for ch in chains)
     if name == "has":
         chains = _parse(arg or "")
         for d in el.iter_elements():

@@ -319,3 +319,14 @@ class TestPseudoSelectors:
         doc = parse("<p>x</p>")
         with pytest.raises(SelectorParseError):
             select(doc, "p:hover")
+
+
+def test_is_pseudo():
+    """jsoup :is(a, b) — matches elements matching ANY listed selector."""
+    doc = parse("<h1>t</h1><h2>s</h2><p class='x'>p</p><span>z</span>")
+    got = [e.tag for e in select(doc, ":is(h1, h2, .x)")]
+    assert got == ["h1", "h2", "p"]
+    # composes with other pseudos and combinators
+    assert [e.tag for e in select(doc, ":is(h1, h2):contains(s)")] == ["h2"]
+    with pytest.raises(SelectorParseError):
+        select(doc, ":is(")
