@@ -158,22 +158,32 @@ _PH = "(('0x'||substr(md5({x}),1,14))::BIGINT)"
 # reference-shaped relational operators (SURVEY §2) on the testdata tables
 # ---------------------------------------------------------------------------
 
-def q_filter_not_contains_multi(spark, sf_dir):
-    # P1: ANDed case-insensitive not-contains predicates, pushed to scan
+def q_scan_filters(spark, sf_dir):
+    """P1 + S3 in one driver row (reference: UrlHandler file-ending
+    exclusions and the lastCrawl time-range scan, ArticleReader.scala).
+
+    Two independent pushed-down scan probes, unioned on an aligned
+    (probe, key, n, agg_val) shape so both get a value-exact driver
+    check: ANDed case-insensitive not-contains predicates over
+    documents, and an incremental range predicate over events
+    (partition-prunable at scale).
+    """
     docs = _t(spark, sf_dir, "documents")
     lowered = F.lower(F.col("text"))
     excluded = lowered.contains("slow") | lowered.contains("error") | lowered.contains("null")
-    return (
+    excl = (
         docs.filter(~excluded)
         .groupBy("lang")
         .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.lit("exclusions").alias("probe"),
+            F.col("lang").alias("key"),
+            "n",
+            F.col("sum_chars").cast("double").alias("agg_val"),
+        )
     )
-
-
-def q_filter_time_range(spark, sf_dir):
-    # S3: incremental range predicate (partition-prunable at scale)
     ev = _t(spark, sf_dir, "events")
-    return (
+    rng = (
         ev.filter(
             (F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp"))
             & (F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
@@ -187,7 +197,14 @@ def q_filter_time_range(spark, sf_dir):
             .cast("double")
             .alias("sum_value"),
         )
+        .select(
+            F.lit("time_range").alias("probe"),
+            F.col("event_type").alias("key"),
+            "n",
+            F.col("sum_value").alias("agg_val"),
+        )
     )
+    return excl.unionByName(rng)
 
 
 def q_broadcast_dim_join(spark, sf_dir):
@@ -298,21 +315,37 @@ def q_tag_dim_upsert(spark, sf_dir):
     )
 
 
-def q_etag_anti_join(spark, sf_dir):
-    # O7: skip unchanged rows via left-anti join on (key, signature)
+def q_dup_probe_joins(spark, sf_dir):
+    """O7 + A2 in one driver row: the ETag short-circuit (left-anti on
+    (key, signature) — skip unchanged rows) and the duplicate-hash
+    probe (left-semi on content digest — rows already known), unioned
+    on an aligned (probe, lang, n) shape. Reference: Mutator.scala
+    conditional-GET skip and the contentHash duplicate disable.
+    """
     docs = _t(spark, sf_dir, "documents")
     snapshot = docs.where(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("s_id"), F.md5("text").alias("s_sig")
     )
-    return (
+    etag = (
         docs.join(
             snapshot,
             (docs["doc_id"] == snapshot["s_id"]) & (F.md5("text") == snapshot["s_sig"]),
             "left_anti",
         )
         .groupBy("lang")
-        .agg(F.count("*").alias("to_process"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("etag_anti").alias("probe"), "lang", "n")
     )
+    known = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("k_sig")
+    )
+    semi = (
+        docs.join(known, F.md5(docs["text"]) == known["k_sig"], "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("dup_semi").alias("probe"), "lang", "n")
+    )
+    return etag.unionByName(semi)
 
 
 def q_salted_host_agg(spark, sf_dir):
@@ -337,27 +370,21 @@ def q_salted_host_agg(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    # multimodal plumbing over real binary payloads (mapInPandas batch
-    # UDF); payloads derived deterministically from the documents table
+    """Multimodal container plumbing in one driver row: opaque binary
+    payloads (utf-8 text bytes — fmt unresolvable, sha256 checked) AND
+    real PNG container decode (signature + IHDR parsed back to
+    doc_id-derived dims) through the same mapInPandas batch UDF.
+    sha256 is projected only for the text payloads — DuckDB's sha256()
+    takes VARCHAR, so the binary-payload hash is pinned by pytest
+    instead (tests/test_operators.py::TestMultimodal).
+    """
     from content_extractor_spark.operators.multimodal import extract_image_features
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    media = docs.select(
+    assets = docs.select(
         F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    feats = extract_image_features(media)
-    return feats.select("media_ref", "n_bytes", "sha256")
-
-
-def q_media_image_dims(spark, sf_dir):
-    # REAL image container decode (pure struct parsing, no image libs):
-    # a minimal PNG is assembled per row in SQL (signature + IHDR with
-    # doc_id-derived dimensions), the mapInPandas decoder parses the
-    # header back, and the oracle reconstructs the expected dims
-    from content_extractor_spark.operators.multimodal import extract_image_features
-
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     w = (F.col("doc_id") % 640 + 1).cast("int")
     h = (F.col("doc_id") % 480 + 1).cast("int")
     png = F.unhex(
@@ -368,21 +395,49 @@ def q_media_image_dims(spark, sf_dir):
             F.lit("0806000000DEADBEEF"),
         )
     )
-    media = docs.select(
+    imgs = docs.select(
         F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("media_ref"),
         png.alias("payload"),
     )
-    feats = extract_image_features(media)
-    return feats.select("media_ref", "fmt", "width", "height", "n_bytes")
+    feats = extract_image_features(assets.unionByName(imgs))
+    # sentinels instead of NULLs (unresolvable fmt/dims on the opaque
+    # text payloads): int columns with NULLs degrade to float64 in the
+    # pandas bridges — keep the driver's dtype compare unambiguous
+    return feats.select(
+        "media_ref",
+        F.coalesce(F.col("fmt"), F.lit("unknown")).alias("fmt"),
+        F.coalesce(F.col("width"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).alias("height"),
+        "n_bytes",
+        F.when(F.col("media_ref").startswith("asset-"), F.col("sha256"))
+        .otherwise(F.lit("")).alias("sha256"),
+    )
 
 
-def q_media_pixel_stats(spark, sf_dir):
-    # REAL pixel decode (binary Netpbm P6, pure Python): a solid-color
-    # RGB image is assembled per row in SQL; the decoder reads the raw
-    # samples and the oracle reconstructs the exact channel means
+def q_pixel_stats_all(spark, sf_dir):
+    """REAL pixel decode across all five supported raster formats in
+    one driver row (r3 verdict: fold the per-format queries into one
+    multi-format query). Per document, four independently-encoded
+    solid-color payloads (PNG with the scanline filter type cycling
+    0..4, GIF variable-width LZW, baseline JPEG with flat quant
+    tables — a constant block is DC-only, so it round-trips exactly —
+    and 24-bit bottom-up BMP) are produced by one mapInPandas encoder
+    stage, unioned with an SQL-assembled binary Netpbm P6 payload, and
+    decoded by ONE extract_pixel_stats pass; the oracle reconstructs
+    every channel mean from doc_id arithmetic (JPEG via the same
+    floor(x+0.5) BT.601 round trip).
+    """
+    from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
     from content_extractor_spark.operators.multimodal import extract_pixel_stats
+    from content_extractor_spark.synth import (
+        encode_bmp_solid,
+        encode_gif_solid,
+        encode_png_solid,
+    )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    # Netpbm P6 assembled entirely in SQL (no Python encode stage)
     w = (F.col("doc_id") % 16 + 1).cast("int")
     h = (F.col("doc_id") % 8 + 1).cast("int")
     px_hex = F.concat(
@@ -397,28 +452,10 @@ def q_media_pixel_stats(spark, sf_dir):
         ),
         "utf-8",
     )
-    payload = F.concat(header, F.unhex(F.repeat(px_hex, w * h)))
-    media = docs.select(
+    ppm = docs.select(
         F.concat(F.lit("pix-"), F.col("doc_id").cast("string")).alias("media_ref"),
-        payload.alias("payload"),
+        F.concat(header, F.unhex(F.repeat(px_hex, w * h))).alias("payload"),
     )
-    stats = extract_pixel_stats(media)
-    return stats.select(
-        "media_ref", "fmt", "width", "height", "channels",
-        "mean_r", "mean_g", "mean_b", "status",
-    )
-
-
-def q_png_pixel_stats(spark, sf_dir):
-    # REAL PNG pixel decode (stdlib zlib, no image library): a solid-
-    # color RGB PNG is encoded per row with the scanline filter type
-    # cycling 0..4 (None/Sub/Up/Average/Paeth), so the decoder must
-    # reverse EVERY filter to reproduce the color; the oracle
-    # reconstructs the exact channel means from doc_id arithmetic
-    from content_extractor_spark.operators.multimodal import extract_pixel_stats
-    from content_extractor_spark.synth import encode_png_solid
-
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
 
     def enc(batches):
         import pandas as pd
@@ -428,111 +465,31 @@ def q_png_pixel_stats(spark, sf_dir):
             for did in pdf["doc_id"]:
                 d = int(did)
                 refs.append(f"png-{d}")
-                payloads.append(
-                    encode_png_solid(
-                        d % 16 + 1, d % 8 + 5,
-                        (d % 256, d * 2 % 256, d * 3 % 256),
-                    )
-                )
-            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
-
-    media = docs.mapInPandas(enc, schema="media_ref string, payload binary")
-    return extract_pixel_stats(media).select(
-        "media_ref", "fmt", "width", "height", "channels",
-        "mean_r", "mean_g", "mean_b", "status",
-    )
-
-
-def q_gif_pixel_stats(spark, sf_dir):
-    # REAL GIF pixel decode (pure-Python variable-width LZW + palette
-    # resolution): a solid-color GIF is encoded per row; the oracle
-    # reconstructs the channel means from doc_id arithmetic
-    from content_extractor_spark.operators.multimodal import extract_pixel_stats
-    from content_extractor_spark.synth import encode_gif_solid
-
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
-
-    def enc(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            refs, payloads = [], []
-            for did in pdf["doc_id"]:
-                d = int(did)
+                payloads.append(encode_png_solid(
+                    d % 16 + 1, d % 8 + 5,
+                    (d % 256, d * 2 % 256, d * 3 % 256),
+                ))
                 refs.append(f"gif-{d}")
-                payloads.append(
-                    encode_gif_solid(
-                        d % 12 + 1, d % 9 + 1,
-                        (d * 5 % 256, d * 7 % 256, d * 11 % 256),
-                    )
-                )
-            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
-
-    media = docs.mapInPandas(enc, schema="media_ref string, payload binary")
-    return extract_pixel_stats(media).select(
-        "media_ref", "fmt", "width", "height", "channels",
-        "mean_r", "mean_g", "mean_b", "status",
-    )
-
-
-def q_jpeg_pixel_stats(spark, sf_dir):
-    # REAL baseline-JPEG decode (pure Python+numpy huffman/IDCT): a
-    # solid-color JPEG with FLAT quant tables round-trips exactly (a
-    # constant block is DC-only), so the oracle reproduces the decoded
-    # means with the same floor(x+0.5) BT.601 arithmetic
-    from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
-    from content_extractor_spark.operators.multimodal import extract_pixel_stats
-
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
-
-    def enc(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            refs, payloads = [], []
-            for did in pdf["doc_id"]:
-                d = int(did)
+                payloads.append(encode_gif_solid(
+                    d % 12 + 1, d % 9 + 1,
+                    (d * 5 % 256, d * 7 % 256, d * 11 % 256),
+                ))
                 refs.append(f"jpg-{d}")
-                payloads.append(
-                    encode_jpeg_solid(
-                        d % 16 + 1, d % 8 + 1,
-                        (d * 3 % 256, d * 5 % 256, d * 7 % 256),
-                    )
-                )
-            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
-
-    media = docs.mapInPandas(enc, schema="media_ref string, payload binary")
-    return extract_pixel_stats(media).select(
-        "media_ref", "fmt", "width", "height", "channels",
-        "mean_r", "mean_g", "mean_b", "status",
-    )
-
-
-def q_bmp_pixel_stats(spark, sf_dir):
-    # REAL BMP pixel decode (uncompressed 24-bit, padded bottom-up
-    # rows); solid-color payloads, arithmetic oracle
-    from content_extractor_spark.operators.multimodal import extract_pixel_stats
-    from content_extractor_spark.synth import encode_bmp_solid
-
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
-
-    def enc(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            refs, payloads = [], []
-            for did in pdf["doc_id"]:
-                d = int(did)
+                payloads.append(encode_jpeg_solid(
+                    d % 16 + 1, d % 8 + 1,
+                    (d * 3 % 256, d * 5 % 256, d * 7 % 256),
+                ))
                 refs.append(f"bmp-{d}")
-                payloads.append(
-                    encode_bmp_solid(
-                        d % 10 + 1, d % 6 + 1,
-                        (d * 13 % 256, d * 17 % 256, d * 19 % 256),
-                    )
-                )
+                payloads.append(encode_bmp_solid(
+                    d % 10 + 1, d % 6 + 1,
+                    (d * 13 % 256, d * 17 % 256, d * 19 % 256),
+                ))
             yield pd.DataFrame({"media_ref": refs, "payload": payloads})
 
-    media = docs.mapInPandas(enc, schema="media_ref string, payload binary")
+    encoded = docs.select("doc_id").mapInPandas(
+        enc, schema="media_ref string, payload binary"
+    )
+    media = ppm.unionByName(encoded)
     return extract_pixel_stats(media).select(
         "media_ref", "fmt", "width", "height", "channels",
         "mean_r", "mean_g", "mean_b", "status",
@@ -665,20 +622,6 @@ def q_two_phase_union(spark, sf_dir):
         new.unionByName(existing)
         .groupBy("mode", "lang")
         .agg(F.count("*").alias("n"))
-    )
-
-
-def q_semi_join_dup_hash(spark, sf_dir):
-    # A2 as an explicit left-semi join: docs whose text digest already
-    # exists in the "entries" snapshot (doc_id % 2 == 0 rows)
-    docs = _t(spark, sf_dir, "documents")
-    snapshot = docs.where(F.col("doc_id") % 2 == 0).select(
-        F.md5("text").alias("sig")
-    )
-    return (
-        docs.join(snapshot, F.md5(docs["text"]) == snapshot["sig"], "left_semi")
-        .groupBy("lang")
-        .agg(F.count("*").alias("already_known"))
     )
 
 
@@ -855,27 +798,39 @@ def q_language_id(spark, sf_dir):
     )
 
 
-def q_token_counts(spark, sf_dir):
+def q_text_features(spark, sf_dir):
+    """Map-only per-document text analysis in one driver row: token
+    counting (whitespace + BPE-ish regex), C4/Gopher-style quality
+    features + score, and the rolling document fingerprint — all
+    computed in ONE codegen-fused projection (zero shuffles, zero
+    joins; merging the former token_counts / quality_features /
+    doc_fingerprint queries costs nothing at 100 TB because every
+    column is independent map-side arithmetic).
+    """
     from content_extractor_spark.operators.textstats import (
+        quality_features,
         token_count_bpe,
         token_count_ws,
     )
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return docs.select(
-        "doc_id",
-        token_count_ws("text").cast("int").alias("tokens_ws"),
-        token_count_bpe("text").cast("int").alias("tokens_bpe"),
-    )
-
-
-def q_quality_features(spark, sf_dir):
-    from content_extractor_spark.operators.textstats import quality_features
-
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select(
         "doc_id", "text"
     )
-    return quality_features(docs).drop("text")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    fp = _phash(
+        F.concat(
+            F.substring(norm, 1, 64),
+            F.lit("|"),
+            F.length(norm).cast("string"),
+        )
+    )
+    return (
+        quality_features(docs)
+        .withColumn("tokens_ws", token_count_ws("text").cast("int"))
+        .withColumn("tokens_bpe", token_count_bpe("text").cast("int"))
+        .withColumn("fingerprint", fp)
+        .drop("text")
+    )
 
 
 def q_repetition_ngrams(spark, sf_dir):
@@ -887,22 +842,30 @@ def q_repetition_ngrams(spark, sf_dir):
     return repetition_features(docs, n=3)
 
 
-def q_top_terms_per_lang(spark, sf_dir):
-    # corpus-level heavy hitters: top-5 tokens per language (two-phase
-    # count with map-side partial agg, window top-k)
-    from content_extractor_spark.operators.textstats import top_terms
+def q_top_terms(spark, sf_dir):
+    """Corpus-level heavy hitters, both scorings, one driver row:
+    raw-count top-5 tokens per language (two-phase count with map-side
+    partial agg + window top-k) and TF-IDF top-5 per language (smooth
+    idf over the same (doc,term) aggregate), unioned on an aligned
+    (metric, lang, term, score, rank) shape.
+    """
+    from content_extractor_spark.operators.textstats import (
+        tfidf_top_terms,
+        top_terms,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return top_terms(docs, group_col="lang", k=5)
-
-
-def q_tfidf_top_terms(spark, sf_dir):
-    # corpus-level TF-IDF heavy hitters per language (smooth idf);
-    # token-keyed shuffles with map-side combine, window top-k
-    from content_extractor_spark.operators.textstats import tfidf_top_terms
-
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return tfidf_top_terms(docs, group_col="lang", k=5, round_to=5)
+    counts = top_terms(docs, group_col="lang", k=5).select(
+        F.lit("count").alias("metric"),
+        "lang",
+        F.col("token").alias("term"),
+        F.col("n").cast("double").alias("score"),
+        "rank",
+    )
+    tfidf = tfidf_top_terms(
+        docs.where(F.col("doc_id") < 300), group_col="lang", k=5, round_to=5
+    ).select(F.lit("tfidf").alias("metric"), "lang", "term", "score", "rank")
+    return counts.unionByName(tfidf)
 
 
 def q_unigram_logprob(spark, sf_dir):
@@ -914,15 +877,25 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(docs, round_to=5)
 
 
-def q_stratified_sample(spark, sf_dir):
-    # deterministic md5-hash stratified sampling with a per-group cap
-    # (map-only + one window; no rand(), engines agree row-for-row)
-    from content_extractor_spark.operators.curation import stratified_sample
+def q_sample_and_split(spark, sf_dir):
+    """Deterministic curation sampling, both operators, one driver row:
+    md5-hash stratified sampling with a per-group cap (map-only + one
+    window; no rand(), engines agree row-for-row) composed with the
+    md5 train/val split — every sampled row carries its split label,
+    so BOTH assignments are value-checked per row.
+    """
+    from content_extractor_spark.operators.curation import (
+        stratified_sample,
+        train_val_split,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return stratified_sample(
+    sampled = stratified_sample(
         docs, group_col="lang", permille=300, per_group_cap=15
-    ).select("doc_id", "lang", "source")
+    )
+    return train_val_split(sampled, val_pct=5).select(
+        "doc_id", "lang", "source", "split"
+    )
 
 
 def _linked_corpus(spark, sf_dir):
@@ -944,12 +917,40 @@ def _linked_corpus(spark, sf_dir):
     )
 
 
-def q_host_links(spark, sf_dir):
-    # anchor-href host edges via pure-Catalyst regexp extraction
-    # (map-only + one distinct); relative links and self-loops dropped
-    from content_extractor_spark.operators.linkgraph import extract_host_links
+def q_link_graph(spark, sf_dir):
+    """Link-graph extraction, both products, one driver row: distinct
+    (src, dst) host edges AND per-destination anchor-text profiles
+    (caption/query training pairs), both via pure-Catalyst regexp
+    extraction over the same corpus, unioned on an aligned
+    (kind, src, dst, anchor_text, n) shape. Edges carry NULL
+    anchor_text/n; anchor rows carry NULL src (aggregated over
+    sources).
+    """
+    from content_extractor_spark.operators.linkgraph import (
+        extract_anchor_texts,
+        extract_host_links,
+    )
 
-    return extract_host_links(_linked_corpus(spark, sf_dir))
+    corpus = _linked_corpus(spark, sf_dir)
+    # sentinels ('' / 0) instead of NULLs: an int column with NULLs
+    # degrades to float64 in both engines' pandas bridges, which is a
+    # needless dtype hazard in the driver's value-hash compare
+    edges = extract_host_links(corpus).select(
+        F.lit("edge").alias("kind"), "src", "dst",
+        F.lit("").alias("anchor_text"),
+        F.lit(0).cast("bigint").alias("n"),
+    )
+    anchors = (
+        extract_anchor_texts(corpus)
+        .groupBy("dst", "anchor_text")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("anchor").alias("kind"),
+            F.lit("").alias("src"),
+            "dst", "anchor_text", "n",
+        )
+    )
+    return edges.unionByName(anchors)
 
 
 def q_pagerank_hosts(spark, sf_dir):
@@ -964,17 +965,6 @@ def q_pagerank_hosts(spark, sf_dir):
     edges = extract_host_links(_linked_corpus(spark, sf_dir))
     return pagerank_hosts(
         edges, iterations=3, damping=0.85, round_to=6, graph_partitions=2
-    )
-
-
-def q_anchor_texts(spark, sf_dir):
-    # anchor-text profile per destination host (caption/query training
-    # pairs): pure-Catalyst anchor extraction + one keyed aggregate
-    from content_extractor_spark.operators.linkgraph import extract_anchor_texts
-
-    triples = extract_anchor_texts(_linked_corpus(spark, sf_dir))
-    return triples.groupBy("dst", "anchor_text").agg(
-        F.count("*").alias("n")
     )
 
 
@@ -1059,21 +1049,35 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new)
 
 
-def q_normalize_text(spark, sf_dir):
-    # canonical text cleanup (curly quotes, dashes, NBSP, controls,
-    # whitespace) — map-only; dirt is synthesized in SQL so the oracle
-    # reproduces the normalized output byte-for-byte
-    from content_extractor_spark.operators.curation import normalize_text
+def q_normalize_pii_scrub(spark, sf_dir):
+    """Text-cleanup curation, both map-only operators, one driver row:
+    canonical normalization (curly quotes, dashes, NBSP, controls,
+    whitespace collapse) composed with PII scrubbing (emails -> IPs ->
+    phone-ish runs, counts before each redaction) — the normalized
+    text AND the scrubbed output are both value-checked byte-for-byte;
+    dirt is synthesized in SQL so the oracle replays the exact chain.
+    """
+    from content_extractor_spark.operators.curation import (
+        normalize_text,
+        pii_scrub,
+    )
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     dirty = docs.select(
         "doc_id",
         F.concat(
-            F.lit("“Q” — "), F.col("text"),
-            F.lit("  ‘x’ y\t"),
+            F.lit("\u201cQ\u201d \u2014 "), F.col("text"),
+            F.lit(" contact bob"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +49 30 55512"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" ip 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+            F.lit("  \u2018x\u2019\u00a0y\t"),
         ).alias("text"),
     )
-    return normalize_text(dirty).select("doc_id", "text_norm")
+    out = pii_scrub(normalize_text(dirty), text_col="text_norm")
+    return out.select(
+        "doc_id", "text_norm", "n_emails", "n_ips", "n_phones", "scrubbed"
+    )
 
 
 def q_kmeans_assign(spark, sf_dir):
@@ -1087,36 +1091,40 @@ def q_kmeans_assign(spark, sf_dir):
     return kmeans_assign(emb, dim=64, k=4, iterations=1, round_to=6)
 
 
-def q_tumbling_window_agg(spark, sf_dir):
-    # event-time tumbling window (1h) — F.window in batch mode, the
-    # same operator Structured Streaming uses; epoch-aligned starts
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 500)
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(24,6)")), 3)
-            .cast("double").alias("sum_value"),
-        )
+def q_windowed_agg(spark, sf_dir):
+    """Event-time windowing, both shapes, one driver row — F.window in
+    batch mode, the same operator Structured Streaming uses
+    (epoch-aligned starts): a tumbling 1h window grouped by event_type
+    and a sliding 1h/30m window (every event lands in two slots;
+    Spark explodes window slots before the partial aggregate), unioned
+    on an aligned (win_kind, w_start, event_type, n, sum_value) shape.
+    """
+    ev = _t(spark, sf_dir, "events")
+    sum_value = (
+        F.round(F.sum(F.col("value").cast("decimal(24,6)")), 3)
+        .cast("double").alias("sum_value")
+    )
+    tumbling = (
+        ev.where(F.col("user_id") < 500)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), sum_value)
         .select(
+            F.lit("tumbling").alias("win_kind"),
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
             "event_type", "n", "sum_value",
         )
     )
-
-
-def q_sliding_window_agg(spark, sf_dir):
-    # sliding window (1h window, 30m slide): every event lands in two
-    # windows; Spark explodes window slots before the partial aggregate
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 300)
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n"))
+    sliding = (
+        ev.where(F.col("user_id") < 300)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), sum_value)
         .select(
+            F.lit("sliding").alias("win_kind"),
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
-            "n",
+            F.lit("(all)").alias("event_type"), "n", "sum_value",
         )
     )
+    return tumbling.unionByName(sliding)
 
 
 def q_sessionize_events(spark, sf_dir):
@@ -1176,37 +1184,6 @@ def q_length_band_filter(spark, sf_dir):
     return length_band_filter(docs, group_col="lang")
 
 
-def q_doc_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    fp = _phash(
-        F.concat(
-            F.substring(norm, 1, 64),
-            F.lit("|"),
-            F.length(norm).cast("string"),
-        )
-    )
-    return docs.select("doc_id", fp.alias("fingerprint"))
-
-
-def q_pii_scrub(spark, sf_dir):
-    # PII scrubbing (map-only regex): emails -> IPs -> phone-ish runs,
-    # counts taken before each redaction; dirt is synthesized per row
-    # so the oracle can reconstruct the exact scrubbed string
-    from content_extractor_spark.operators.curation import pii_scrub
-
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    dirty = F.concat(
-        F.col("text"),
-        F.lit(" contact bob"), F.col("doc_id").cast("string"),
-        F.lit("@mail.example or +49 30 55512"),
-        (F.col("doc_id") % 100).cast("string"),
-        F.lit(" ip 10.0.0."), (F.col("doc_id") % 255).cast("string"),
-    )
-    out = pii_scrub(docs.select("doc_id", dirty.alias("text")))
-    return out.select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
-
-
 def q_decontaminate(spark, sf_dir):
     # eval-set decontamination: flag docs sharing any 8-gram with the
     # benchmark (here: every 7th document) — broadcast semi join
@@ -1257,6 +1234,13 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k, single-bucket AND multi-probe, one
+    driver row: probes=0 searches only the query's own hyperplane
+    bucket; probes=4 additionally searches every bucket at Hamming
+    distance 1 (bucket XOR one bit) — recall widens with query-side
+    fan-out only, the corpus keeps one bucket per vector. Both runs
+    are unioned with a `probes` discriminator column.
+    """
     from content_extractor_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
@@ -1264,23 +1248,13 @@ def q_lsh_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    return lsh_topk(queries, corpus, dim=64, k=5, nbits=4, round_to=3)
-
-
-def q_lsh_ann_multiprobe(spark, sf_dir):
-    # multi-probe LSH ANN: each query also searches every bucket at
-    # Hamming distance 1 (bucket XOR one bit) — widens recall without
-    # touching the corpus-side bucketing
-    from content_extractor_spark.operators.similarity import lsh_topk
-
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
-    )
-    corpus = emb.where(F.col("vec_id") >= 5)
-    return lsh_topk(
+    single = lsh_topk(
+        queries, corpus, dim=64, k=5, nbits=4, round_to=3
+    ).select(F.lit(0).alias("probes"), "*")
+    multi = lsh_topk(
         queries, corpus, dim=64, k=5, nbits=4, round_to=3, probes=4
-    )
+    ).select(F.lit(4).alias("probes"), "*")
+    return single.unionByName(multi)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -1304,32 +1278,46 @@ def q_embedding_neardup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # 49 entries — consolidated from r3's 65 so EVERY registered query
+    # fits the driver's 50-row correctness window (r3 verdict item #1):
+    # same-schema operator variants are unioned with a discriminator
+    # column (pixel formats, window kinds, ANN probe levels, link-graph
+    # products, heavy-hitter metrics, scan/join probes) and map-only
+    # per-doc features are computed in one fused projection. The
+    # previously-unchecked entries (r3 registry slots 51-65, incl.
+    # sessionize_events) are ordered directly after the flagship.
     return {
         "extract_spans": q_extract_spans,
-        "filter_not_contains_multi": q_filter_not_contains_multi,
-        "filter_time_range": q_filter_time_range,
+        "windowed_agg": q_windowed_agg,
+        "sessionize_events": q_sessionize_events,
+        "snapshot_diff": q_snapshot_diff,
+        "chunk_documents": q_chunk_documents,
+        "weighted_source_sample": q_weighted_source_sample,
+        "audio_duration": q_audio_duration,
+        "normalize_pii_scrub": q_normalize_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "sample_and_split": q_sample_and_split,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "scan_filters": q_scan_filters,
+        "dup_probe_joins": q_dup_probe_joins,
         "broadcast_dim_join": q_broadcast_dim_join,
         "first_entry_per_key": q_first_entry_per_key,
         "exact_dedup_keep": q_exact_dedup_keep,
         "window_dedup_rank": q_window_dedup_rank,
         "create_update_skip": q_create_update_skip,
         "tag_dim_upsert": q_tag_dim_upsert,
-        "etag_anti_join": q_etag_anti_join,
         "salted_host_agg": q_salted_host_agg,
         "media_features": q_media_features,
-        "media_image_dims": q_media_image_dims,
-        "media_pixel_stats": q_media_pixel_stats,
-        "png_pixel_stats": q_png_pixel_stats,
-        "gif_pixel_stats": q_gif_pixel_stats,
-        "jpeg_pixel_stats": q_jpeg_pixel_stats,
-        "bmp_pixel_stats": q_bmp_pixel_stats,
+        "pixel_stats_all": q_pixel_stats_all,
         "media_manifest": q_media_manifest,
         "pdf_text_roundtrip": q_pdf_text_roundtrip,
         "density_extract": q_density_extract,
         "paragraph_dedup": q_paragraph_dedup,
         "clean_urls": q_clean_urls,
         "two_phase_union": q_two_phase_union,
-        "semi_join_dup_hash": q_semi_join_dup_hash,
         "ci_distinct_tags": q_ci_distinct_tags,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -1340,36 +1328,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "language_id": q_language_id,
-        "token_counts": q_token_counts,
-        "quality_features": q_quality_features,
-        "doc_fingerprint": q_doc_fingerprint,
+        "text_features": q_text_features,
         "repetition_ngrams": q_repetition_ngrams,
         "length_band_filter": q_length_band_filter,
-        "top_terms_per_lang": q_top_terms_per_lang,
-        "tfidf_top_terms": q_tfidf_top_terms,
+        "top_terms": q_top_terms,
         "unigram_logprob": q_unigram_logprob,
-        "stratified_sample": q_stratified_sample,
-        "host_links": q_host_links,
+        "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
-        "normalize_text": q_normalize_text,
         "kmeans_assign": q_kmeans_assign,
-        "anchor_texts": q_anchor_texts,
         "robots_filter": q_robots_filter,
-        "tumbling_window_agg": q_tumbling_window_agg,
-        "sliding_window_agg": q_sliding_window_agg,
-        "snapshot_diff": q_snapshot_diff,
-        "chunk_documents": q_chunk_documents,
-        "weighted_source_sample": q_weighted_source_sample,
-        "sessionize_events": q_sessionize_events,
-        "audio_duration": q_audio_duration,
-        "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "train_val_split": q_train_val_split,
-        "cosine_topk": q_cosine_topk,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
-        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -1427,17 +1394,17 @@ def oracle_sql() -> dict[str, str]:
                        ::int AS content_chars
             FROM documents WHERE doc_id < 100
         """,
-        "filter_not_contains_multi": """
-            SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
+        "scan_filters": """
+            SELECT 'exclusions' AS probe, lang AS key, count(*) AS n,
+                   sum(n_chars)::BIGINT::DOUBLE AS agg_val
             FROM documents
             WHERE lower(text) NOT LIKE '%slow%'
               AND lower(text) NOT LIKE '%error%'
               AND lower(text) NOT LIKE '%null%'
             GROUP BY lang
-        """,
-        "filter_time_range": """
-            SELECT event_type, count(*) AS n,
-                   round(sum(value::DECIMAL(24,6)), 3)::DOUBLE AS sum_value
+            UNION ALL
+            SELECT 'time_range' AS probe, event_type AS key, count(*) AS n,
+                   round(sum(value::DECIMAL(24,6)), 3)::DOUBLE AS agg_val
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
               AND ts <  TIMESTAMP '2024-01-05 00:00:00'
@@ -1501,16 +1468,24 @@ def oracle_sql() -> dict[str, str]:
             FROM scraped s LEFT JOIN dim d ON s.tag_key = d.tag_key
             WHERE d.tag_key IS NULL
         """,
-        "etag_anti_join": """
+        "dup_probe_joins": """
             WITH snapshot AS (
               SELECT doc_id AS s_id, md5(text) AS s_sig
               FROM documents WHERE doc_id % 2 = 0
             )
-            SELECT lang, count(*) AS to_process
+            SELECT 'etag_anti' AS probe, lang, count(*) AS n
             FROM documents d
             WHERE NOT EXISTS (
               SELECT 1 FROM snapshot s
               WHERE d.doc_id = s.s_id AND md5(d.text) = s.s_sig
+            )
+            GROUP BY lang
+            UNION ALL
+            SELECT 'dup_semi' AS probe, lang, count(*) AS n
+            FROM documents d
+            WHERE EXISTS (
+              SELECT 1 FROM documents s
+              WHERE s.doc_id % 2 = 0 AND md5(s.text) = md5(d.text)
             )
             GROUP BY lang
         """,
@@ -1521,16 +1496,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": """
             SELECT 'asset-' || doc_id::varchar AS media_ref,
-                   octet_length(encode(text)) AS n_bytes,
+                   'unknown' AS fmt, -1 AS width, -1 AS height,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE doc_id < 200
-        """,
-        "media_image_dims": """
+            UNION ALL
             SELECT 'img-' || doc_id::varchar AS media_ref,
                    'png' AS fmt,
                    (doc_id % 640 + 1)::int AS width,
                    (doc_id % 480 + 1)::int AS height,
-                   33::BIGINT AS n_bytes
+                   33::BIGINT AS n_bytes,
+                   '' AS sha256
             FROM documents WHERE doc_id < 200
         """,
         "media_manifest": """
@@ -1542,32 +1518,8 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT unnest(range(0, d.doc_id % 4 + 1)) AS i) g
             WHERE d.doc_id < 300
         """,
-        "media_pixel_stats": """
-            SELECT 'pix-' || doc_id::varchar AS media_ref,
-                   'ppm' AS fmt,
-                   (doc_id % 16 + 1)::int AS width,
-                   (doc_id % 8 + 1)::int AS height,
-                   3 AS channels,
-                   (doc_id % 256)::double AS mean_r,
-                   (doc_id * 2 % 256)::double AS mean_g,
-                   (doc_id * 3 % 256)::double AS mean_b,
-                   'ok' AS status
-            FROM documents WHERE doc_id < 200
-        """,
-        "bmp_pixel_stats": """
-            SELECT 'bmp-' || doc_id::varchar AS media_ref,
-                   'bmp' AS fmt,
-                   (doc_id % 10 + 1)::int AS width,
-                   (doc_id % 6 + 1)::int AS height,
-                   3 AS channels,
-                   (doc_id * 13 % 256)::double AS mean_r,
-                   (doc_id * 17 % 256)::double AS mean_g,
-                   (doc_id * 19 % 256)::double AS mean_b,
-                   'ok' AS status
-            FROM documents WHERE doc_id < 200
-        """,
-        "jpeg_pixel_stats": """
-            WITH base AS (
+        "pixel_stats_all": """
+            WITH jbase AS (
               SELECT doc_id,
                      (doc_id * 3 % 256)::DOUBLE AS r,
                      (doc_id * 5 % 256)::DOUBLE AS g,
@@ -1582,8 +1534,41 @@ def oracle_sql() -> dict[str, str]:
                   floor(128 - 0.168736*r - 0.331264*g + 0.5 + 0.5*b))) AS cb,
                 greatest(0, least(255,
                   floor(128 + 0.5*r - 0.418688*g - 0.081312*b + 0.5))) AS cr
-              FROM base
+              FROM jbase
             )
+            SELECT 'pix-' || doc_id::varchar AS media_ref,
+                   'ppm' AS fmt,
+                   (doc_id % 16 + 1)::int AS width,
+                   (doc_id % 8 + 1)::int AS height,
+                   3 AS channels,
+                   (doc_id % 256)::double AS mean_r,
+                   (doc_id * 2 % 256)::double AS mean_g,
+                   (doc_id * 3 % 256)::double AS mean_b,
+                   'ok' AS status
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT 'png-' || doc_id::varchar AS media_ref,
+                   'png' AS fmt,
+                   (doc_id % 16 + 1)::int AS width,
+                   (doc_id % 8 + 5)::int AS height,
+                   3 AS channels,
+                   (doc_id % 256)::double AS mean_r,
+                   (doc_id * 2 % 256)::double AS mean_g,
+                   (doc_id * 3 % 256)::double AS mean_b,
+                   'ok' AS status
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT 'gif-' || doc_id::varchar AS media_ref,
+                   'gif' AS fmt,
+                   (doc_id % 12 + 1)::int AS width,
+                   (doc_id % 9 + 1)::int AS height,
+                   3 AS channels,
+                   (doc_id * 5 % 256)::double AS mean_r,
+                   (doc_id * 7 % 256)::double AS mean_g,
+                   (doc_id * 11 % 256)::double AS mean_b,
+                   'ok' AS status
+            FROM documents WHERE doc_id < 200
+            UNION ALL
             SELECT 'jpg-' || doc_id::varchar AS media_ref,
                    'jpeg' AS fmt,
                    (doc_id % 16 + 1)::int AS width,
@@ -1598,28 +1583,15 @@ def oracle_sql() -> dict[str, str]:
                      floor(y + 1.772*(cb - 128.0) + 0.5)))::DOUBLE AS mean_b,
                    'ok' AS status
             FROM ycc
-        """,
-        "gif_pixel_stats": """
-            SELECT 'gif-' || doc_id::varchar AS media_ref,
-                   'gif' AS fmt,
-                   (doc_id % 12 + 1)::int AS width,
-                   (doc_id % 9 + 1)::int AS height,
+            UNION ALL
+            SELECT 'bmp-' || doc_id::varchar AS media_ref,
+                   'bmp' AS fmt,
+                   (doc_id % 10 + 1)::int AS width,
+                   (doc_id % 6 + 1)::int AS height,
                    3 AS channels,
-                   (doc_id * 5 % 256)::double AS mean_r,
-                   (doc_id * 7 % 256)::double AS mean_g,
-                   (doc_id * 11 % 256)::double AS mean_b,
-                   'ok' AS status
-            FROM documents WHERE doc_id < 200
-        """,
-        "png_pixel_stats": """
-            SELECT 'png-' || doc_id::varchar AS media_ref,
-                   'png' AS fmt,
-                   (doc_id % 16 + 1)::int AS width,
-                   (doc_id % 8 + 5)::int AS height,
-                   3 AS channels,
-                   (doc_id % 256)::double AS mean_r,
-                   (doc_id * 2 % 256)::double AS mean_g,
-                   (doc_id * 3 % 256)::double AS mean_b,
+                   (doc_id * 13 % 256)::double AS mean_r,
+                   (doc_id * 17 % 256)::double AS mean_g,
+                   (doc_id * 19 % 256)::double AS mean_b,
                    'ok' AS status
             FROM documents WHERE doc_id < 200
         """,
@@ -1666,15 +1638,6 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT lang, 'existing' AS mode FROM documents WHERE doc_id % 4 != 0
             ) GROUP BY mode, lang
-        """,
-        "semi_join_dup_hash": """
-            SELECT lang, count(*) AS already_known
-            FROM documents d
-            WHERE EXISTS (
-              SELECT 1 FROM documents s
-              WHERE s.doc_id % 2 = 0 AND md5(s.text) = md5(d.text)
-            )
-            GROUP BY lang
         """,
         "ci_distinct_tags": """
             SELECT DISTINCT lower(tag) AS tag_key FROM (
@@ -1910,27 +1873,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang_detected, count(*) AS n FROM lid GROUP BY lang_detected
         """,
-        "token_counts": r"""
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END
-                     ::int AS tokens_ws,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))
-                     ::int AS tokens_bpe
-            FROM documents WHERE doc_id < 300
-        """,
-        "quality_features": r"""
+        "text_features": rf"""
             WITH f AS (
               SELECT doc_id,
                      length(text) AS q_chars,
                      CASE WHEN trim(text) = '' THEN 0
                           ELSE len(string_split_regex(trim(text), '\s+')) END AS q_tokens,
                      length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-                     string_split_regex(lower(text), '\s+') AS toks
+                     string_split_regex(lower(text), '\s+') AS toks,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))
+                       ::int AS tokens_bpe,
+                     lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
               FROM documents WHERE doc_id < 300
             ),
             g AS (
-              SELECT doc_id, q_chars, q_tokens,
+              SELECT doc_id, q_chars, q_tokens, tokens_bpe, norm,
                      CASE WHEN q_tokens > 0 THEN q_chars::double / q_tokens ELSE 0.0 END AS mean_tok_len,
                      CASE WHEN q_chars > 0 THEN n_punct::double / q_chars ELSE 0.0 END AS punct_ratio,
                      (list_contains(toks,'the')::int + list_contains(toks,'and')::int
@@ -1956,7 +1913,10 @@ def oracle_sql() -> dict[str, str]:
                      * (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
                      * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
                      * (CASE WHEN q_stopword_hits >= 1 THEN 1.0 ELSE 0.3 END), 4
-                   )::DOUBLE AS q_score
+                   )::DOUBLE AS q_score,
+                   q_tokens::int AS tokens_ws,
+                   tokens_bpe,
+                   {_PH.format(x="substr(norm, 1, 64) || '|' || length(norm)::varchar")} AS fingerprint
             FROM g
         """,
         "length_band_filter": """
@@ -1996,7 +1956,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             WHERE d.doc_id < 300
         """,
-        "top_terms_per_lang": r"""
+        "top_terms": r"""
             WITH toks AS (
               SELECT lang,
                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
@@ -2005,26 +1965,19 @@ def oracle_sql() -> dict[str, str]:
             counts AS (
               SELECT lang, token, count(*) AS n FROM toks
               WHERE token != '' GROUP BY lang, token
-            )
-            SELECT lang, token, n, rank FROM (
-              SELECT *, row_number() OVER (PARTITION BY lang
-                                           ORDER BY n DESC, token ASC) AS rank
-              FROM counts
-            ) WHERE rank <= 5
-        """,
-        "tfidf_top_terms": r"""
-            WITH toks AS (
+            ),
+            ttoks AS (
               SELECT doc_id, lang,
                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
               FROM documents WHERE doc_id < 300
             ),
-            base AS (
-              SELECT doc_id, lang, term, count(*) AS tc FROM toks
+            tbase AS (
+              SELECT doc_id, lang, term, count(*) AS tc FROM ttoks
               WHERE term != '' GROUP BY doc_id, lang, term
             ),
-            dl AS (SELECT doc_id, sum(tc) AS len FROM base GROUP BY doc_id),
+            dl AS (SELECT doc_id, sum(tc) AS len FROM tbase GROUP BY doc_id),
             dfq AS (SELECT term, count(DISTINCT doc_id) AS df
-                    FROM base GROUP BY term),
+                    FROM tbase GROUP BY term),
             nd AS (SELECT count(DISTINCT doc_id) AS n_docs
                    FROM documents WHERE doc_id < 300),
             scored AS (
@@ -2032,10 +1985,18 @@ def oracle_sql() -> dict[str, str]:
                      round(sum((tc::DOUBLE / len)
                                * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1)),
                            5) AS score
-              FROM base JOIN dl USING (doc_id) JOIN dfq USING (term), nd
+              FROM tbase JOIN dl USING (doc_id) JOIN dfq USING (term), nd
               GROUP BY lang, term
             )
-            SELECT lang, term, score, rank FROM (
+            SELECT 'count' AS metric, lang, token AS term,
+                   n::DOUBLE AS score, rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY lang
+                                           ORDER BY n DESC, token ASC) AS rank
+              FROM counts
+            ) WHERE rank <= 5
+            UNION ALL
+            SELECT 'tfidf' AS metric, lang, term, score, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY lang
                                            ORDER BY score DESC, term ASC) AS rank
               FROM scored
@@ -2060,19 +2021,25 @@ def oracle_sql() -> dict[str, str]:
             FROM base JOIN corpus USING (term), tot
             GROUP BY doc_id
         """,
-        "stratified_sample": f"""
-            SELECT doc_id, lang, source FROM (
-              SELECT doc_id, lang, source,
-                     {_PH.format(x="doc_id::varchar")} % 1000 AS hb,
-                     row_number() OVER (
-                       PARTITION BY lang
-                       ORDER BY {_PH.format(x="doc_id::varchar")} % 1000 ASC,
-                                doc_id ASC) AS rn
-              FROM documents
-              WHERE {_PH.format(x="doc_id::varchar")} % 1000 < 300
-            ) WHERE rn <= 15
+        "sample_and_split": f"""
+            WITH sampled AS (
+              SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       {_PH.format(x="doc_id::varchar")} % 1000 AS hb,
+                       row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY {_PH.format(x="doc_id::varchar")} % 1000 ASC,
+                                  doc_id ASC) AS rn
+                FROM documents
+                WHERE {_PH.format(x="doc_id::varchar")} % 1000 < 300
+              ) WHERE rn <= 15
+            )
+            SELECT doc_id, lang, source,
+                   CASE WHEN {_PH.format(x="doc_id::varchar")} % 100 < 95
+                        THEN 'train' ELSE 'val' END AS split
+            FROM sampled
         """,
-        "host_links": """
+        "link_graph": """
             WITH corpus AS (
               SELECT 'h' || (doc_id % 7)::varchar || '.example' AS src,
                      '<html><body><a href="https://h'
@@ -2088,12 +2055,26 @@ def oracle_sql() -> dict[str, str]:
                      unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
                          AS href
               FROM corpus
+            ),
+            anchors AS (
+              SELECT 'h' || ((doc_id * 2 + 1) % 7)::varchar
+                         || '.example' AS dst, 'x' AS anchor_text
+              FROM documents WHERE doc_id < 400
+              UNION ALL
+              SELECT 'h' || ((doc_id * 3 + 2) % 10)::varchar
+                         || '.example', 'z'
+              FROM documents WHERE doc_id < 400
             )
-            SELECT DISTINCT src,
-                   regexp_extract(href, '^https?://([^/]+)', 1) AS dst
+            SELECT DISTINCT 'edge' AS kind, src,
+                   regexp_extract(href, '^https?://([^/]+)', 1) AS dst,
+                   '' AS anchor_text, 0::BIGINT AS n
             FROM hrefs
             WHERE regexp_extract(href, '^https?://([^/]+)', 1) != ''
               AND regexp_extract(href, '^https?://([^/]+)', 1) != src
+            UNION ALL
+            SELECT 'anchor' AS kind, '' AS src, dst, anchor_text,
+                   count(*) AS n
+            FROM anchors GROUP BY dst, anchor_text
         """,
         "pagerank_hosts": """
             WITH links AS (
@@ -2153,19 +2134,6 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes LEFT JOIN c3 ON nodes.host = c3.host)
             SELECT host, round(rank, 6) AS rank FROM r3
         """,
-        "anchor_texts": """
-            WITH t AS (
-              SELECT 'h' || ((doc_id * 2 + 1) % 7)::varchar
-                         || '.example' AS dst, 'x' AS anchor_text
-              FROM documents WHERE doc_id < 400
-              UNION ALL
-              SELECT 'h' || ((doc_id * 3 + 2) % 10)::varchar
-                         || '.example', 'z'
-              FROM documents WHERE doc_id < 400
-            )
-            SELECT dst, anchor_text, count(*) AS n
-            FROM t GROUP BY dst, anchor_text
-        """,
         "robots_filter": """
             SELECT doc_id,
                    'h' || (doc_id % 5)::varchar || '.example' AS host,
@@ -2182,26 +2150,56 @@ def oracle_sql() -> dict[str, str]:
                     AND doc_id::varchar NOT LIKE '1%')
               )
         """,
-        "normalize_text": r"""
+        "normalize_pii_scrub": r"""
             WITH dirty AS (
               SELECT doc_id,
-                     '“Q” — ' || text || '  ‘x’ y' || chr(9) AS t
-              FROM documents WHERE doc_id < 300
-            )
-            SELECT doc_id,
-                   trim(regexp_replace(
-                     regexp_replace(
+                     '“Q” — ' || text || ' contact bob' || doc_id::varchar
+                       || '@mail.example or +49 30 55512'
+                       || (doc_id % 100)::varchar
+                       || ' ip 10.0.0.' || (doc_id % 255)::varchar
+                       || '  ‘x’' || chr(160) || 'y' || chr(9) AS t
+              FROM documents WHERE doc_id < 200
+            ),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
                        regexp_replace(
                          regexp_replace(
                            regexp_replace(
-                             regexp_replace(t,
-                               '[‘’‚′]', '''', 'g'),
-                             '[“”„″]', '"', 'g'),
-                           '[–—−]', '-', 'g'),
-                         ' ', ' ', 'g'),
-                       '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
-                     '\s+', ' ', 'g')) AS text_norm
-            FROM dirty
+                             regexp_replace(
+                               regexp_replace(t,
+                                 '[‘’‚′]', '''', 'g'),
+                               '[“”„″]', '"', 'g'),
+                             '[–—−]', '-', 'g'),
+                           chr(160), ' ', 'g'),
+                         '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+                       '\s+', ' ', 'g')) AS text_norm
+              FROM dirty
+            ),
+            s1 AS (
+              SELECT doc_id, text_norm,
+                     len(regexp_extract_all(text_norm,
+                         '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+'))::int AS n_emails,
+                     regexp_replace(text_norm,
+                         '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+',
+                         '<EMAIL>', 'g') AS t
+              FROM norm
+            ),
+            s2 AS (
+              SELECT doc_id, text_norm, n_emails,
+                     len(regexp_extract_all(t,
+                         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::int AS n_ips,
+                     regexp_replace(t,
+                         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                         '<IP>', 'g') AS t
+              FROM s1
+            )
+            SELECT doc_id, text_norm, n_emails, n_ips,
+                   len(regexp_extract_all(t,
+                       '\+?[0-9][0-9 ()/-]{6,}[0-9]'))::int AS n_phones,
+                   regexp_replace(t, '\+?[0-9][0-9 ()/-]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS scrubbed
+            FROM s2
         """,
         "kmeans_assign": """
             WITH vecs AS (
@@ -2282,24 +2280,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS change
             FROM documents WHERE doc_id < 400
         """,
-        "tumbling_window_agg": """
-            SELECT strftime(to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600),
+        "windowed_agg": """
+            WITH slotted AS (
+              SELECT to_timestamp((floor(epoch(ts))::BIGINT // 1800) * 1800
+                                  - k.k) AS w_start,
+                     value
+              FROM events, (SELECT unnest([0, 1800]) AS k) k
+              WHERE user_id < 300
+            )
+            SELECT 'tumbling' AS win_kind,
+                   strftime(to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600),
                             '%Y-%m-%d %H:%M:%S') AS w_start,
                    event_type, count(*) AS n,
                    round(sum(value::DECIMAL(24,6)), 3)::DOUBLE AS sum_value
             FROM events WHERE user_id < 500
-            GROUP BY 1, 2
-        """,
-        "sliding_window_agg": """
-            WITH slotted AS (
-              SELECT to_timestamp((floor(epoch(ts))::BIGINT // 1800) * 1800
-                                  - k.k) AS w_start
-              FROM events, (SELECT unnest([0, 1800]) AS k) k
-              WHERE user_id < 300
-            )
-            SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
-                   count(*) AS n
-            FROM slotted GROUP BY 1
+            GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding' AS win_kind,
+                   strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+                   '(all)' AS event_type, count(*) AS n,
+                   round(sum(value::DECIMAL(24,6)), 3)::DOUBLE AS sum_value
+            FROM slotted GROUP BY 2
         """,
         "sessionize_events": """
             WITH ordered AS (
@@ -2336,50 +2337,6 @@ def oracle_sql() -> dict[str, str]:
                    ((doc_id % 50 + 1) * 320 / 16)::int AS duration_ms,
                    (44 + (doc_id % 50 + 1) * 320)::BIGINT AS n_bytes
             FROM documents WHERE doc_id < 200
-        """,
-        "doc_fingerprint": rf"""
-            WITH n AS (
-              SELECT doc_id,
-                     lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
-              FROM documents WHERE doc_id < 300
-            )
-            SELECT doc_id,
-                   {_PH.format(x="substr(norm, 1, 64) || '|' || length(norm)::varchar")} AS fingerprint
-            FROM n
-        """,
-        "pii_scrub": r"""
-            WITH dirty AS (
-              SELECT doc_id,
-                     text || ' contact bob' || doc_id::varchar
-                       || '@mail.example or +49 30 55512'
-                       || (doc_id % 100)::varchar
-                       || ' ip 10.0.0.' || (doc_id % 255)::varchar AS t
-              FROM documents WHERE doc_id < 200
-            ),
-            s1 AS (
-              SELECT doc_id,
-                     len(regexp_extract_all(t,
-                         '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+'))::int AS n_emails,
-                     regexp_replace(t,
-                         '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+',
-                         '<EMAIL>', 'g') AS t
-              FROM dirty
-            ),
-            s2 AS (
-              SELECT doc_id, n_emails,
-                     len(regexp_extract_all(t,
-                         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::int AS n_ips,
-                     regexp_replace(t,
-                         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
-                         '<IP>', 'g') AS t
-              FROM s1
-            )
-            SELECT doc_id, n_emails, n_ips,
-                   len(regexp_extract_all(t,
-                       '\+?[0-9][0-9 ()/-]{6,}[0-9]'))::int AS n_phones,
-                   regexp_replace(t, '\+?[0-9][0-9 ()/-]{6,}[0-9]',
-                                  '<PHONE>', 'g') AS scrubbed
-            FROM s2
         """,
         "decontaminate": r"""
             WITH doc_sh AS (
@@ -2426,12 +2383,6 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM packed GROUP BY source, pack_id
         """,
-        "train_val_split": f"""
-            SELECT CASE WHEN {_PH.format(x='doc_id::varchar')} % 100 < 95
-                        THEN 'train' ELSE 'val' END AS split,
-                   lang, count(*) AS n
-            FROM documents GROUP BY 1, 2
-        """,
         "cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -2474,58 +2425,39 @@ def oracle_sql() -> dict[str, str]:
               FROM vecs, planes GROUP BY vec_id, v
             ),
             q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sigs WHERE vec_id < 5),
-            c AS (SELECT vec_id, v AS cv, bucket FROM sigs WHERE vec_id >= 5),
-            scored AS (
-              SELECT query_id, vec_id,
-                     round(
-                       list_sum([qv[i]*cv[i] for i in range(1, len(qv)+1)]) /
-                       (sqrt(list_sum([x*x for x in qv]))
-                        * sqrt(list_sum([x*x for x in cv]))), 3) AS cos
-              FROM q JOIN c ON q.bucket = c.bucket
-            )
-            SELECT query_id, vec_id, cos, rank FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                                           ORDER BY cos DESC, vec_id ASC) AS rank
-              FROM scored
-            ) WHERE rank <= 5
-        """,
-        "lsh_ann_multiprobe": rf"""
-            WITH planes AS (
-              SELECT j,
-                     [ CASE WHEN {_PH.format(x="j::varchar || '_' || i::varchar")} % 2 = 0
-                            THEN 1.0 ELSE -1.0 END
-                       for i in range(0, 64) ] AS w
-              FROM (SELECT unnest(range(0, 4)) AS j)
-            ),
-            vecs AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-              WHERE vec_id < 1000
-            ),
-            sigs AS (
-              SELECT vec_id, v,
-                     sum(CASE WHEN list_sum([v[i]*w[i] for i in range(1, 65)]) >= 0
-                              THEN 1 << j ELSE 0 END)::BIGINT AS bucket
-              FROM vecs, planes GROUP BY vec_id, v
-            ),
-            q AS (
+            qm AS (
               SELECT vec_id AS query_id, v AS qv,
                      unnest([bucket, xor(bucket, 1), xor(bucket, 2),
                              xor(bucket, 4), xor(bucket, 8)]) AS bucket
               FROM sigs WHERE vec_id < 5
             ),
             c AS (SELECT vec_id, v AS cv, bucket FROM sigs WHERE vec_id >= 5),
-            scored AS (
+            scored0 AS (
               SELECT query_id, vec_id,
                      round(
                        list_sum([qv[i]*cv[i] for i in range(1, len(qv)+1)]) /
                        (sqrt(list_sum([x*x for x in qv]))
                         * sqrt(list_sum([x*x for x in cv]))), 3) AS cos
               FROM q JOIN c ON q.bucket = c.bucket
+            ),
+            scoredm AS (
+              SELECT query_id, vec_id,
+                     round(
+                       list_sum([qv[i]*cv[i] for i in range(1, len(qv)+1)]) /
+                       (sqrt(list_sum([x*x for x in qv]))
+                        * sqrt(list_sum([x*x for x in cv]))), 3) AS cos
+              FROM qm JOIN c ON qm.bucket = c.bucket
             )
-            SELECT query_id, vec_id, cos, rank FROM (
+            SELECT 0 AS probes, query_id, vec_id, cos, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY cos DESC, vec_id ASC) AS rank
-              FROM scored
+              FROM scored0
+            ) WHERE rank <= 5
+            UNION ALL
+            SELECT 4 AS probes, query_id, vec_id, cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scoredm
             ) WHERE rank <= 5
         """,
         "embedding_neardup": rf"""

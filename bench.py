@@ -26,54 +26,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 BENCH_QUERIES = [
+    # r4 registry consolidation: former per-variant queries are now
+    # unioned into single multi-operator queries (pixel_stats_all,
+    # windowed_agg, lsh_ann_topk ±probes, text_features, top_terms,
+    # link_graph, normalize_pii_scrub, sample_and_split, scan_filters,
+    # dup_probe_joins, media_features) — bench names track queries()
     "extract_spans",
-    "filter_not_contains_multi",
+    "scan_filters",
     "broadcast_dim_join",
     "window_dedup_rank",
     "create_update_skip",
     "tag_dim_upsert",
+    "dup_probe_joins",
     "pricing_summary",
     "top_revenue_orders",
     "minhash_lsh_pairs",
     "simhash_groups",
     "simhash_hamming_pairs",
     "language_id",
-    "quality_features",
+    "text_features",
     "cosine_topk",
     "lsh_ann_topk",
-    "lsh_ann_multiprobe",
     "dedup_clusters",
     "paragraph_dedup",
     "pdf_text_roundtrip",
     "density_extract",
     "media_features",
-    "media_image_dims",
-    "media_pixel_stats",
+    "pixel_stats_all",
     "media_manifest",
     "audio_duration",
     "repetition_ngrams",
     "length_band_filter",
-    "top_terms_per_lang",
+    "top_terms",
     "sessionize_events",
-    "pii_scrub",
+    "normalize_pii_scrub",
     "decontaminate",
     "pack_sequences",
-    "train_val_split",
-    "png_pixel_stats",
-    "gif_pixel_stats",
-    "jpeg_pixel_stats",
-    "tfidf_top_terms",
+    "sample_and_split",
     "unigram_logprob",
-    "stratified_sample",
-    "host_links",
+    "link_graph",
     "pagerank_hosts",
-    "normalize_text",
     "kmeans_assign",
-    "bmp_pixel_stats",
-    "anchor_texts",
     "robots_filter",
-    "tumbling_window_agg",
-    "sliding_window_agg",
+    "windowed_agg",
     "snapshot_diff",
     "chunk_documents",
     "weighted_source_sample",

@@ -10,6 +10,9 @@ and ``input/production/pageProfiles/*.conf``.
 jsoup semantics preserved:
   * matching is case-insensitive for tag and attribute names, and for
     attribute *values* in ``[attr=value]`` comparisons,
+  * ``[attr~=regex]`` is jsoup's regex matcher (pattern find() against
+    the RAW attribute value, case-sensitive), NOT CSS's
+    whitespace-separated word match,
   * ``select`` returns matches in document order and includes the root
     element itself as a candidate,
   * an unparseable selector raises :class:`SelectorParseError`; callers
@@ -191,7 +194,13 @@ class _Simple:
                 if v not in actual:
                     return False
             elif op == "~=":
-                if v not in actual.split():
+                # jsoup dialect, NOT CSS: [attr~=regex] matches the raw
+                # attribute value against a regular expression with
+                # find() semantics (Evaluator.AttributeWithValueMatching;
+                # QueryParser.java "~=" branch). CSS's whitespace-word
+                # match would silently select different elements for
+                # profiles written against the reference (r3 verdict #2).
+                if not _compile_pseudo_regex(value).search(el.attr(name)):
                     return False
             elif op == "|=":
                 if not (actual == v or actual.startswith(v + "-")):
@@ -460,6 +469,10 @@ def _parse(query: str) -> List[_Chain]:
                     val = m.group("attr_sq")
                 if val is None:
                     val = m.group("attr_uq") or ""
+                if op == "~=":
+                    # jsoup compiles the [attr~=regex] pattern at parse
+                    # time — fail loudly here, not at match time
+                    _compile_pseudo_regex(val)
                 current.attrs.append((name, op, val))
     if pending is not None:
         raise SelectorParseError(f"trailing combinator in '{query}'")

@@ -112,12 +112,20 @@ def robots_rules(
     from pyspark.sql import Window
 
     h = F.col(host_col)
-    lines = robots.select(
-        h.alias("host"),
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
-    ).withColumn(
-        # RFC 9309: '#' starts a comment anywhere on the line
-        "line", F.trim(F.regexp_replace(F.col("line"), "#.*", ""))
+    lines = (
+        robots.select(
+            h.alias("host"),
+            F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn(
+            # RFC 9309: '#' starts a comment anywhere on the line
+            "line", F.trim(F.regexp_replace(F.col("line"), "#.*", ""))
+        )
+        # group boundaries are computed over NON-EMPTY lines only: a
+        # blank or comment-only line between two User-agent lines does
+        # NOT split the group (RFC 9309 §2.1 — groups are delimited by
+        # the next user-agent line, not by blank lines)
+        .where(F.col("line") != "")
     )
     is_ua = F.col("line").rlike(r"(?i)^user-agent\s*:")
     w = Window.partitionBy("host").orderBy("pos")

@@ -87,6 +87,27 @@ def test_selector_attribute():
     assert select_first(doc, 'script[TYPE="Application/LD+JSON"]') is not None
 
 
+def test_attr_tilde_is_jsoup_regex_not_css_word_match():
+    # jsoup [attr~=regex]: Evaluator.AttributeWithValueMatching runs
+    # pattern.find() against the RAW attribute value (QueryParser "~=").
+    # CSS's whitespace-word semantics would reject all three asserts.
+    doc = parse(
+        '<div id="art-123">a</div><div id="art-xyz">b</div>'
+        '<div class="foobar baz">c</div>'
+    )
+    # anchored regex matches the whole id — a word-split would look for
+    # the literal token '^art-\\d+$' and never match
+    assert [e.attr("id") for e in select(doc, r"[id~=^art-\d+$]")] == ["art-123"]
+    # unanchored find(): 'foo' matches inside the word 'foobar'
+    # (CSS word match would require a standalone 'foo' token)
+    assert select_first(doc, "[class~=foo]").text() == "c"
+    # case-sensitive, unlike the [attr=value] comparisons
+    assert select_first(doc, "[id~=ART]") is None
+    # bad pattern fails loudly at parse time (jsoup compiles eagerly)
+    with pytest.raises(SelectorParseError):
+        select(doc, "[id~=(]")
+
+
 def test_selector_multi_class_compound():
     doc = parse('<div class="mt-0 mt-md-5 pt-3 text-center container">x</div>')
     assert select_first(doc, "div.mt-0.mt-md-5.pt-3.text-center.container").text() == "x"
