@@ -1000,6 +1000,14 @@ def q_robots_filter(spark, sf_dir):
             # Allow precedence: the longer /a/p9 prefix re-allows paths
             # under the /a disallow (RFC 9309 longest-match)
             ("h3.example", "User-agent: *\nDisallow: /a\nAllow: /a/p1"),
+            # RFC 9309 wildcards: '*' mid-rule (blocks /private via
+            # /*riv), a longer Allow with trailing '*' re-allowing the
+            # p1-prefixed paths, and a '$'-anchored rule that matches
+            # NO path here (plain-prefix semantics would wrongly block
+            # every /tmp/p3... url on this host)
+            ("h4.example",
+             "User-agent: *\nDisallow: /*riv\nAllow: /private/p1*\n"
+             "Disallow: /tmp/p3$"),
         ],
         "host string, robots_txt string",
     )
@@ -2147,6 +2155,8 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (
                 (doc_id % 5 IN (0, 1) AND doc_id % 4 IN (1, 2))
                 OR (doc_id % 5 = 3 AND doc_id % 4 = 0
+                    AND doc_id::varchar NOT LIKE '1%')
+                OR (doc_id % 5 = 4 AND doc_id % 4 = 1
                     AND doc_id::varchar NOT LIKE '1%')
               )
         """,

@@ -142,6 +142,19 @@ def load_profile_json(path: str) -> ProfileConfig:
 _HOCON_KV = re.compile(r"^\s*([A-Za-z0-9_.\-]+)\s*[:=]?\s*(.*)$")
 
 
+def _is_escaped(text: str, i: int) -> bool:
+    """True if text[i] is escape-protected: preceded by an ODD run of
+    backslashes. A string literal ending in an escaped backslash
+    ('"c:\\\\"' -> value c:\\) must CLOSE on its final quote — the
+    naive text[i-1] == '\\' check left the scanner stuck in-string
+    and desynced everything after it (r3 advice).
+    """
+    k = i - 1
+    while k >= 0 and text[k] == "\\":
+        k -= 1
+    return (i - 1 - k) % 2 == 1
+
+
 def _hocon_to_json_text(text: str) -> str:
     """Convert the profile-config HOCON subset to JSON.
 
@@ -157,7 +170,7 @@ def _hocon_to_json_text(text: str) -> str:
         c = text[i]
         if in_str:
             out.append(c)
-            if c == '"' and text[i - 1] != "\\":
+            if c == '"' and not _is_escaped(text, i):
                 in_str = False
                 prev_significant = '"'
             i += 1
@@ -265,7 +278,7 @@ def _mark_substitutions(text: str, path: str) -> str:
         c = text[i]
         if in_str:
             out.append(c)
-            if c == '"' and text[i - 1] != "\\":
+            if c == '"' and not _is_escaped(text, i):
                 in_str = False
             i += 1
             continue
@@ -374,7 +387,7 @@ def _strip_hocon_comments(text: str) -> str:
         c = text[i]
         if in_str:
             out.append(c)
-            if c == '"' and text[i - 1] != "\\":
+            if c == '"' and not _is_escaped(text, i):
                 in_str = False
             i += 1
             continue
@@ -399,7 +412,7 @@ def _brace_depth_at(text: str, pos: int) -> int:
     for j in range(pos):
         c = text[j]
         if in_str:
-            if c == '"' and text[j - 1] != "\\":
+            if c == '"' and not _is_escaped(text, j):
                 in_str = False
         elif c == '"':
             in_str = True

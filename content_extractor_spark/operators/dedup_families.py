@@ -208,7 +208,19 @@ def minhash_lsh_pairs(
 
 
 def simhash(text_col: str = "text", bits: int = 16) -> Column:
-    """SimHash over whitespace tokens: bit b = majority of token-hash bit b."""
+    """SimHash over whitespace tokens: bit b = majority of token-hash bit b.
+
+    NULL text yields a NULL signature (explicit guard — previously the
+    NULL vote fell into the otherwise(-) branch and silently produced
+    sig=0, contradicting the documented semantics; r3 advice).
+
+    EXPRESSION FORM — TEST SCALE ONLY: this evaluates `bits` aggregate
+    lambdas over the token-hash array, i.e. `bits` passes per row (64
+    at production bits=64). For corpus-scale signature runs use
+    :func:`simhash_signatures_df` (one exploded pass, map-side-combined
+    SUM votes, value-identical output); :func:`simhash_duplicates`
+    already routes through it.
+    """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok_hashes = F.transform(toks, lambda t: portable_hash(t))
     acc = None
@@ -221,7 +233,9 @@ def simhash(text_col: str = "text", bits: int = 16) -> Column:
         )
         bit = F.when(vote > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         acc = bit if acc is None else acc + bit
-    return acc.cast("bigint")
+    return (
+        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(acc)
+    ).cast("bigint")
 
 
 def simhash_signatures_df(
@@ -239,12 +253,15 @@ def simhash_signatures_df(
     row and the per-bit signed votes are `bits` SUM aggregates with
     map-side combine: one uniform shuffle on id, one pass over tokens.
 
-    Edge difference: rows whose text is NULL are dropped (explode emits
-    nothing), where `simhash()` yields a NULL signature; empty text
-    tokenizes to [""] in both and agrees.
+    NULL-text rows explode to nothing, so they are re-attached with a
+    NULL signature by a cheap map-only union branch — exactly
+    `simhash()`'s output (r3 advice: the two shapes previously
+    disagreed on NULL-text corpora); empty text tokenizes to [""] in
+    both and agrees.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    nonnull = df.where(F.col(text_col).isNotNull())
+    ex = nonnull.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
     h = portable_hash(F.col("t"))
     aggs = [
         F.sum(
@@ -257,16 +274,27 @@ def simhash_signatures_df(
     for b in range(bits):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return votes.select("id", sig.cast("bigint").alias("sig"))
+    null_rows = df.where(F.col(text_col).isNull()).select(
+        F.col(id_col).alias("id"), F.lit(None).cast("bigint").alias("sig")
+    )
+    return votes.select("id", sig.cast("bigint").alias("sig")).unionByName(
+        null_rows
+    )
 
 
 def simhash_duplicates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 16) -> DataFrame:
-    """Docs sharing an identical simhash signature (near-dup groups)."""
+    """Docs sharing an identical simhash signature (near-dup groups).
+
+    Routes through :func:`simhash_signatures_df` — the single
+    corpus-scale code path (one exploded pass instead of `bits`
+    aggregate-lambda passes per row); values are identical to the
+    expression form including NULL-text rows (NULL sig group).
+    """
     return (
-        df.select(simhash(text_col, bits).alias("sig"), F.col(id_col))
+        simhash_signatures_df(df, text_col, id_col, bits)
         .groupBy("sig")
-        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
         .where(F.col("dup_count") > 1)
     )
 
@@ -300,8 +328,11 @@ def simhash_hamming_pairs(
         )
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+    # scalable signature path (one exploded pass, not `bits` lambda
+    # passes per row); NULL-sig rows (NULL text) drop out of banding
+    # via the IS NOT NULL filter — they cannot near-dup anything
+    sigs = simhash_signatures_df(df, text_col, id_col, bits).where(
+        F.col("sig").isNotNull()
     )
     banded = sigs.select(
         "id", "sig",

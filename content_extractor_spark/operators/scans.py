@@ -193,31 +193,64 @@ def robots_disallow_filter(
     txt_col: str = "robots_txt",
 ) -> DataFrame:
     """Drop urls blocked by their host's User-agent:* rules, with
-    RFC 9309 precedence: among all matching Allow/Disallow prefixes the
-    LONGEST wins, ties go to Allow; no matching rule means allowed.
+    RFC 9309 precedence: among all matching Allow/Disallow rules the
+    LONGEST rule path wins (octets of the rule, wildcards counted as
+    written — the de-facto standard from Google's open-source robots.txt
+    parser), ties go to Allow; no matching rule means allowed.
 
-    Shape: the decision is computed once per distinct (host, path) — a
-    broadcast join against the tiny rules side plus one window — and
-    blocked paths anti-join back against the url set.
+    RFC 9309 §2.2.3 wildcards are supported: ``*`` matches any
+    character run and a TRAILING ``$`` anchors the end of the path
+    (a ``$`` anywhere else is a literal). Plain-prefix rules keep the
+    cheap startswith predicate; wildcard rules are translated to a
+    Java regex once on the (tiny) rules side.
+
+    Shape: the decision is computed once per distinct (host, path) —
+    a broadcast join against the tiny rules side plus one window. The
+    blocked-path set scales with the distinct (host, path) corpus, so
+    the back-join is a PLAIN equi-join (no forced broadcast — AQE
+    picks broadcast when the set is actually small; an unconditional
+    hint would OOM at 100x scale).
     """
     from pyspark.sql import Window
 
     rules = robots_rules(robots, robots_host_col, txt_col)
+    # translate a rule path to an anchored Java regex: escape regex
+    # metachars (except '*'), honor a trailing '$' as an end anchor,
+    # turn '*' into '.*'
+    p = F.col("prefix")
+    ends_dollar = p.endswith("$")
+    body = F.when(
+        ends_dollar, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(p)
+    esc = F.regexp_replace(
+        body, r"([\\.\[\]{}()+?^|$])", r"\\$1"
+    )
+    regex = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")),
+    )
+    has_wild = p.contains("*") | ends_dollar
+    r = rules.select(
+        F.col("host").alias("_r_host"),
+        F.col("kind").alias("_r_kind"),
+        F.col("prefix").alias("_r_prefix"),
+        has_wild.alias("_r_wild"),
+        regex.alias("_r_regex"),
+    )
     path = F.regexp_replace(F.col(url_col), r"^https?://[^/]+", "")
     flagged = urls.withColumn("_path", path)
     paths = flagged.select(
         F.col(host_col).alias("_p_host"), F.col("_path").alias("_p_path")
     ).distinct()
-    r = rules.select(
-        F.col("host").alias("_r_host"),
-        F.col("kind").alias("_r_kind"),
-        F.col("prefix").alias("_r_prefix"),
+    cond = (F.col("_p_host") == F.col("_r_host")) & (
+        # SQL RLIKE accepts a column-valued pattern (the python
+        # Column.rlike wrapper takes only literals)
+        F.when(F.col("_r_wild"), F.expr("_p_path rlike _r_regex"))
+        .otherwise(F.col("_p_path").startswith(F.col("_r_prefix")))
     )
-    cond = (F.col("_p_host") == F.col("_r_host")) & F.col(
-        "_p_path"
-    ).startswith(F.col("_r_prefix"))
     matched = paths.join(F.broadcast(r), cond, "inner")
-    # longest prefix wins; tie -> allow ('allow' < 'disallow' asc)
+    # longest rule path wins; tie -> allow ('allow' < 'disallow' asc)
     w = Window.partitionBy("_p_host", "_p_path").orderBy(
         F.length("_r_prefix").desc(), F.col("_r_kind").asc()
     )
@@ -229,6 +262,4 @@ def robots_disallow_filter(
     keep_cond = (F.col(host_col) == F.col("_p_host")) & (
         F.col("_path") == F.col("_p_path")
     )
-    return flagged.join(F.broadcast(blocked), keep_cond, "left_anti").drop(
-        "_path"
-    )
+    return flagged.join(blocked, keep_cond, "left_anti").drop("_path")

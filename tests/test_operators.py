@@ -320,6 +320,46 @@ class TestSimilarity:
         mp = lsh_topk(qdf, cdf, dim=8, k=60, nbits=3, probes=3)
         assert mp.count() == mp.select("query_id", "vec_id").distinct().count()
 
+    def test_lsh_multiprobe_recall_lift_vs_bruteforce(self, spark):
+        """Multi-probe must RECOVER true neighbors that bucket splits
+        hide — recall@5 against the brute-force baseline strictly
+        improves with probes on a corpus where buckets split
+        near-neighbors (measured on this seeded corpus: 0.10 at
+        probes=0 vs 0.45 at probes=4)."""
+        import random
+
+        rng = random.Random(11)
+        corpus = [
+            (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(500)
+        ]
+        cdf = spark.createDataFrame(
+            corpus, "vec_id long, embedding array<float>"
+        ).cache()
+        qdf = spark.createDataFrame(
+            [(i, v) for i, v in corpus[:8]],
+            "query_id long, q_embedding array<float>",
+        )
+        corpus_only = cdf.where(F.col("vec_id") >= 8)
+        truth = {}
+        for r in cosine_topk(
+            qdf, corpus_only, k=5, round_to=6, corpus_rows=1000
+        ).collect():
+            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        def recall(probes):
+            got = {}
+            for r in lsh_topk(
+                qdf, corpus_only, dim=64, k=5, nbits=4, round_to=6,
+                probes=probes,
+            ).collect():
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+            return hits / sum(len(v) for v in truth.values())
+
+        r0, r4 = recall(0), recall(4)
+        cdf.unpersist()
+        assert r4 > r0, (r0, r4)
+
 
 class TestSessionize:
     def test_gap_splits_sessions(self, spark):
@@ -852,6 +892,14 @@ class TestScaleCaps:
         e = one.select(simhash("text", 16).alias("s")).collect()[0]["s"]
         d = simhash_signatures_df(one, bits=16).collect()[0]["sig"]
         assert e == d
+        # NULL text agrees: BOTH forms emit a NULL signature (the
+        # expression form previously fell into otherwise() and emitted
+        # 0; the df form previously dropped the row entirely)
+        nul = spark.createDataFrame([(7, None)], "doc_id int, text string")
+        en = nul.select(simhash("text", 16).alias("s")).collect()[0]["s"]
+        rows = simhash_signatures_df(nul, bits=16).collect()
+        assert en is None
+        assert [(r["id"], r["sig"]) for r in rows] == [(7, None)]
 
 
 class TestPngPixelDecode:
@@ -1233,6 +1281,71 @@ class TestRobotsAndAnchors:
         kept = {r["url"] for r in robots_disallow_filter(urls, robots).collect()}
         # b.com has no robots -> untouched; a.com/x/* dropped
         assert kept == {"https://a.com/ok", "https://b.com/x/1"}
+
+    def test_robots_group_survives_blank_and_comment_lines(self, spark):
+        # RFC 9309: groups are delimited by the next User-agent line —
+        # a blank or comment-only line between two UA lines must NOT
+        # split the group (r3 advice)
+        from content_extractor_spark.operators.scans import (
+            robots_disallow_rules,
+        )
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\n\n# maintained by ops\n"
+                       "User-agent: foo\nDisallow: /x")],
+            "host string, robots_txt string",
+        )
+        rules = {(r["host"], r["prefix"])
+                 for r in robots_disallow_rules(robots).collect()}
+        assert rules == {("a.com", "/x")}
+
+    def test_robots_wildcards_rfc9309(self, spark):
+        # '*' matches any run; trailing '$' anchors the path end; '$'
+        # and '*' inside rules must not be treated as literal prefixes
+        # (RFC 9309 §2.2.3; r3 advice — '/*.php' previously matched
+        # nothing because it was compared with plain startswith)
+        from content_extractor_spark.operators.scans import (
+            robots_disallow_filter,
+        )
+
+        urls = spark.createDataFrame(
+            [("a.com", f"https://a.com{p}") for p in [
+                "/x.php", "/sub/y.php", "/x.php5",  # all match /*.php
+                "/x.html",                           # no rule
+                "/end", "/end/more",                 # only /end$ exact
+                "/a(1)/z",                           # regex metachars literal
+            ]],
+            "host string, url string",
+        )
+        robots = spark.createDataFrame(
+            [("a.com",
+              "User-agent: *\nDisallow: /*.php\nDisallow: /end$\n"
+              "Disallow: /a(1)")],
+            "host string, robots_txt string",
+        )
+        kept = {r["url"].replace("https://a.com", "")
+                for r in robots_disallow_filter(urls, robots).collect()}
+        assert kept == {"/x.html", "/end/more"}
+
+    def test_robots_allow_wildcard_precedence(self, spark):
+        # longest RULE path wins (wildcards counted as written); the
+        # longer Allow with '*' re-opens a subset of a wildcard block
+        from content_extractor_spark.operators.scans import (
+            robots_disallow_filter,
+        )
+
+        urls = spark.createDataFrame(
+            [("a.com", "https://a.com/private/p10"),
+             ("a.com", "https://a.com/private/p20")],
+            "host string, url string",
+        )
+        robots = spark.createDataFrame(
+            [("a.com",
+              "User-agent: *\nDisallow: /*riv\nAllow: /private/p1*")],
+            "host string, robots_txt string",
+        )
+        kept = {r["url"] for r in robots_disallow_filter(urls, robots).collect()}
+        assert kept == {"https://a.com/private/p10"}
 
     def test_anchor_texts(self, spark):
         from content_extractor_spark.operators.linkgraph import (

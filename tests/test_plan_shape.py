@@ -213,3 +213,55 @@ def test_pagerank_iterative_plan_shape(spark):
     assert "CartesianProduct" not in rep["text"]
     assert rep["python_stages"] == 0
     assert rep["exchanges"] >= 2  # genuinely iterative, not collapsed
+
+
+def test_robots_blocked_side_not_force_broadcast(spark):
+    """Exactly ONE broadcast hint in the robots filter plan — the tiny
+    rules side. The blocked-path set scales with the distinct
+    (host, path) corpus, so it must NOT carry a forced-broadcast hint
+    (AQE may still choose broadcast when it is actually small)."""
+    from content_extractor_spark.operators.scans import robots_disallow_filter
+
+    urls = spark.createDataFrame(
+        [("a.com", "https://a.com/x"), ("a.com", "https://a.com/y")],
+        "host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    out = robots_disallow_filter(urls, robots)
+    analyzed = out._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    assert analyzed.count("ResolvedHint") == 1, analyzed[:3000]
+
+
+def test_chunk_documents_map_only(spark):
+    """Token chunking is pure array ops + one explode: zero Python
+    stages, zero shuffles — survives any corpus size unchanged."""
+    from content_extractor_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id int, text string"
+    )
+    rep = plan_report(chunk_documents(df, target_tokens=3))
+    assert rep["python_stages"] == 0
+    assert rep["exchanges"] == 0, rep["text"][:1500]
+
+
+def test_weighted_source_sample_broadcasts_weights(spark):
+    """The per-source keep-rate dim must broadcast — the corpus side
+    never shuffles for the mix join."""
+    from content_extractor_spark.operators.curation import (
+        weighted_source_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s0"), (2, "s1")], "doc_id int, source string"
+    )
+    weights = spark.createDataFrame(
+        [("s0", 1000), ("s1", 500)], "source string, permille int"
+    )
+    rep = plan_report(weighted_source_sample(docs, weights))
+    assert rep["has_broadcast_join"], rep["text"][:1500]
+    assert rep["python_stages"] == 0
+    assert rep["exchanges"] == 0, rep["text"][:1500]

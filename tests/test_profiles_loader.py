@@ -230,3 +230,25 @@ def test_hocon_include_cycle_fails_loud(tmp_path):
     (tmp_path / "b.conf").write_text('include "a.conf"\ny = 2\n')
     with pytest.raises(UnsupportedHoconError, match="cycle"):
         load_profile_hocon(str(tmp_path / "a.conf"))
+
+
+def test_escaped_backslash_does_not_desync_string_state(tmp_path):
+    """A quoted value ending in an escaped backslash (e.g. a Windows
+    path "c:\\") must CLOSE its string: escape state counts the run of
+    preceding backslashes (odd = escaped), not just the previous char.
+    With the naive check, the scanner stayed in-string and the comment
+    after it corrupted the rest of the file."""
+    p = tmp_path / "h.conf"
+    p.write_text(
+        'profile {\n'
+        '    hostname = "h.example"  # ends like "c:\\\\" elsewhere\n'
+        '    note = "c:\\\\"  # comment must strip, not swallow the line\n'
+        '    pageTypes = [\n'
+        '        { name = "t", condition { selector = "div" },\n'
+        '          selectors { title = "h1" } }\n'
+        '    ]\n'
+        '}\n'
+    )
+    prof = load_profile_hocon(str(p))
+    assert prof.hostname == "h.example"
+    assert prof.page_types[0].selectors.title == "h1"
