@@ -93,22 +93,12 @@ def etag_unchanged_skip(docs: DataFrame, entries: DataFrame) -> DataFrame:
     )
 
 
-def robots_rules(
-    robots: DataFrame,
-    host_col: str = "host",
-    txt_col: str = "robots_txt",
+def _robots_grouped_lines(
+    robots: DataFrame, host_col: str, txt_col: str
 ) -> DataFrame:
-    """(host, kind, prefix) Allow/Disallow rules that apply to
-    User-agent: * — GROUP-AWARE robots.txt parsing in pure Catalyst.
-
-    A robots group is one-or-more consecutive User-agent lines followed
-    by its rules; a rule applies to us only if its group names agent
-    '*'. Directive names match case-insensitively, rule paths keep
-    their case; '#' comments are stripped (RFC 9309). Implemented with
-    one posexplode + two windows (group id = running count of
-    group-STARTING user-agent lines) and one group-level aggregate —
-    no Python.
-    """
+    """(host, pos, line, _ua, grp) — comment-stripped non-empty robots
+    lines with their rule-group id (running count of group-STARTING
+    User-agent lines). Shared by the rules and directives parsers."""
     from pyspark.sql import Window
 
     h = F.col(host_col)
@@ -129,7 +119,7 @@ def robots_rules(
     )
     is_ua = F.col("line").rlike(r"(?i)^user-agent\s*:")
     w = Window.partitionBy("host").orderBy("pos")
-    lines = (
+    return (
         lines.withColumn("_ua", is_ua)
         .withColumn("_prev_ua", F.coalesce(F.lag("_ua").over(w), F.lit(False)))
         .withColumn(
@@ -139,7 +129,11 @@ def robots_rules(
             ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
-    star_groups = (
+
+
+def _robots_star_groups(lines: DataFrame) -> DataFrame:
+    """(host, grp) of groups naming User-agent: * ."""
+    return (
         lines.where(F.col("_ua"))
         .withColumn(
             "agent",
@@ -149,6 +143,26 @@ def robots_rules(
         .select("host", "grp")
         .distinct()
     )
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, kind, prefix) Allow/Disallow rules that apply to
+    User-agent: * — GROUP-AWARE robots.txt parsing in pure Catalyst.
+
+    A robots group is one-or-more consecutive User-agent lines followed
+    by its rules; a rule applies to us only if its group names agent
+    '*'. Directive names match case-insensitively, rule paths keep
+    their case; '#' comments are stripped (RFC 9309). Implemented with
+    one posexplode + two windows (group id = running count of
+    group-STARTING user-agent lines) and one group-level aggregate —
+    no Python.
+    """
+    lines = _robots_grouped_lines(robots, host_col, txt_col)
+    star_groups = _robots_star_groups(lines)
     rules = (
         lines.where(F.col("line").rlike(r"(?i)^(dis)?allow\s*:"))
         .withColumn(
@@ -169,6 +183,62 @@ def robots_rules(
     return rules.join(star_groups, ["host", "grp"]).select(
         "host", "kind", "prefix"
     )
+
+
+def robots_directives(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, kind, value) non-rule robots directives — the politeness
+    inputs a crawl scheduler needs next to the Allow/Disallow filter:
+
+      * kind='crawl_delay': the Crawl-delay of User-agent:* groups
+        (de-facto extension honored by most crawlers; NOT part of
+        RFC 9309). When several star groups set delays, the MAX wins —
+        the only spacing that satisfies every group (conservative
+        politeness).
+      * kind='sitemap': every Sitemap: line, group-INDEPENDENT per the
+        sitemaps.org protocol (valid anywhere in the file).
+
+    Pure Catalyst over the shared grouped-lines parser; feeds the O3
+    per-host rate limiting (the reference throttles 100 urls/s/host —
+    Config.scala maxThrottleRequestsPerHost) and sitemap-seeded url
+    discovery.
+    """
+    lines = _robots_grouped_lines(robots, host_col, txt_col)
+    star_groups = _robots_star_groups(lines)
+    delays = (
+        lines.where(F.col("line").rlike(r"(?i)^crawl-delay\s*:"))
+        .withColumn(
+            "value",
+            F.trim(
+                F.regexp_extract(F.col("line"), r"(?i)^crawl-delay\s*:(.*)$", 1)
+            ),
+        )
+        .where(F.col("value").rlike(r"^\d+(\.\d+)?$"))
+        .join(star_groups, ["host", "grp"])
+        .groupBy("host")
+        .agg(F.max(F.col("value").cast("double")).alias("_d"))
+        .select(
+            "host",
+            F.lit("crawl_delay").alias("kind"),
+            F.col("_d").cast("string").alias("value"),
+        )
+    )
+    sitemaps = (
+        lines.where(F.col("line").rlike(r"(?i)^sitemap\s*:"))
+        .select(
+            "host",
+            F.lit("sitemap").alias("kind"),
+            F.trim(
+                F.regexp_extract(F.col("line"), r"(?i)^sitemap\s*:(.*)$", 1)
+            ).alias("value"),
+        )
+        .where(F.col("value") != "")
+        .distinct()
+    )
+    return delays.unionByName(sitemaps)
 
 
 def robots_disallow_rules(

@@ -1347,6 +1347,32 @@ class TestRobotsAndAnchors:
         kept = {r["url"] for r in robots_disallow_filter(urls, robots).collect()}
         assert kept == {"https://a.com/private/p10"}
 
+    def test_robots_directives_crawl_delay_and_sitemaps(self, spark):
+        from content_extractor_spark.operators.scans import robots_directives
+
+        robots = spark.createDataFrame(
+            [
+                # two star groups -> MAX delay wins; foo group ignored;
+                # sitemap lines are group-independent (even inside the
+                # foo group); malformed delay dropped
+                ("a.com",
+                 "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+                 "User-agent: foo\nCrawl-delay: 99\n"
+                 "Sitemap: https://a.com/sm1.xml\n\n"
+                 "user-agent: *\ncrawl-delay: 10.5\n"
+                 "sitemap: https://a.com/sm2.xml"),
+                ("b.com", "User-agent: *\nCrawl-delay: soon"),
+            ],
+            "host string, robots_txt string",
+        )
+        rows = {(r["host"], r["kind"], r["value"])
+                for r in robots_directives(robots).collect()}
+        assert rows == {
+            ("a.com", "crawl_delay", "10.5"),
+            ("a.com", "sitemap", "https://a.com/sm1.xml"),
+            ("a.com", "sitemap", "https://a.com/sm2.xml"),
+        }
+
     def test_anchor_texts(self, spark):
         from content_extractor_spark.operators.linkgraph import (
             extract_anchor_texts,
