@@ -1,0 +1,286 @@
+"""spark-submit entry point for the training-data curation funnel.
+
+Composes the library's curation operators into the standard
+pretraining-corpus pipeline, one deployable job:
+
+    language ID -> quality score -> repetition filter -> exact dedup
+    -> MinHash-LSH near-dup clustering -> eval-set decontamination
+    -> normalization -> PII scrub -> train/val split -> parquet
+
+Usage (cluster):
+    zip -r pipeline.zip content_extractor_spark/
+    spark-submit --py-files pipeline.zip jobs/curate_job.py \
+        --input  <parquet/iceberg of documents(doc_id, text, source, ...)> \
+        --output <output root: curated/ metrics.json> \
+        [--benchmark <parquet of eval docs to decontaminate against>] \
+        [--langs en,de] [--min-quality 0.5] [--max-dup-frac 0.3] \
+        [--minhash-perms 64] [--minhash-bands 16] [--val-pct 5]
+
+Env-first with CLI fallback (CURATE_INPUT / CURATE_OUTPUT /
+CURATE_BENCHMARK / CURATE_LANGS / ...), mirroring jobs/extract_job.py.
+
+Design for 10^12 documents:
+  * ONE pass assigns every row a priority-ordered `drop_reason`
+    (lang > quality > repetition > exact_dup > near_dup >
+    contaminated); the funnel metrics ride the write action as
+    OBSERVATION metrics (`DataFrame.observe`) — zero extra jobs, no
+    per-stage count() actions.
+  * the map-only stages (language ID, quality, repetition inputs,
+    normalization, scrubbing, split) fuse into the scan's whole-stage
+    codegen; the only wide shuffles are the exact-dedup digest window,
+    the LSH band join, and the CC label propagation — all keyed on
+    uniform hashes.
+  * exact dedup keeps the FIRST surviving row per content digest:
+    the digest window orders early-dropped rows last, so a
+    quality-rejected copy never shadows a good one.
+  * near-dup clustering runs only on rows that survived the earlier
+    stages (no wasted LSH work on rows already gone); the flagged
+    frame is persisted across that branch and unpersisted after.
+  * deterministic end to end: md5-hash sampling/splits, parameterized
+    thresholds, no rand()/wall-clock anywhere — identical output on
+    re-run and across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _env(name: str, cast=str):
+    raw = os.environ.get(name)
+    if raw is None or raw == "":
+        return None
+    return cast(raw)
+
+
+def resolve_config(argv=None, env=None):
+    """Env-first, CLI-fallback parameter resolution (same contract as
+    jobs/extract_job.py)."""
+    if env is not None:  # test hook
+        real, os.environ = os.environ, env  # type: ignore[assignment]
+    try:
+        p = argparse.ArgumentParser(description=__doc__)
+        p.add_argument("--input", default=None)
+        p.add_argument("--output", default=None)
+        p.add_argument("--benchmark", default=None,
+                       help="eval-set path for decontamination (optional)")
+        p.add_argument("--langs", default=None,
+                       help="comma-separated allow-list; empty = keep all")
+        p.add_argument("--min-quality", type=float, default=0.5)
+        p.add_argument("--max-dup-frac", type=float, default=0.3,
+                       help="max duplicated-3-gram character fraction")
+        p.add_argument("--minhash-perms", type=int, default=64)
+        p.add_argument("--minhash-bands", type=int, default=16)
+        p.add_argument("--max-bucket", type=int, default=256,
+                       help="LSH bucket cap (hot-bucket truncation)")
+        p.add_argument("--decontam-ngram", type=int, default=8)
+        p.add_argument("--val-pct", type=int, default=5)
+        args = p.parse_args(argv)
+
+        def take(attr: str, var: str, cast=str) -> None:
+            try:
+                v = _env(var, cast)
+            except ValueError:
+                p.error(f"env {var} is not a valid {cast.__name__}")
+            if v is not None:
+                setattr(args, attr, v)
+
+        take("input", "CURATE_INPUT")
+        take("output", "CURATE_OUTPUT")
+        take("benchmark", "CURATE_BENCHMARK")
+        take("langs", "CURATE_LANGS")
+        take("min_quality", "CURATE_MIN_QUALITY", float)
+        take("max_dup_frac", "CURATE_MAX_DUP_FRAC", float)
+        take("minhash_perms", "CURATE_MINHASH_PERMS", int)
+        take("minhash_bands", "CURATE_MINHASH_BANDS", int)
+        take("max_bucket", "CURATE_MAX_BUCKET", int)
+        take("decontam_ngram", "CURATE_DECONTAM_NGRAM", int)
+        take("val_pct", "CURATE_VAL_PCT", int)
+        missing = [k for k in ("input", "output") if not getattr(args, k)]
+        if missing:
+            p.error(
+                "missing required parameters (flag or env): "
+                + ", ".join(f"--{m}" for m in missing)
+            )
+        return args
+    finally:
+        if env is not None:
+            os.environ = real  # type: ignore[assignment]
+
+
+DROP_REASONS = (
+    "lang", "quality", "repetition", "exact_dup", "near_dup",
+    "contaminated",
+)
+
+
+def flag_documents(docs, cfg, benchmark=None):
+    """Assign every row its priority-ordered `drop_reason` (NULL =
+    keep). Single linear DAG except the near-dup branch, which runs
+    only over rows surviving the earlier stages."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from content_extractor_spark.operators.components import (
+        connected_components,
+    )
+    from content_extractor_spark.operators.curation import decontaminate
+    from content_extractor_spark.operators.dedup_families import (
+        minhash_lsh_pairs,
+    )
+    from content_extractor_spark.operators.textstats import (
+        detect_language,
+        quality_features,
+        repetition_features,
+    )
+
+    langs = (
+        [s.strip() for s in cfg.langs.split(",") if s.strip()]
+        if cfg.langs else []
+    )
+
+    df = docs.withColumn("lang_detected", detect_language("text"))
+    df = quality_features(df)
+    rep = repetition_features(
+        docs.select("doc_id", "text")
+    ).select("doc_id", "dup_ngram_char_frac")
+    df = df.join(rep, "doc_id")
+
+    early = F.when(
+        ~F.col("lang_detected").isin(langs) if langs else F.lit(False),
+        F.lit("lang"),
+    ).when(
+        F.col("q_score") < cfg.min_quality, F.lit("quality")
+    ).when(
+        F.col("dup_ngram_char_frac") > cfg.max_dup_frac, F.lit("repetition")
+    )
+    df = df.withColumn("_early", early)
+
+    # exact dedup: first SURVIVING row per digest wins (early-dropped
+    # copies sort last, so they never shadow a keepable one)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+        F.col("_early").isNotNull().cast("int").asc(), F.col("doc_id").asc()
+    )
+    df = df.withColumn("_rn", F.row_number().over(w))
+    df = df.withColumn(
+        "drop_reason",
+        F.coalesce(
+            F.col("_early"),
+            F.when(F.col("_rn") > 1, F.lit("exact_dup")),
+        ),
+    ).drop("_early", "_rn")
+
+    # near-dup: LSH pairs + CC over the current survivors only
+    df = df.persist()
+    surv = df.where(F.col("drop_reason").isNull()).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(
+        surv, num_perm=cfg.minhash_perms, num_bands=cfg.minhash_bands,
+        max_bucket=cfg.max_bucket,
+    )
+    losers = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("_near_dup", F.lit(True))
+    )
+    df = df.join(losers, "doc_id", "left").withColumn(
+        "drop_reason",
+        F.coalesce(
+            F.col("drop_reason"),
+            F.when(F.col("_near_dup"), F.lit("near_dup")),
+        ),
+    ).drop("_near_dup")
+
+    # decontamination: any shared word-n-gram with the benchmark
+    # (broadcast semi join inside the operator) over current survivors
+    if benchmark is not None:
+        dirty = (
+            decontaminate(
+                df.where(F.col("drop_reason").isNull())
+                .select("doc_id", "text"),
+                benchmark.select("text"),
+                n=cfg.decontam_ngram,
+            )
+            .where(F.col("contaminated"))
+            .select("doc_id")
+            .withColumn("_contam", F.lit(True))
+        )
+        df = df.join(dirty, "doc_id", "left").withColumn(
+            "drop_reason",
+            F.coalesce(
+                F.col("drop_reason"),
+                F.when(F.col("_contam"), F.lit("contaminated")),
+            ),
+        ).drop("_contam")
+    return df
+
+
+def run_curation(spark, docs, cfg, benchmark=None, out_root=None):
+    """Flag -> filter -> normalize -> scrub -> split -> write, with the
+    funnel counted as observation metrics on the single write action."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from content_extractor_spark.operators.curation import (
+        normalize_text,
+        pii_scrub,
+        train_val_split,
+    )
+
+    flagged = flag_documents(docs, cfg, benchmark=benchmark)
+    obs = Observation("curation_funnel")
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.sum((F.col("drop_reason") == r).cast("long")).alias(f"drop_{r}")
+        for r in DROP_REASONS
+    ]
+    observed = flagged.observe(obs, *aggs)
+    curated = observed.where(F.col("drop_reason").isNull())
+    curated = normalize_text(curated)
+    curated = pii_scrub(curated, text_col="text_norm")
+    curated = train_val_split(curated, val_pct=cfg.val_pct)
+    out_cols = [
+        c for c in docs.columns if c not in ("text",)
+    ] + ["lang_detected", "q_score", "text_norm", "scrubbed", "split"]
+    out_path = f"{out_root}/curated"
+    (
+        curated.select(*out_cols)
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(out_path)
+    )
+    metrics = dict(obs.get)
+    metrics["kept"] = metrics["total"] - sum(
+        metrics[f"drop_{r}"] or 0 for r in DROP_REASONS
+    )
+    flagged.unpersist()
+    return metrics
+
+
+def main(argv=None):
+    cfg = resolve_config(argv)
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from content_extractor_spark.session import get_spark
+
+    spark = get_spark(app_name="curate-job")
+    docs = spark.read.parquet(cfg.input)
+    benchmark = (
+        spark.read.parquet(cfg.benchmark) if cfg.benchmark else None
+    )
+    metrics = run_curation(
+        spark, docs, cfg, benchmark=benchmark, out_root=cfg.output
+    )
+    os.makedirs(cfg.output, exist_ok=True)
+    with open(os.path.join(cfg.output, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, sort_keys=True)
+    print(json.dumps(metrics, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -160,3 +160,58 @@ class TestJobCli:
         assert spans.where("status = 'ok'").count() == summary["ok"]
         ledger = spark.read.parquet(f"{out_dir}/ledger")
         assert ledger.where("status = 'done'").count() == 4
+
+
+class TestCurateJob:
+    def test_env_first_config(self):
+        from jobs.curate_job import resolve_config
+
+        cfg = resolve_config(
+            ["--input", "cli_in", "--output", "cli_out",
+             "--min-quality", "0.9"],
+            env={"CURATE_INPUT": "env_in", "CURATE_MIN_QUALITY": "0.25"},
+        )
+        assert cfg.input == "env_in"          # env wins
+        assert cfg.output == "cli_out"        # cli fills the rest
+        assert cfg.min_quality == 0.25
+
+    def test_curation_funnel_end_to_end(self, spark, tmp_path):
+        """One doc per drop reason, all counted by the observation
+        metrics riding the single write action; survivors come out
+        normalized+scrubbed+split."""
+        import json as _json
+
+        from jobs.curate_job import resolve_config, run_curation
+
+        rows = []
+        for i in range(40):
+            body = " ".join(f"w{i}x{j}" for j in range(30))
+            rows.append((i, f"the and of to in {body}", "s0"))
+        rows.append((100, rows[0][1], "s0"))            # exact dup of 0
+        rows.append((101, "the and of to in", "s0"))    # quality (<10 toks)
+        rows.append((102, "the spam ham " * 30 + "and of to in", "s0"))
+        rows.append((103, rows[0][1] + " tail", "s0"))  # near dup of 0
+        rows.append((104, "der die und das nicht eins zwei drei vier haus"
+                          " baum wald fluss berg tal stadt dorf weg", "s1"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        bench = spark.createDataFrame([(rows[5][1],)], "text string")
+        cfg = resolve_config(
+            ["--input", "x", "--output", "y", "--langs", "en",
+             "--minhash-perms", "32", "--minhash-bands", "8"]
+        )
+        out_root = str(tmp_path / "curate")
+        m = run_curation(spark, docs, cfg, benchmark=bench,
+                         out_root=out_root)
+        assert _json.loads(_json.dumps(m))  # metrics are JSON-able
+        for reason in ("exact_dup", "quality", "repetition", "lang",
+                       "near_dup", "contaminated"):
+            assert m[f"drop_{reason}"] == 1, (reason, m)
+        out = spark.read.parquet(f"{out_root}/curated")
+        assert m["kept"] == out.count() == 39
+        assert {"text_norm", "scrubbed", "split", "lang_detected",
+                "q_score"} <= set(out.columns)
+        # split is deterministic md5, both labels present at 40 docs
+        assert {r["split"] for r in out.select("split").distinct().collect()} \
+            == {"train", "val"}
