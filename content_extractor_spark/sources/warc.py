@@ -1,0 +1,105 @@
+"""WARC source connector: crawl archives -> the pipeline's documents.
+
+Web-scale corpora arrive as directories of ~1 GB ``.warc.gz`` files
+(the Common Crawl convention). This connector turns them into the
+interleaved ``documents(doc_id, spans, host, url, ...)`` shape the
+extraction pipeline consumes.
+
+Scale design (100 TB = ~100k WARC files):
+  * the FILE is the parallelism unit — ``binaryFile`` gives one row
+    per file and Spark schedules one task per file, the standard
+    shape for WARC processing on Spark. A 1 GB compressed member
+    stream inflates record-by-record inside the task (the per-member
+    gzip framing exists exactly for this), so peak memory is one
+    compressed file + one inflated record, not the inflated file.
+  * record parsing is a single mapInPandas stage (Arrow-batched);
+    everything downstream (host parsing, span wrapping) is Catalyst.
+  * malformed/truncated records become rows with ``error`` set —
+    counted, never task failures (same status-column policy as the
+    extraction stage, reference O4).
+  * ``binaryFile`` enforces ``spark.sql.files.maxPartitionBytes`` as
+    an upper file-size bound per partition; WARC files above 2 GB
+    should be listed explicitly or repacked (Common Crawl caps at
+    ~1.2 GB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_RECORDS_DDL = (
+    "warc_file string, record_id string, warc_type string, "
+    "url string, warc_date string, http_status int, "
+    "content_type string, payload binary, error string"
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    warc_types: tuple = ("response",),
+) -> DataFrame:
+    """(warc_file, record_id, warc_type, url, warc_date, http_status,
+    content_type, payload, error) rows from .warc / .warc.gz files."""
+    from ..kernel.warc import iter_warc_records
+
+    types = set(warc_types) if warc_types else None
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.split(" ")[0]: [] for k in WARC_RECORDS_DDL.split(", ")}
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content)):
+                    if types and rec.warc_type not in types and not rec.error:
+                        continue
+                    out["warc_file"].append(fname)
+                    out["record_id"].append(rec.record_id)
+                    out["warc_type"].append(rec.warc_type)
+                    out["url"].append(rec.target_uri)
+                    out["warc_date"].append(rec.warc_date)
+                    out["http_status"].append(rec.http_status)
+                    out["content_type"].append(
+                        rec.http_content_type or rec.content_type
+                    )
+                    out["payload"].append(rec.payload)
+                    out["error"].append(rec.error)
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    return files.mapInPandas(run, schema=WARC_RECORDS_DDL)
+
+
+def warc_documents(records: DataFrame) -> DataFrame:
+    """OK html response records -> the pipeline's interleaved documents
+    shape (single text span holding the page bytes as utf-8; media
+    spans come later from extraction). Pure Catalyst after the reader:
+    host from the url, WARC ids/dates carried through."""
+    ok = records.where(
+        F.col("error").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    html = F.decode(F.col("payload"), "utf-8")
+    span = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            html.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    return ok.select(
+        F.regexp_replace(F.col("record_id"), r"[<>]", "").alias("doc_id"),
+        span.alias("spans"),
+        F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1).alias("host"),
+        F.col("url"),
+        F.col("record_id").alias("url_id"),
+        F.col("warc_date").alias("last_crawl"),
+        F.lit(None).cast("string").alias("etag"),
+    )

@@ -1,0 +1,103 @@
+"""WARC source connector: kernel parsing + Spark reader + extraction."""
+
+from content_extractor_spark.kernel.warc import build_warc, iter_warc_records
+
+
+def _pages(n, host="www.docs.example"):
+    return [
+        (f"id-{i}", f"https://{host}/p{i}",
+         (f"<html><body><div id='content-main'><h1 class='title'>T{i}</h1>"
+          f"<p>body {i}</p></div></body></html>").encode())
+        for i in range(n)
+    ]
+
+
+class TestWarcKernel:
+    def test_roundtrip_gzip_members_and_plain(self):
+        pages = _pages(5)
+        for gz in (True, False):
+            recs = list(iter_warc_records(build_warc(pages, gzip_members=gz)))
+            assert len(recs) == 5
+            r = recs[2]
+            assert r.warc_type == "response"
+            assert r.http_status == 200
+            assert r.target_uri == "https://www.docs.example/p2"
+            # payload is the HTTP BODY, not the HTTP message
+            assert b"<h1 class='title'>T2</h1>" in r.payload
+            assert not r.payload.startswith(b"HTTP/")
+            assert r.http_content_type.startswith("text/html")
+
+    def test_chunked_transfer_encoding_dechunked(self):
+        chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                   b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")
+        block = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                 b"Content-Type: application/http; msgtype=response\r\n"
+                 + f"Content-Length: {len(chunked)}\r\n\r\n".encode()
+                 + chunked + b"\r\n\r\n")
+        (rec,) = iter_warc_records(block)
+        assert rec.payload == b"hello world"
+
+    def test_truncated_tail_tolerated(self):
+        data = build_warc(_pages(5), gzip_members=False)
+        recs = list(iter_warc_records(data[: len(data) // 2]))
+        # complete records parse; a cut record flags error; no raise
+        assert recs
+        assert all(r.error or r.http_status == 200 for r in recs)
+
+    def test_non_warc_bytes_yield_nothing(self):
+        assert list(iter_warc_records(b"PK\x03\x04 not a warc")) == []
+
+
+class TestWarcSpark:
+    def test_read_warc_mixed_dir_to_extraction(self, spark, tmp_path):
+        """a.warc.gz (per-member gzip) + b.warc (plain) in one dir ->
+        records -> documents shape -> profile extraction end to end."""
+        from content_extractor_spark.kernel.profiles import profile_from_dict
+        from content_extractor_spark.operators.extract import extract_entries
+        from content_extractor_spark.sources.warc import (
+            read_warc,
+            warc_documents,
+        )
+
+        pages = _pages(20)
+        (tmp_path / "a.warc.gz").write_bytes(build_warc(pages[:10]))
+        (tmp_path / "b.warc").write_bytes(
+            build_warc(pages[10:], gzip_members=False)
+        )
+        recs = read_warc(spark, str(tmp_path))
+        assert recs.count() == 20
+        docs = warc_documents(recs)
+        row = docs.first()
+        assert row["host"] == "www.docs.example"
+        assert row["spans"][0]["kind"] == "text"
+        prof = profile_from_dict({"profile": {
+            "hostname": "www.docs.example",
+            "pageTypes": [{
+                "name": "article",
+                "condition": {"selector": "div#content-main"},
+                "selectors": {"title": "h1.title",
+                              "content": "div#content-main"},
+            }],
+        }})
+        out = extract_entries(docs, {"www.docs.example": prof})
+        ok = [r for r in out.select("status", "title").collect()
+              if r["status"] == "ok"]
+        assert len(ok) == 20
+        assert all(r["title"].startswith("T") for r in ok)
+
+    def test_non_html_and_error_records_filtered(self, spark, tmp_path):
+        from content_extractor_spark.sources.warc import (
+            read_warc,
+            warc_documents,
+        )
+
+        good = build_warc(_pages(3))
+        (tmp_path / "c.warc.gz").write_bytes(good)
+        # a plain file whose tail is cut mid-record
+        plain = build_warc(_pages(3), gzip_members=False)
+        (tmp_path / "d.warc").write_bytes(plain[: len(plain) - 40])
+        recs = read_warc(spark, str(tmp_path))
+        docs = warc_documents(recs)
+        # every surviving document row is intact html
+        assert docs.count() >= 4
+        assert docs.where("host != 'www.docs.example'").count() == 0
