@@ -54,7 +54,8 @@ _token_re = re.compile(
 
 _SUPPORTED_PSEUDOS = frozenset(
     [
-        "has", "not", "is", "contains", "containsown", "matches", "matchesown",
+        "has", "not", "is", "contains", "containsown", "containsdata",
+        "matches", "matchesown",
         "first-child", "last-child", "nth-child", "nth-last-child",
         "first-of-type", "last-of-type", "nth-of-type", "nth-last-of-type",
         "only-child", "only-of-type", "empty", "root",
@@ -273,13 +274,12 @@ def _pseudo_matches(
         p = el.parent
         return p is None or p.tag.startswith("#")
     if name == "empty":
-        from .dom import TextNode
+        # jsoup Evaluator.IsEmpty: ONLY comment-ish nodes are ignored —
+        # a whitespace-only text node makes the element non-empty
+        # (unlike a pure-CSS "no significant content" reading)
+        from .dom import CommentNode
 
-        return not any(
-            isinstance(c, Element)
-            or (isinstance(c, TextNode) and c.text.strip())
-            for c in el.children
-        )
+        return all(isinstance(c, CommentNode) for c in el.children)
     if name == "contains":
         # jsoup unescapes :contains args (TokenQueue.unescape), then
         # strips one balanced surrounding quote pair
@@ -289,6 +289,11 @@ def _pseudo_matches(
         # jsoup :containsOwn — case-insensitive over ownText()
         needle = _unwrap_quotes(_unescape(arg or "")).lower()
         return needle in el.own_text().lower()
+    if name == "containsdata":
+        # jsoup :containsData — case-insensitive over Element.data()
+        # (script/style raw content + comments), Evaluator.ContainsData
+        needle = _unwrap_quotes(_unescape(arg or "")).lower()
+        return needle in el.data().lower()
     if name in ("matches", "matchesown"):
         # jsoup :matches/:matchesOwn — Pattern.find over text()/ownText().
         # Compiled with Python `re` (shares the Java-regex subset the

@@ -83,6 +83,17 @@ class DataNode(Node):
         self.text = text
 
 
+class CommentNode(Node):
+    """<!-- comment --> content — excluded from text(), part of
+    Element.data() (jsoup Comment node), ignored by :empty."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.parent: Optional["Element"] = None
+        self.text = text
+
+
 class Element(Node):
     __slots__ = ("tag", "attrs", "children", "preserve", "_idx")
 
@@ -144,6 +155,8 @@ class Element(Node):
                 child._clone_children_into(c)
             elif isinstance(child, TextNode):
                 fresh._append_build(TextNode(child.text))
+            elif isinstance(child, CommentNode):
+                fresh._append_build(CommentNode(child.text))
             else:
                 fresh._append_build(DataNode(child.text))
 
@@ -224,6 +237,22 @@ class Element(Node):
                     accum.append(" ")
         return "".join(accum).strip()
 
+    # -- data (jsoup Element.data()) -----------------------------------------
+    def data(self) -> str:
+        """Combined data of this element's subtree: script/style raw
+        content + comment text, in node order (jsoup Element.data();
+        feeds the :containsData evaluator)."""
+        accum: List[str] = []
+        stack: List[Node] = [self]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, (DataNode, CommentNode)):
+                accum.append(node.text)
+            elif isinstance(node, Element):
+                for i in range(len(node.children) - 1, -1, -1):
+                    stack.append(node.children[i])
+        return "".join(accum)
+
     # -- serialization -------------------------------------------------------
     def outer_html(self) -> str:
         out: List[str] = []
@@ -267,6 +296,10 @@ def _node_html(node: Node, out: List[str]) -> None:
         out.append(node.text)
     elif isinstance(node, TextNode):
         out.append(_escape_text(node.text))
+    elif isinstance(node, CommentNode):
+        out.append("<!--")
+        out.append(node.text)
+        out.append("-->")
 
 
 def _escape_text(s: str) -> str:
@@ -437,7 +470,11 @@ class _TreeBuilder(HTMLParser):
         parent._append_build(TextNode(data))
 
     def handle_comment(self, data: str) -> None:
-        pass  # comments carry no text
+        # kept as nodes (jsoup parity): they feed Element.data() /
+        # :containsData and round-trip through outer_html, but carry
+        # no text() and never mark body content as started
+        parent = self.cur if self.stack else self.body
+        parent._append_build(CommentNode(data))
 
     def handle_decl(self, decl: str) -> None:
         pass

@@ -78,6 +78,9 @@ def scan(html: str, builder) -> None:
             end = html.find("-->", m.end())
             if end < 0:
                 return  # unterminated comment swallows to EOF (jsoup/HTML5)
+            # emit like html.parser so comments become CommentNodes
+            # (jsoup keeps them: they feed data()/:containsData)
+            builder.handle_comment(html[m.end():end])
             pos = end + 3
             continue
         if branch in (3, 4):

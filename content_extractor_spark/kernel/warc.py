@@ -224,3 +224,33 @@ def build_warc(
         else:
             out.write(record)
     return out.getvalue()
+
+
+def build_wet(
+    docs,
+    gzip_members: bool = True,
+    warc_date: str = "2021-07-01T00:00:00Z",
+) -> bytes:
+    """Synthesize a .warc.wet(.gz) of ``conversion`` records from
+    (record_id, url, text) triples — the Common Crawl WET layout
+    (pre-extracted plain text, one record per page)."""
+    out = io.BytesIO()
+    for rid, url, text in docs:
+        body = text.encode("utf-8")
+        headers = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode()
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {warc_date}\r\n".encode()
+            + b"Content-Type: text/plain\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"\r\n"
+        )
+        record = headers + body + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            out.write(co.compress(record) + co.flush())
+        else:
+            out.write(record)
+    return out.getvalue()

@@ -333,3 +333,53 @@ def robots_disallow_filter(
         F.col("_path") == F.col("_p_path")
     )
     return flagged.join(blocked, keep_cond, "left_anti").drop("_path")
+
+
+def sitemap_urls(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    host_col: str = "host",
+) -> DataFrame:
+    """(host, kind, loc, lastmod) from sitemap XML — the discovery
+    counterpart of :func:`robots_directives`'s Sitemap lines.
+
+    Handles both document shapes of the sitemaps.org protocol:
+    ``<urlset>`` (kind='url' — crawlable pages) and ``<sitemapindex>``
+    (kind='sitemap' — nested sitemap files to fetch next). Pure
+    Catalyst: per-entry blocks via DOTALL regexp_extract_all, loc and
+    the optional lastmod extracted per block (parallel-array
+    misalignment impossible), the five XML entities unescaped in locs.
+    Map-only + one explode — no shuffle at any corpus size.
+    """
+    x = F.col(xml_col)
+    is_index = x.rlike(r"(?is)<\s*sitemapindex")
+    blocks = F.when(
+        is_index,
+        F.regexp_extract_all(
+            x, F.lit(r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"), F.lit(1)
+        ),
+    ).otherwise(
+        F.regexp_extract_all(
+            x, F.lit(r"(?is)<url\b[^>]*>(.*?)</url>"), F.lit(1)
+        )
+    )
+    exploded = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.when(is_index, F.lit("sitemap")).otherwise(F.lit("url")).alias("kind"),
+        F.explode(blocks).alias("_block"),
+    )
+    loc = F.regexp_extract(F.col("_block"), r"(?is)<loc\s*>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("_block"), r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod>", 1
+    )
+    # unescape the XML predefined entities (query urls carry &amp;)
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    return (
+        exploded.select(
+            "host", "kind", loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .where(F.col("loc") != "")
+    )

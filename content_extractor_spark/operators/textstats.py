@@ -352,3 +352,44 @@ def unigram_logprob(
         )
         .select(F.col("id").alias(id_col), "mean_logprob", "n_tokens")
     )
+
+
+def perplexity_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    bands: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity banding: per group (language), split
+    documents into `bands` equal-count bands by their mean unigram
+    log-probability — band 1 ('head') = most-probable/cleanest text,
+    band `bands` ('tail') = most-perplexing. CCNet keeps head+middle
+    and drops (or down-weights) tail for pretraining mixes.
+
+    (id, group, mean_logprob, n_tokens, band, band_name). Deterministic:
+    ntile over (score DESC, id ASC) — ties break on id, never on
+    partition order. One window per group on the per-doc score rows
+    (corpus-sized but narrow); the heavy lifting is
+    :func:`unigram_logprob`'s shared (doc, term) aggregate.
+    """
+    from pyspark.sql import Window
+
+    scores = unigram_logprob(df, text_col, id_col, round_to=round_to)
+    grouped = scores.join(
+        df.select(F.col(id_col), F.col(group_col).alias("grp")), id_col
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("mean_logprob").desc(), F.col(id_col).asc()
+    )
+    band = F.ntile(bands).over(w)
+    name = (
+        F.when(band == 1, F.lit("head"))
+        .when(band == bands, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return grouped.select(
+        F.col(id_col), F.col("grp").alias(group_col), "mean_logprob",
+        "n_tokens", band.alias("band"), name.alias("band_name"),
+    )

@@ -103,3 +103,20 @@ def warc_documents(records: DataFrame) -> DataFrame:
         F.col("warc_date").alias("last_crawl"),
         F.lit(None).cast("string").alias("etag"),
     )
+
+
+def wet_documents(records: DataFrame) -> DataFrame:
+    """``conversion`` (WET) records -> flat text documents
+    (doc_id, text, host, url, last_crawl) — Common Crawl's
+    pre-extracted-text layout, the direct input shape of the curation
+    operators (dedup/quality/language families)."""
+    ok = records.where(
+        F.col("error").isNull() & (F.col("warc_type") == "conversion")
+    )
+    return ok.select(
+        F.regexp_replace(F.col("record_id"), r"[<>]", "").alias("doc_id"),
+        F.decode(F.col("payload"), "utf-8").alias("text"),
+        F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1).alias("host"),
+        F.col("url"),
+        F.col("warc_date").alias("last_crawl"),
+    )

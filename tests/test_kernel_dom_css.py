@@ -235,6 +235,33 @@ class TestPseudoSelectors:
         doc = parse("<div class='e'></div><div class='f'>x</div>")
         assert [e.attr("class") for e in select(doc, "div:empty")] == ["e"]
 
+    def test_empty_jsoup_semantics(self):
+        # jsoup Evaluator.IsEmpty ignores ONLY comments — a
+        # whitespace-only text node makes an element non-empty
+        doc = parse(
+            "<span><div class='w'> </div><div class='c'><!-- x --></div>"
+            "<div class='e'></div></span>"
+        )
+        assert [e.attr("class") for e in select(doc, "div:empty")] == ["c", "e"]
+
+    def test_contains_data_pseudo(self):
+        # jsoup :containsData — case-insensitive over Element.data()
+        # (script/style raw content + comments, never visible text)
+        doc = parse(
+            "<div class='a'><script>{\"@type\": \"NewsArticle\"}</script></div>"
+            "<div class='b'><!-- newsarticle marker --></div>"
+            "<div class='c'>NewsArticle as visible text</div>"
+        )
+        got = [e.attr("class") for e in select(doc, "div:containsData(newsarticle)")]
+        assert got == ["a", "b"]
+
+    def test_comment_roundtrip_and_no_text(self):
+        doc = parse("<div>a<!-- hidden -->b</div>")
+        el = select_first(doc, "div")
+        assert el.text() == "ab"
+        assert "<!-- hidden -->" in el.outer_html()
+        assert el.data() == " hidden "
+
     def test_contains_own(self):
         # :containsOwn matches ownText() only — the parent <div> has
         # "hello" in text() but not in its own text

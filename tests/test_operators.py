@@ -1621,3 +1621,50 @@ class TestChunking:
         assert sorted(r["doc_id"] for r in out) == sorted(
             r["doc_id"] for r in again
         )
+
+
+class TestDiscoveryAndBanding:
+    def test_sitemap_urls_urlset_and_index(self, spark):
+        from content_extractor_spark.operators.scans import sitemap_urls
+
+        urlset = (
+            '<?xml version="1.0"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc> https://a.com/p?x=1&amp;y=2 </loc>"
+            "<lastmod>2021-07-01</lastmod></url>"
+            "<url><loc>https://a.com/q</loc></url></urlset>"
+        )
+        index = ("<sitemapindex><sitemap><loc>https://a.com/sm1.xml</loc>"
+                 "</sitemap></sitemapindex>")
+        df = spark.createDataFrame(
+            [("a.com", urlset), ("a.com", index)], "host string, xml string"
+        )
+        rows = sorted(
+            (r["kind"], r["loc"], r["lastmod"])
+            for r in sitemap_urls(df).collect()
+        )
+        assert rows == [
+            ("sitemap", "https://a.com/sm1.xml", None),
+            # loc trimmed, &amp; unescaped; lastmod paired per-entry
+            ("url", "https://a.com/p?x=1&y=2", "2021-07-01"),
+            ("url", "https://a.com/q", None),
+        ]
+
+    def test_perplexity_bands_head_vs_tail(self, spark):
+        from content_extractor_spark.operators.textstats import (
+            perplexity_bands,
+        )
+
+        rows = [(i, "the the the common words here", "en") for i in range(4)]
+        rows += [(10 + i, f"zzz{i} qqq{i} xxx{i} vvv{i} kkk{i}", "en")
+                 for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        out = perplexity_bands(df, bands=2).collect()
+        bands = {r["doc_id"]: r["band_name"] for r in out}
+        # common-token docs land in head, rare-token gibberish in tail
+        assert all(bands[i] == "head" for i in range(4))
+        assert all(bands[10 + i] == "tail" for i in range(4))
+        # deterministic: identical on re-run
+        again = {r["doc_id"]: r["band_name"]
+                 for r in perplexity_bands(df, bands=2).collect()}
+        assert again == bands

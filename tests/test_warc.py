@@ -101,3 +101,23 @@ class TestWarcSpark:
         # every surviving document row is intact html
         assert docs.count() >= 4
         assert docs.where("host != 'www.docs.example'").count() == 0
+
+
+class TestWet:
+    def test_wet_documents_roundtrip(self, spark, tmp_path):
+        from content_extractor_spark.kernel.warc import build_wet
+        from content_extractor_spark.sources.warc import (
+            read_warc,
+            wet_documents,
+        )
+
+        docs = [(f"id-{i}", f"https://h{i % 2}.example/p{i}",
+                 f"extracted text of page {i}") for i in range(8)]
+        (tmp_path / "x.warc.wet.gz").write_bytes(build_wet(docs))
+        recs = read_warc(spark, str(tmp_path), warc_types=("conversion",))
+        out = {r["doc_id"]: (r["host"], r["text"])
+               for r in wet_documents(recs).collect()}
+        assert len(out) == 8
+        assert out["urn:uuid:id-3"] == (
+            "h1.example", "extracted text of page 3"
+        )
