@@ -869,12 +869,15 @@ def q_top_terms(spark, sf_dir):
 
 
 def q_unigram_logprob(spark, sf_dir):
-    # per-doc mean unigram log-probability under the corpus's own LM
-    # (cheap perplexity proxy for quality filtering)
-    from content_extractor_spark.operators.textstats import unigram_logprob
+    """Per-doc mean unigram log-probability under the corpus's own LM
+    (cheap perplexity proxy) PLUS the CCNet-style head/middle/tail
+    banding per language (deterministic ntile over the score) — one
+    driver row value-checks both operators.
+    """
+    from content_extractor_spark.operators.textstats import perplexity_bands
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return unigram_logprob(docs, round_to=5)
+    return perplexity_bands(docs, bands=3, round_to=5)
 
 
 def q_sample_and_split(spark, sf_dir):
@@ -931,6 +934,8 @@ def q_link_graph(spark, sf_dir):
         extract_host_links,
     )
 
+    from content_extractor_spark.operators.scans import sitemap_urls
+
     corpus = _linked_corpus(spark, sf_dir)
     # sentinels ('' / 0) instead of NULLs: an int column with NULLs
     # degrades to float64 in both engines' pandas bridges, which is a
@@ -950,7 +955,40 @@ def q_link_graph(spark, sf_dir):
             "dst", "anchor_text", "n",
         )
     )
-    return edges.unionByName(anchors)
+    # third product: sitemap-discovered urls (urlset + sitemapindex,
+    # XML synthesized in SQL so the oracle reproduces the parse) —
+    # kind='sitemap_*', src=host, dst=loc, anchor_text=lastmod
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example"))
+    xml = F.when(
+        d % 10 == 0,
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"), host,
+            F.lit("/sm"), d.cast("string"),
+            F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<urlset><url><loc> https://'), host,
+            F.lit("/s"), d.cast("string"),
+            F.lit(" </loc><lastmod>2021-07-0"),
+            (d % 9 + 1).cast("string"),
+            F.lit("</lastmod></url><url><loc>https://"), host,
+            F.lit("/q?a=1&amp;b="), d.cast("string"),
+            F.lit("</loc></url></urlset>"),
+        )
+    )
+    sm = sitemap_urls(
+        docs.select(host.alias("host"), xml.alias("xml"))
+    ).select(
+        F.concat(F.lit("sitemap_"), F.col("kind")).alias("kind"),
+        F.col("host").alias("src"),
+        F.col("loc").alias("dst"),
+        F.coalesce(F.col("lastmod"), F.lit("")).alias("anchor_text"),
+        F.lit(0).cast("bigint").alias("n"),
+    )
+    return edges.unionByName(anchors).unionByName(sm)
 
 
 def q_pagerank_hosts(spark, sf_dir):
@@ -2021,13 +2059,27 @@ def oracle_sql() -> dict[str, str]:
               WHERE term != '' GROUP BY doc_id, term
             ),
             corpus AS (SELECT term, sum(tc) AS cc FROM base GROUP BY term),
-            tot AS (SELECT sum(cc)::DOUBLE AS tot FROM corpus)
-            SELECT doc_id,
-                   round(sum(tc * ln(cc::DOUBLE / tot)) / sum(tc), 5)
-                       AS mean_logprob,
-                   sum(tc)::BIGINT AS n_tokens
-            FROM base JOIN corpus USING (term), tot
-            GROUP BY doc_id
+            tot AS (SELECT sum(cc)::DOUBLE AS tot FROM corpus),
+            scores AS (
+              SELECT doc_id,
+                     round(sum(tc * ln(cc::DOUBLE / tot)) / sum(tc), 5)
+                         AS mean_logprob,
+                     sum(tc)::BIGINT AS n_tokens
+              FROM base JOIN corpus USING (term), tot
+              GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT s.doc_id, d.lang, s.mean_logprob, s.n_tokens,
+                     ntile(3) OVER (PARTITION BY d.lang
+                                    ORDER BY s.mean_logprob DESC,
+                                             s.doc_id ASC) AS band
+              FROM scores s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, mean_logprob, n_tokens, band,
+                   CASE WHEN band = 1 THEN 'head'
+                        WHEN band = 3 THEN 'tail'
+                        ELSE 'middle' END AS band_name
+            FROM banded
         """,
         "sample_and_split": f"""
             WITH sampled AS (
@@ -2083,6 +2135,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'anchor' AS kind, '' AS src, dst, anchor_text,
                    count(*) AS n
             FROM anchors GROUP BY dst, anchor_text
+            UNION ALL
+            SELECT 'sitemap_sitemap' AS kind,
+                   'h' || (doc_id % 5)::varchar || '.example' AS src,
+                   'https://h' || (doc_id % 5)::varchar || '.example/sm'
+                     || doc_id::varchar || '.xml' AS dst,
+                   '' AS anchor_text, 0::BIGINT AS n
+            FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
+            UNION ALL
+            SELECT 'sitemap_url' AS kind,
+                   'h' || (doc_id % 5)::varchar || '.example' AS src,
+                   'https://h' || (doc_id % 5)::varchar || '.example/s'
+                     || doc_id::varchar AS dst,
+                   '2021-07-0' || (doc_id % 9 + 1)::varchar AS anchor_text,
+                   0::BIGINT AS n
+            FROM documents WHERE doc_id < 200 AND doc_id % 10 != 0
+            UNION ALL
+            SELECT 'sitemap_url' AS kind,
+                   'h' || (doc_id % 5)::varchar || '.example' AS src,
+                   'https://h' || (doc_id % 5)::varchar || '.example/q?a=1&b='
+                     || doc_id::varchar AS dst,
+                   '' AS anchor_text, 0::BIGINT AS n
+            FROM documents WHERE doc_id < 200 AND doc_id % 10 != 0
         """,
         "pagerank_hosts": """
             WITH links AS (
