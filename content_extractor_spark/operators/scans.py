@@ -383,3 +383,54 @@ def sitemap_urls(
         )
         .where(F.col("loc") != "")
     )
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    directives: DataFrame = None,
+    url_col: str = "url",
+    host_col: str = "host",
+    default_delay_sec: float = 0.01,
+    max_delay_sec: float = 30.0,
+) -> DataFrame:
+    """Politeness-aware fetch scheduling: per host, assign every url a
+    slot and a time offset honoring the host's Crawl-delay.
+
+    The reference throttles 100 urls/s/host (workerPoolSize=100 /
+    repeatDelay=1s, Config.scala:77-78) — that is the 0.01 s default
+    spacing here; hosts with a robots Crawl-delay (from
+    :func:`robots_directives`) get their own spacing, capped at
+    `max_delay_sec` so a hostile 'Crawl-delay: 86400' cannot park a
+    partition forever.
+
+    Output: (host, url, slot, delay_sec, offset_sec) where
+    offset_sec = slot * delay_sec. Deterministic (urls ordered within
+    host); one window keyed on host — the same key the fetch stage
+    partitions by, so the schedule shuffles once and stays co-located
+    with the work at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(host_col)).orderBy(F.col(url_col).asc())
+    out = urls.withColumn("slot", F.row_number().over(w) - F.lit(1))
+    if directives is not None:
+        delays = (
+            directives.where(F.col("kind") == "crawl_delay")
+            .select(
+                F.col("host").alias("_d_host"),
+                F.least(
+                    F.col("value").cast("double"), F.lit(max_delay_sec)
+                ).alias("_d_delay"),
+            )
+        )
+        out = out.join(
+            F.broadcast(delays), out[host_col] == delays["_d_host"], "left"
+        )
+        delay = F.coalesce(F.col("_d_delay"), F.lit(default_delay_sec))
+    else:
+        delay = F.lit(default_delay_sec)
+    return out.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url"), "slot",
+        delay.alias("delay_sec"),
+        (F.col("slot") * delay).alias("offset_sec"),
+    )

@@ -1668,3 +1668,39 @@ class TestDiscoveryAndBanding:
         again = {r["doc_id"]: r["band_name"]
                  for r in perplexity_bands(df, bands=2).collect()}
         assert again == bands
+
+    def test_crawl_schedule_honors_crawl_delay(self, spark):
+        from content_extractor_spark.operators.scans import (
+            crawl_schedule,
+            robots_directives,
+        )
+
+        urls = spark.createDataFrame(
+            [("a.com", f"https://a.com/p{i}") for i in range(3)]
+            + [("b.com", "https://b.com/x")],
+            "host string, url string",
+        )
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nCrawl-delay: 2"),
+             # hostile delay capped at max_delay_sec
+             ("b.com", "User-agent: *\nCrawl-delay: 86400")],
+            "host string, robots_txt string",
+        )
+        sched = {(r["host"], r["slot"]): (r["delay_sec"], r["offset_sec"])
+                 for r in crawl_schedule(
+                     urls, robots_directives(robots), max_delay_sec=30.0
+                 ).collect()}
+        assert sched[("a.com", 0)] == (2.0, 0.0)
+        assert sched[("a.com", 2)] == (2.0, 4.0)
+        assert sched[("b.com", 0)] == (30.0, 0.0)
+
+    def test_crawl_schedule_default_spacing(self, spark):
+        from content_extractor_spark.operators.scans import crawl_schedule
+
+        urls = spark.createDataFrame(
+            [("a.com", "https://a.com/1"), ("a.com", "https://a.com/2")],
+            "host string, url string",
+        )
+        rows = crawl_schedule(urls).collect()
+        # reference ceiling: 100 urls/s/host -> 0.01 s spacing
+        assert {r["delay_sec"] for r in rows} == {0.01}

@@ -121,3 +121,39 @@ class TestWet:
         assert out["urn:uuid:id-3"] == (
             "h1.example", "extracted text of page 3"
         )
+
+
+class TestWarcFuzz:
+    def test_roundtrip_property(self):
+        """Any (id, url, body) corpus round-trips exactly, gz or plain;
+        any truncation point parses a prefix without raising."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        page = st.tuples(
+            st.text(alphabet="abcdef0123456789-", min_size=1, max_size=12),
+            st.from_regex(r"https://h[0-9]\.example/[a-z0-9/]{0,20}",
+                          fullmatch=True),
+            st.binary(max_size=400),
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(page, min_size=0, max_size=6), st.booleans(),
+               st.floats(min_value=0.0, max_value=1.0))
+        def check(pages, gz, cut_frac):
+            data = build_warc(pages, gzip_members=gz)
+            recs = list(iter_warc_records(data))
+            assert len(recs) == len(pages)
+            for (rid, url, body), rec in zip(pages, recs):
+                assert rec.target_uri == url
+                assert rec.payload == body
+                assert rec.record_id == f"<urn:uuid:{rid}>"
+            # truncation never raises, yields a prefix of the corpus
+            cut = int(len(data) * cut_frac)
+            prefix = list(iter_warc_records(data[:cut]))
+            assert len(prefix) <= len(pages)
+            for (rid, url, body), rec in zip(pages, prefix):
+                if rec.error is None:
+                    assert rec.payload == body
+
+        check()
