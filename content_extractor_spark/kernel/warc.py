@@ -30,6 +30,7 @@ the extraction kernel's job.
 from __future__ import annotations
 
 import io
+import re
 import zlib
 from typing import Iterator, List, Optional, Tuple
 
@@ -254,3 +255,40 @@ def build_wet(
         else:
             out.write(record)
     return out.getvalue()
+
+
+_CHARSET_PARAM = re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I)
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?([A-Za-z0-9_.:-]+)|"""
+    rb"""content\s*=\s*["'][^"']*charset=([A-Za-z0-9_.:-]+))""",
+    re.I,
+)
+
+
+def decode_html_bytes(payload: bytes, content_type: str = None) -> str:
+    """Page bytes -> text with real-crawl charset resolution:
+    HTTP Content-Type charset param first, else a <meta charset> /
+    http-equiv sniff of the first 2048 bytes (the WHATWG prescan),
+    else UTF-8; unknown labels and undecodable bytes never raise
+    (errors='replace') — a mojibake row beats a dead task.
+    """
+    enc = None
+    if content_type:
+        m = _CHARSET_PARAM.search(content_type)
+        if m:
+            enc = m.group(1)
+    if enc is None:
+        m = _META_CHARSET.search(payload[:2048])
+        if m:
+            enc = (m.group(1) or m.group(2)).decode("ascii", "ignore")
+    if enc:
+        enc = enc.strip().lower()
+        # WHATWG: x-user-defined and the latin-1 family decode as
+        # windows-1252 in browsers
+        if enc in ("iso-8859-1", "latin-1", "latin1", "us-ascii",
+                   "x-user-defined"):
+            enc = "windows-1252"
+    try:
+        return payload.decode(enc or "utf-8", errors="replace")
+    except LookupError:  # unknown codec label in the wild
+        return payload.decode("utf-8", errors="replace")

@@ -157,3 +157,51 @@ class TestWarcFuzz:
                     assert rec.payload == body
 
         check()
+
+
+class TestCharsetSniff:
+    def test_decode_html_bytes_resolution_order(self):
+        from content_extractor_spark.kernel.warc import decode_html_bytes
+
+        # 1) HTTP header charset wins
+        s = decode_html_bytes("höhe".encode("windows-1252"),
+                              "text/html; charset=windows-1252")
+        assert s == "höhe"
+        # 2) meta charset sniff when the header has no charset
+        body = b'<html><meta charset="iso-8859-1"><body>caf\xe9</body>'
+        assert "café" in decode_html_bytes(body, "text/html")
+        # http-equiv content= form
+        body2 = (b'<meta http-equiv="Content-Type" '
+                 b'content="text/html; charset=ISO-8859-1">caf\xe9')
+        assert "café" in decode_html_bytes(body2, None)
+        # 3) fallback utf-8 with replacement, never a raise
+        assert "�" in decode_html_bytes(b"\xff\xfe\xfa", "text/html")
+        # unknown codec label falls back instead of raising
+        assert decode_html_bytes(b"ok", "text/html; charset=bogus-enc") == "ok"
+
+    def test_warc_documents_decodes_legacy_charset(self, spark, tmp_path):
+        import zlib as _z
+
+        from content_extractor_spark.sources.warc import (
+            read_warc,
+            warc_documents,
+        )
+
+        body = "<html><body><p>höhe café</p></body></html>".encode(
+            "windows-1252"
+        )
+        http = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=windows-1252\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Record-ID: <urn:uuid:cs-1>\r\n"
+               b"WARC-Target-URI: https://a.example/p\r\n"
+               b"WARC-Date: 2021-07-01T00:00:00Z\r\n"
+               b"Content-Type: application/http; msgtype=response\r\n"
+               + f"Content-Length: {len(http)}\r\n\r\n".encode()
+               + http + b"\r\n\r\n")
+        co = _z.compressobj(9, _z.DEFLATED, 16 + _z.MAX_WBITS)
+        (tmp_path / "cs.warc.gz").write_bytes(co.compress(rec) + co.flush())
+        docs = warc_documents(read_warc(spark, str(tmp_path)))
+        text = docs.first()["spans"][0]["text"]
+        assert "höhe café" in text
