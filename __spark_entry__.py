@@ -808,6 +808,7 @@ def q_text_features(spark, sf_dir):
     column is independent map-side arithmetic).
     """
     from content_extractor_spark.operators.textstats import (
+        line_features,
         quality_features,
         token_count_bpe,
         token_count_ws,
@@ -825,7 +826,7 @@ def q_text_features(spark, sf_dir):
         )
     )
     return (
-        quality_features(docs)
+        line_features(quality_features(docs))
         .withColumn("tokens_ws", token_count_ws("text").cast("int"))
         .withColumn("tokens_bpe", token_count_bpe("text").cast("int"))
         .withColumn("fingerprint", fp)
@@ -1929,11 +1930,13 @@ def oracle_sql() -> dict[str, str]:
                      string_split_regex(lower(text), '\s+') AS toks,
                      len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))
                        ::int AS tokens_bpe,
-                     lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+                     lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+                     [trim(x) for x in string_split(coalesce(text, ''), chr(10))
+                      if trim(x) != ''] AS lf
               FROM documents WHERE doc_id < 300
             ),
             g AS (
-              SELECT doc_id, q_chars, q_tokens, tokens_bpe, norm,
+              SELECT doc_id, q_chars, q_tokens, tokens_bpe, norm, lf,
                      CASE WHEN q_tokens > 0 THEN q_chars::double / q_tokens ELSE 0.0 END AS mean_tok_len,
                      CASE WHEN q_chars > 0 THEN n_punct::double / q_chars ELSE 0.0 END AS punct_ratio,
                      (list_contains(toks,'the')::int + list_contains(toks,'and')::int
@@ -1962,7 +1965,16 @@ def oracle_sql() -> dict[str, str]:
                    )::DOUBLE AS q_score,
                    q_tokens::int AS tokens_ws,
                    tokens_bpe,
-                   {_PH.format(x="substr(norm, 1, 64) || '|' || length(norm)::varchar")} AS fingerprint
+                   {_PH.format(x="substr(norm, 1, 64) || '|' || length(norm)::varchar")} AS fingerprint,
+                   len(lf)::int AS n_lines,
+                   coalesce(round(len(list_filter(lf,
+                       l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))
+                     / nullif(len(lf), 0)::double, 4), 0.0) AS bullet_line_frac,
+                   coalesce(round(len(list_filter(lf,
+                       l -> l LIKE '%...' OR l LIKE '%…'))
+                     / nullif(len(lf), 0)::double, 4), 0.0) AS ellipsis_line_frac,
+                   coalesce(round(list_sum([length(l) for l in lf])
+                     / nullif(len(lf), 0)::double, 2), 0.0) AS mean_line_chars
             FROM g
         """,
         "length_band_filter": """

@@ -393,3 +393,52 @@ def perplexity_bands(
         F.col(id_col), F.col("grp").alias(group_col), "mean_logprob",
         "n_tokens", band.alias("band"), name.alias("band_name"),
     )
+
+
+def line_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style line-level repetition/format signals, appended as
+    columns: over the NON-EMPTY lines of a document,
+
+      * ``n_lines``            count
+      * ``bullet_line_frac``   fraction starting with a bullet
+                               ('- ', '* ', or '•' — Gopher drops docs
+                               above 90% bulleted lines)
+      * ``ellipsis_line_frac`` fraction ending in '...' or '…'
+                               (Gopher cap: 30%)
+      * ``mean_line_chars``    mean trimmed-line length
+
+    Pure array expressions (split + filter + aggregate) — map-only,
+    codegen-fused, zero shuffle; dialect-portable so a DuckDB oracle
+    reproduces every value (driver query text_features).
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    is_bullet = (
+        lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("•")
+    )
+    is_ellipsis = lambda x: x.endswith("...") | x.endswith("…")  # noqa: E731
+    n_bullet = F.size(F.filter(lines, is_bullet))
+    n_ellipsis = F.size(F.filter(lines, is_ellipsis))
+    sum_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    nz = F.when(n > 0, n.cast("double"))
+    return df.select(
+        "*",
+        n.alias("n_lines"),
+        F.coalesce(F.round(n_bullet / nz, 4), F.lit(0.0)).alias(
+            "bullet_line_frac"
+        ),
+        F.coalesce(F.round(n_ellipsis / nz, 4), F.lit(0.0)).alias(
+            "ellipsis_line_frac"
+        ),
+        F.coalesce(F.round(sum_chars / nz, 2), F.lit(0.0)).alias(
+            "mean_line_chars"
+        ),
+    )

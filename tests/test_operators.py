@@ -1704,3 +1704,19 @@ class TestDiscoveryAndBanding:
         rows = crawl_schedule(urls).collect()
         # reference ceiling: 100 urls/s/host -> 0.01 s spacing
         assert {r["delay_sec"] for r in rows} == {0.01}
+
+    def test_line_features_gopher_signals(self, spark):
+        from content_extractor_spark.operators.textstats import line_features
+
+        df = spark.createDataFrame(
+            [(1, "- a\n- b\nplain line\nends...\n\n"),
+             (2, ""), (3, None)],
+            "doc_id int, text string",
+        )
+        rows = {r["doc_id"]: (r["n_lines"], r["bullet_line_frac"],
+                              r["ellipsis_line_frac"], r["mean_line_chars"])
+                for r in line_features(df).collect()}
+        assert rows[1] == (4, 0.5, 0.25, 5.75)
+        # empty and NULL text both yield clean zeros, never NULL/NaN
+        assert rows[2] == (0, 0.0, 0.0, 0.0)
+        assert rows[3] == (0, 0.0, 0.0, 0.0)
