@@ -321,6 +321,27 @@ def simhash_hamming_pairs(
     is for tests/small corpora — at corpus scale use bits=64, bands=4
     (16-bit bands, ~262k keys) so no single band bucket explodes.
     """
+    # scalable signature path (one exploded pass, not `bits` lambda
+    # passes per row); NULL-sig rows (NULL text) drop out of banding
+    # via the IS NOT NULL filter — they cannot near-dup anything
+    sigs = simhash_signatures_df(df, text_col, id_col, bits).where(
+        F.col("sig").isNotNull()
+    )
+    return signature_hamming_pairs(sigs, bits, bands, max_hamming)
+
+
+def signature_hamming_pairs(
+    sigs: DataFrame,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    id_col: str = "id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(a, b, hamming) pairs within Hamming <= max_hamming over ANY
+    (id, sig) bit-signature frame — the banding engine shared by text
+    SimHash and perceptual image hashes (same pigeonhole guarantee and
+    join-key cardinality math as :func:`simhash_hamming_pairs`)."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding with {bands} bands only guarantees recall up to "
@@ -328,19 +349,13 @@ def simhash_hamming_pairs(
         )
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    # scalable signature path (one exploded pass, not `bits` lambda
-    # passes per row); NULL-sig rows (NULL text) drop out of banding
-    # via the IS NOT NULL filter — they cannot near-dup anything
-    sigs = simhash_signatures_df(df, text_col, id_col, bits).where(
-        F.col("sig").isNotNull()
-    )
     banded = sigs.select(
-        "id", "sig",
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(j).alias("band_idx"),
-                    F.shiftright(F.col("sig"), j * band_bits)
+                    F.shiftright(F.col(sig_col), j * band_bits)
                     .bitwiseAND(F.lit(mask)).alias("band_val"),
                 )
                 for j in range(bands)

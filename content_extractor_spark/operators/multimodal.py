@@ -39,6 +39,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_META_DDL = (
     "media_ref string, modality string, mime string, width int, height int, "
@@ -682,3 +683,292 @@ def decode_bmp_pixels(data: bytes):
         sums[0] += sum(line[2::nbytes])
     cnt = w * nrows
     return ("bmp", w, nrows, 3, [s / cnt for s in sums])
+
+
+# -- perceptual image hashing (aHash / dHash) -------------------------------------
+
+
+def _luma(r: int, g: int, b: int) -> int:
+    # integer BT.601 luma, deterministic across platforms
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def decode_gray_raster(data: bytes):
+    """(fmt, width, height, gray row-major list 0..255) for the formats
+    whose decoders expose raw samples cheaply: binary Netpbm (P5/P6),
+    8-bit non-interlaced PNG, uncompressed 24/32-bit BMP. GIF/JPEG
+    return None here — their decoders stream channel statistics without
+    retaining pixels; a real pipeline transcodes to P6 (the canonical
+    raster intermediate) before hashing.
+    """
+    # Netpbm
+    if data[:2] in (b"P5", b"P6"):
+        dec = decode_netpbm(data)
+        if dec is None:
+            return None
+        fmt, w, h, ch, _ = dec
+        # re-walk the (validated) header to find the sample offset
+        i, fields, n = 2, [], len(data)
+        while len(fields) < 3 and i < n:
+            c = data[i : i + 1]
+            if c.isspace():
+                i += 1
+            elif c == b"#":
+                j = data.find(b"\n", i)
+                i = n if j < 0 else j + 1
+            else:
+                j = i
+                while j < n and not data[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(data[i:j]))
+                i = j
+        i += 1
+        px = data[i : i + w * h * ch]
+        if ch == 1:
+            gray = list(px)
+        else:
+            gray = [
+                _luma(px[p], px[p + 1], px[p + 2])
+                for p in range(0, w * h * 3, 3)
+            ]
+        return (fmt, w, h, gray)
+    # BMP (24/32-bit uncompressed; bottom-up or top-down)
+    if data[:2] == b"BM" and len(data) >= 54:
+        pix_off = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        if w <= 0 or h == 0 or comp != 0 or bpp not in (24, 32):
+            return None
+        nrows = abs(h)
+        nbytes = bpp // 8
+        stride = (w * nbytes + 3) & ~3 if bpp == 24 else w * 4
+        if len(data) < pix_off + stride * nrows:
+            return None
+        rows = []
+        for row in range(nrows):
+            base = pix_off + row * stride
+            line = data[base : base + w * nbytes]
+            rows.append([
+                _luma(line[p + 2], line[p + 1], line[p])  # BGR(A)
+                for p in range(0, w * nbytes, nbytes)
+            ])
+        if h > 0:  # bottom-up storage -> flip to row-major top-down
+            rows.reverse()
+        return ("bmp", w, nrows, [g for r in rows for g in r])
+    # PNG: same validated unfilter walk as decode_png_pixels, but
+    # materializing luma per pixel instead of channel sums
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        import zlib
+
+        i, n = 8, len(data)
+        w = h = bit_depth = color_type = interlace = None
+        idat = bytearray()
+        while i + 8 <= n:
+            ln = int.from_bytes(data[i : i + 4], "big")
+            ctype = data[i + 4 : i + 8]
+            if i + 8 + ln > n:
+                return None
+            chunk = data[i + 8 : i + 8 + ln]
+            if ctype == b"IHDR":
+                if ln < 13:
+                    return None
+                w = int.from_bytes(chunk[0:4], "big")
+                h = int.from_bytes(chunk[4:8], "big")
+                bit_depth, color_type = chunk[8], chunk[9]
+                interlace = chunk[12]
+            elif ctype == b"IDAT":
+                idat += chunk
+            elif ctype == b"IEND":
+                break
+            i += 12 + ln
+        if not w or not h or bit_depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if channels is None or not idat:
+            return None
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            return None
+        gray = []
+        prev = bytearray(stride)
+        pos = 0
+        for _y in range(h):
+            f = raw[pos]
+            pos += 1
+            line = bytearray(raw[pos : pos + stride])
+            pos += stride
+            if f == 1:
+                for x in range(channels, stride):
+                    line[x] = (line[x] + line[x - channels]) & 0xFF
+            elif f == 2:
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif f == 3:
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    line[x] = (line[x] + pr) & 0xFF
+            elif f != 0:
+                return None
+            if color_type in (2, 6):
+                gray.extend(
+                    _luma(line[p], line[p + 1], line[p + 2])
+                    for p in range(0, stride, channels)
+                )
+            else:  # gray / gray+alpha
+                gray.extend(line[0::channels])
+            prev = line
+        return ("png", w, h, gray)
+    return None
+
+
+def _block_grid(w: int, h: int, gray, gw: int, gh: int):
+    """gh x gw grid of block means over a row-major gray raster; blocks
+    are floor-partitioned with guaranteed-nonempty ranges, so any
+    image size (including < grid size) hashes deterministically."""
+    grid = []
+    for gy in range(gh):
+        y0, y1 = gy * h // gh, max(gy * h // gh + 1, (gy + 1) * h // gh)
+        row = []
+        for gx in range(gw):
+            x0, x1 = gx * w // gw, max(gx * w // gw + 1, (gx + 1) * w // gw)
+            s = cnt = 0
+            for y in range(y0, min(y1, h)):
+                base = y * w
+                for x in range(x0, min(x1, w)):
+                    s += gray[base + x]
+                    cnt += 1
+            row.append(s / cnt if cnt else 0.0)
+        grid.append(row)
+    return grid
+
+
+def _to_i64(bits: int) -> int:
+    """64-bit hash -> SIGNED int64 (two's complement) — Spark BIGINT
+    has no unsigned form; XOR/bit_count/band masking are bit-identical
+    either way (the band mask strips arithmetic-shift sign bits)."""
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def ahash64(w: int, h: int, gray) -> int:
+    """Average hash: 8x8 block means, bit = 1 where block >= overall
+    mean (row-major, MSB first). Solid images hash to all-ones."""
+    grid = _block_grid(w, h, gray, 8, 8)
+    mean = sum(sum(r) for r in grid) / 64.0
+    bits = 0
+    for gy in range(8):
+        for gx in range(8):
+            bits = (bits << 1) | (1 if grid[gy][gx] >= mean else 0)
+    return _to_i64(bits)
+
+
+def dhash64(w: int, h: int, gray) -> int:
+    """Difference hash: 8x9 grid, bit = 1 where left block mean >
+    right neighbor (horizontal gradient sign, row-major, MSB first).
+    Solid images hash to 0; brightness shifts cancel out."""
+    grid = _block_grid(w, h, gray, 9, 8)
+    bits = 0
+    for gy in range(8):
+        for gx in range(8):
+            bits = (bits << 1) | (1 if grid[gy][gx] > grid[gy][gx + 1] else 0)
+    return _to_i64(bits)
+
+
+IMAGE_HASHES_DDL = (
+    "media_ref string, fmt string, width int, height int, "
+    "ahash bigint, dhash bigint, status string, error string"
+)
+
+
+def image_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Perceptual 64-bit image hashes (aHash + dHash) per media row —
+    the multimodal arm of the dedup families. One mapInPandas batch
+    stage over the binary payloads (real decode for Netpbm/PNG/BMP;
+    other formats surface status='unsupported', never task failures);
+    near-dup pairing happens downstream in
+    :func:`image_near_duplicates` via the shared Hamming banding.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.split(" ")[0]: []
+                   for k in IMAGE_HASHES_DDL.split(", ")}
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                out["media_ref"].append(ref)
+                if payload is None:
+                    out["fmt"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["ahash"].append(None)
+                    out["dhash"].append(None)
+                    out["status"].append("error")
+                    out["error"].append("null payload")
+                    continue
+                dec = decode_gray_raster(bytes(payload))
+                if dec is None:
+                    out["fmt"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["ahash"].append(None)
+                    out["dhash"].append(None)
+                    out["status"].append("unsupported")
+                    out["error"].append(
+                        "not netpbm/png/bmp (transcode to P6 first)"
+                    )
+                    continue
+                fmt, w, h, gray = dec
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(ahash64(w, h, gray))
+                out["dhash"].append(dhash64(w, h, gray))
+                out["status"].append("ok")
+                out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=IMAGE_HASHES_DDL)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """(a, b, hamming) near-duplicate image pairs by dHash distance —
+    hashes from :func:`image_hashes`, candidate pairs via the SAME
+    banded pigeonhole join the text SimHash family uses
+    (signature_hamming_pairs): never all-pairs, sound for
+    max_hamming <= bands - 1.
+    """
+    from .dedup_families import signature_hamming_pairs
+
+    sigs = (
+        image_hashes(df, payload_col, ref_col)
+        .where(F.col("status") == "ok")
+        .select(F.col(ref_col).alias("id"), F.col("dhash").alias("sig"))
+    )
+    return signature_hamming_pairs(
+        sigs, bits=64, bands=bands, max_hamming=max_hamming
+    )

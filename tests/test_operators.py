@@ -1720,3 +1720,68 @@ class TestDiscoveryAndBanding:
         # empty and NULL text both yield clean zeros, never NULL/NaN
         assert rows[2] == (0, 0.0, 0.0, 0.0)
         assert rows[3] == (0, 0.0, 0.0, 0.0)
+
+
+class TestImageHashing:
+    """Perceptual aHash/dHash over real decoded rasters + banded
+    near-dup pairing (the multimodal arm of the dedup families)."""
+
+    @staticmethod
+    def _p6(w, h, pix):
+        return f"P6\n{w} {h}\n255\n".encode() + bytes(pix)
+
+    def test_hashes_cross_format_and_solid_invariants(self, spark):
+        from content_extractor_spark.operators.multimodal import image_hashes
+        from content_extractor_spark.synth import (
+            encode_bmp_solid,
+            encode_png_solid,
+        )
+
+        w, h = 16, 12
+        media = spark.createDataFrame(
+            [("p6", self._p6(w, h, bytes([128, 64, 32] * (w * h)))),
+             ("png", encode_png_solid(w, h, (128, 64, 32))),
+             ("bmp", encode_bmp_solid(w, h, (128, 64, 32))),
+             ("junk", b"GIF89a not hashable here")],
+            "media_ref string, payload binary",
+        )
+        rows = {r["media_ref"]: r for r in image_hashes(media).collect()}
+        # solid image: ahash all-ones, dhash 0 — identical in all
+        # three raster formats (same luma path)
+        for ref in ("p6", "png", "bmp"):
+            assert rows[ref]["status"] == "ok"
+            assert rows[ref]["ahash"] == -1  # 0xFFFF... as int64
+            assert rows[ref]["dhash"] == 0
+        assert rows["junk"]["status"] == "unsupported"
+
+    def test_near_duplicates_banded(self, spark):
+        import random
+
+        from content_extractor_spark.operators.multimodal import (
+            image_near_duplicates,
+        )
+
+        w, h = 16, 12
+        rng = random.Random(5)
+
+        def grad(flip=False, noise=0):
+            pix = []
+            for _y in range(h):
+                for x in range(w):
+                    v = x * 255 // (w - 1)
+                    if flip:
+                        v = 255 - v
+                    v = max(0, min(255, v + rng.randint(-noise, noise)))
+                    pix += [v, v, v]
+            return self._p6(w, h, bytes(pix))
+
+        media = spark.createDataFrame(
+            [("g1", grad()), ("g1n", grad(noise=6)), ("g2", grad(flip=True))],
+            "media_ref string, payload binary",
+        )
+        pairs = {(r["a"], r["b"]): r["hamming"]
+                 for r in image_near_duplicates(media, max_hamming=6).collect()}
+        # the noisy variant pairs with its original; the flipped
+        # gradient (hamming 64) never becomes a candidate
+        assert ("g1", "g1n") in pairs and pairs[("g1", "g1n")] <= 6
+        assert not any("g2" in p for p in pairs)
