@@ -428,7 +428,10 @@ def q_pixel_stats_all(spark, sf_dir):
     floor(x+0.5) BT.601 round trip).
     """
     from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
-    from content_extractor_spark.operators.multimodal import extract_pixel_stats
+    from content_extractor_spark.operators.multimodal import (
+        extract_pixel_stats,
+        image_hashes,
+    )
     from content_extractor_spark.synth import (
         encode_bmp_solid,
         encode_gif_solid,
@@ -490,10 +493,21 @@ def q_pixel_stats_all(spark, sf_dir):
         enc, schema="media_ref string, payload binary"
     )
     media = ppm.unionByName(encoded)
-    return extract_pixel_stats(media).select(
+    stats = extract_pixel_stats(media).select(
         "media_ref", "fmt", "width", "height", "channels",
         "mean_r", "mean_g", "mean_b", "status",
     )
+    # perceptual-hash arm over the SAME payloads (second decode pass —
+    # fine for the correctness harness): solid images hash to exact
+    # constants (aHash all-ones = -1 as int64, dHash 0) on the raster
+    # formats; gif/jpeg are unsupported for hashing (stats-streaming
+    # decoders) and carry the -2 sentinel
+    hashes = image_hashes(media).select(
+        "media_ref",
+        F.coalesce(F.col("ahash"), F.lit(-2)).alias("ahash"),
+        F.coalesce(F.col("dhash"), F.lit(-2)).alias("dhash"),
+    )
+    return stats.join(hashes, "media_ref")
 
 
 def q_media_manifest(spark, sf_dir):
@@ -1566,6 +1580,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id < 300
         """,
         "pixel_stats_all": """
+            SELECT *,
+                   (CASE WHEN fmt IN ('ppm','png','bmp') THEN -1
+                         ELSE -2 END)::BIGINT AS ahash,
+                   (CASE WHEN fmt IN ('ppm','png','bmp') THEN 0
+                         ELSE -2 END)::BIGINT AS dhash
+            FROM (
             WITH jbase AS (
               SELECT doc_id,
                      (doc_id * 3 % 256)::DOUBLE AS r,
@@ -1641,6 +1661,7 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id * 19 % 256)::double AS mean_b,
                    'ok' AS status
             FROM documents WHERE doc_id < 200
+            )
         """,
         "paragraph_dedup": r"""
             WITH tok AS (
