@@ -3,9 +3,10 @@
 Composes the library's curation operators into the standard
 pretraining-corpus pipeline, one deployable job:
 
-    language ID -> quality score -> repetition filter -> exact dedup
-    -> MinHash-LSH near-dup clustering -> eval-set decontamination
-    -> normalization -> PII scrub -> train/val split -> parquet
+    language ID -> quality score -> repetition filter -> Gopher
+    format caps (bullet/ellipsis lines) -> exact dedup -> MinHash-LSH
+    near-dup clustering -> eval-set decontamination -> normalization
+    -> PII scrub -> train/val split -> parquet
 
 Usage (cluster):
     zip -r pipeline.zip content_extractor_spark/
@@ -21,7 +22,7 @@ CURATE_BENCHMARK / CURATE_LANGS / ...), mirroring jobs/extract_job.py.
 
 Design for 10^12 documents:
   * ONE pass assigns every row a priority-ordered `drop_reason`
-    (lang > quality > repetition > exact_dup > near_dup >
+    (lang > quality > repetition > format > exact_dup > near_dup >
     contaminated); the funnel metrics ride the write action as
     OBSERVATION metrics (`DataFrame.observe`) — zero extra jobs, no
     per-stage count() actions.
@@ -76,6 +77,10 @@ def resolve_config(argv=None, env=None):
         p.add_argument("--min-quality", type=float, default=0.5)
         p.add_argument("--max-dup-frac", type=float, default=0.3,
                        help="max duplicated-3-gram character fraction")
+        p.add_argument("--max-bullet-frac", type=float, default=0.9,
+                       help="Gopher cap: max fraction of bulleted lines")
+        p.add_argument("--max-ellipsis-frac", type=float, default=0.3,
+                       help="Gopher cap: max fraction of ellipsis lines")
         p.add_argument("--minhash-perms", type=int, default=64)
         p.add_argument("--minhash-bands", type=int, default=16)
         p.add_argument("--max-bucket", type=int, default=256,
@@ -98,6 +103,8 @@ def resolve_config(argv=None, env=None):
         take("langs", "CURATE_LANGS")
         take("min_quality", "CURATE_MIN_QUALITY", float)
         take("max_dup_frac", "CURATE_MAX_DUP_FRAC", float)
+        take("max_bullet_frac", "CURATE_MAX_BULLET_FRAC", float)
+        take("max_ellipsis_frac", "CURATE_MAX_ELLIPSIS_FRAC", float)
         take("minhash_perms", "CURATE_MINHASH_PERMS", int)
         take("minhash_bands", "CURATE_MINHASH_BANDS", int)
         take("max_bucket", "CURATE_MAX_BUCKET", int)
@@ -116,7 +123,7 @@ def resolve_config(argv=None, env=None):
 
 
 DROP_REASONS = (
-    "lang", "quality", "repetition", "exact_dup", "near_dup",
+    "lang", "quality", "repetition", "format", "exact_dup", "near_dup",
     "contaminated",
 )
 
@@ -137,6 +144,7 @@ def flag_documents(docs, cfg, benchmark=None):
     )
     from content_extractor_spark.operators.textstats import (
         detect_language,
+        line_features,
         quality_features,
         repetition_features,
     )
@@ -147,7 +155,7 @@ def flag_documents(docs, cfg, benchmark=None):
     )
 
     df = docs.withColumn("lang_detected", detect_language("text"))
-    df = quality_features(df)
+    df = line_features(quality_features(df))
     rep = repetition_features(
         docs.select("doc_id", "text")
     ).select("doc_id", "dup_ngram_char_frac")
@@ -160,6 +168,12 @@ def flag_documents(docs, cfg, benchmark=None):
         F.col("q_score") < cfg.min_quality, F.lit("quality")
     ).when(
         F.col("dup_ngram_char_frac") > cfg.max_dup_frac, F.lit("repetition")
+    ).when(
+        # Gopher format caps: mostly-bulleted or ellipsis-heavy pages
+        # are list/teaser chrome, not prose
+        (F.col("bullet_line_frac") > cfg.max_bullet_frac)
+        | (F.col("ellipsis_line_frac") > cfg.max_ellipsis_frac),
+        F.lit("format"),
     )
     df = df.withColumn("_early", early)
 

@@ -190,6 +190,10 @@ class TestCurateJob:
         rows.append((100, rows[0][1], "s0"))            # exact dup of 0
         rows.append((101, "the and of to in", "s0"))    # quality (<10 toks)
         rows.append((102, "the spam ham " * 30 + "and of to in", "s0"))
+        # format: >90% bulleted lines (Gopher cap)
+        rows.append((105, "the and of to in w105\n"
+                          + "\n".join(f"- item {j} w105x{j}" for j in range(20)),
+                     "s0"))
         rows.append((103, rows[0][1] + " tail", "s0"))  # near dup of 0
         rows.append((104, "der die und das nicht eins zwei drei vier haus"
                           " baum wald fluss berg tal stadt dorf weg", "s1"))
@@ -205,8 +209,8 @@ class TestCurateJob:
         m = run_curation(spark, docs, cfg, benchmark=bench,
                          out_root=out_root)
         assert _json.loads(_json.dumps(m))  # metrics are JSON-able
-        for reason in ("exact_dup", "quality", "repetition", "lang",
-                       "near_dup", "contaminated"):
+        for reason in ("exact_dup", "quality", "repetition", "format",
+                       "lang", "near_dup", "contaminated"):
             assert m[f"drop_{reason}"] == 1, (reason, m)
         out = spark.read.parquet(f"{out_root}/curated")
         assert m["kept"] == out.count() == 39
