@@ -378,3 +378,56 @@ def test_is_pseudo():
     assert [e.tag for e in select(doc, ":is(h1, h2):contains(s)")] == ["h2"]
     with pytest.raises(SelectorParseError):
         select(doc, ":is(")
+
+
+import os
+
+
+@pytest.mark.skipif(
+    not os.path.exists(
+        "/root/reference/src/test/resources/jsonLD/test.html"
+    ),
+    reason="reference tree not mounted",
+)
+def test_jsonld_reference_page_parity():
+    """The REAL reference fixture page (JsonLDSpec.scala:22-75, a full
+    bpb.de article) through our DOM + JSON-LD kernel must reproduce
+    the Scala spec's expected JsonLD record field-for-field."""
+    from content_extractor_spark.kernel.jsonld import from_document
+    from content_extractor_spark.kernel.dom import parse
+
+    html = open(
+        "/root/reference/src/test/resources/jsonLD/test.html",
+        encoding="utf-8",
+    ).read()
+    ld = from_document(parse(html))
+    assert ld["@context"] == "http://schema.org"
+    assert ld["@type"] == "Article"
+    assert ld["author"] == "Christian Kuhlicke, Volker Meyer"
+    assert ld["headline"] == "Nachhaltige Hochwasservorsorge | bpb"
+    assert ld["datePublished"] == "2013-08-05T00:00:00+01:00"
+    assert ld["dateCreated"] == "2013-08-05T12:13:20+01:00"
+    assert ld["dateModified"] == "2013-08-05T00:00:00+01:00"
+    assert ld["mainEntityOfPage"] == (
+        "https://www.bpb.de/gesellschaft/umwelt/hochwasserschutz/166131/"
+        "nachhaltige-hochwasservorsorge"
+    )
+    assert ld["keywords"] == (
+        "Hochwasserschutz, Überschwemmungen, Umweltkatastrophe, "
+        "Hochwasservorsorge"
+    )
+    pub = ld["publisher"]
+    assert pub["name"] == "Bundeszentrale für politische Bildung"
+    assert pub["logo"]["url"] == (
+        "https://www.bpb.de/sites/all/themes/bpb/images/"
+        "bpb_logo_ldjson.jpg"
+    )
+    assert (pub["logo"]["width"], pub["logo"]["height"]) == (144.0, 60.0)
+    img = ld["image"]
+    assert img["url"] == (
+        "https://www.bpb.de/cache/images/6/166136-3x2-facebook.jpg?B0E01"
+    )
+    assert (img["width"], img["height"]) == (900.0, 600.0)
+    assert ld["description"].startswith(
+        "Hochwasserereignisse scheinen an Zahl"
+    )
