@@ -103,3 +103,37 @@ def test_density_fallback_in_spark_operator(spark):
     assert "Imprint" not in fb["content"]
     kinds = [s["kind"] for s in fb["spans"]]
     assert kinds[0] == "title" and "content" in kinds
+
+
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.path.exists(
+        "/root/reference/src/test/resources/jsonLD/test.html"
+    ),
+    reason="reference tree not mounted",
+)
+def test_density_extraction_on_real_reference_page():
+    """Profile-free boilerplate strip on the reference suite's REAL
+    bpb.de article (876-line production page): the density heuristics
+    must isolate the article body and drop every piece of footer/nav
+    chrome."""
+    from content_extractor_spark.kernel.density import extract_main_content
+
+    html = open(
+        "/root/reference/src/test/resources/jsonLD/test.html",
+        encoding="utf-8",
+    ).read()
+    out = extract_main_content(html)
+    content = out["content"]
+    # the article body (byline + >10k chars of prose) is captured
+    assert len(content) > 10_000
+    assert content.startswith("5.8.2013 | Von: Christian Kuhlicke")
+    assert "Hochwasser" in content
+    # footer/nav chrome is gone
+    for chrome in ("Impressum", "Netiquette", "Sitemap", "Kontakt",
+                   "Presse", "Partner"):
+        assert chrome not in content, chrome
