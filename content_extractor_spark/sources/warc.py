@@ -147,3 +147,75 @@ def wet_documents(records: DataFrame) -> DataFrame:
         F.col("url"),
         F.col("warc_date").alias("last_crawl"),
     )
+
+
+def _list_warc_files(spark: SparkSession, in_dir: str) -> list:
+    """Deterministic WARC file listing via the Hadoop FileSystem API —
+    works for local, HDFS and object-store paths alike."""
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(in_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    out = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if status.isFile() and (
+            name.endswith(".warc") or name.endswith(".warc.gz")
+            or name.endswith(".warc.wet.gz") or name.endswith(".wet.gz")
+        ):
+            out.append(status.getPath().toString())
+    return sorted(out)
+
+
+def incremental_warc_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_root: str,
+    warc_types: tuple = ("response",),
+    max_files: int = None,
+) -> dict:
+    """Incremental crawl-archive ingestion with file-granular resume:
+    each run parses ONLY archive files not yet committed to the file
+    ledger, appends their records as parquet, then commits the files —
+    the batch analog of a Structured Streaming file source for a
+    format it cannot stream (binaryFile). Idempotent: a crashed run
+    re-processes at most its uncommitted batch (the ledger commit is
+    the atomicity point, same contract as the pipeline's bucket
+    ledger); `max_files` bounds a run for steady backlog drain.
+
+    Returns {"files_total", "files_new", "files_processed",
+    "records"} — at 100k-file corpora the listing and ledger stay
+    driver-tiny (one row per FILE, never per record).
+    """
+    ledger_path = f"{out_root}/warc_ledger"
+    records_path = f"{out_root}/records"
+    files = _list_warc_files(spark, in_dir)
+    try:
+        done = {
+            r["file"]
+            for r in spark.read.parquet(ledger_path).collect()
+        }
+    except Exception:
+        done = set()
+    todo = [f for f in files if f not in done]
+    if max_files is not None:
+        todo = todo[:max_files]
+    summary = {
+        "files_total": len(files),
+        "files_new": len(todo),
+        "files_processed": 0,
+        "records": 0,
+    }
+    if not todo:
+        return summary
+    recs = read_warc(spark, todo, warc_types=warc_types)
+    n = recs.count()
+    recs.write.mode("append").parquet(records_path)
+    spark.createDataFrame(
+        [(f, "done") for f in todo], "file string, status string"
+    ).write.mode("append").parquet(ledger_path)
+    summary["files_processed"] = len(todo)
+    summary["records"] = n
+    return summary

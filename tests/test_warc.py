@@ -205,3 +205,49 @@ class TestCharsetSniff:
         docs = warc_documents(read_warc(spark, str(tmp_path)))
         text = docs.first()["spans"][0]["text"]
         assert "höhe café" in text
+
+
+class TestIncrementalIngest:
+    def test_file_ledger_resume(self, spark, tmp_path):
+        from content_extractor_spark.sources.warc import (
+            incremental_warc_ingest,
+        )
+
+        in_dir = tmp_path / "in"
+        out = tmp_path / "out"
+        in_dir.mkdir()
+        (in_dir / "a.warc.gz").write_bytes(build_warc(_pages(4)))
+        (in_dir / "b.warc").write_bytes(
+            build_warc(_pages(3), gzip_members=False)
+        )
+        s1 = incremental_warc_ingest(spark, str(in_dir), str(out))
+        assert (s1["files_processed"], s1["records"]) == (2, 7)
+        # second run: nothing new -> no work, output unchanged
+        s2 = incremental_warc_ingest(spark, str(in_dir), str(out))
+        assert (s2["files_new"], s2["files_processed"]) == (0, 0)
+        assert spark.read.parquet(str(out / "records")).count() == 7
+        # a file arrives -> ONLY it is processed; records append
+        (in_dir / "c.warc.gz").write_bytes(build_warc(_pages(2)))
+        s3 = incremental_warc_ingest(spark, str(in_dir), str(out))
+        assert (s3["files_total"], s3["files_processed"]) == (3, 1)
+        assert s3["records"] == 2
+        assert spark.read.parquet(str(out / "records")).count() == 9
+
+    def test_max_files_bounds_a_run(self, spark, tmp_path):
+        from content_extractor_spark.sources.warc import (
+            incremental_warc_ingest,
+        )
+
+        in_dir = tmp_path / "in"
+        out = tmp_path / "out"
+        in_dir.mkdir()
+        for i in range(3):
+            (in_dir / f"f{i}.warc.gz").write_bytes(build_warc(_pages(1)))
+        s1 = incremental_warc_ingest(
+            spark, str(in_dir), str(out), max_files=2
+        )
+        assert s1["files_processed"] == 2
+        s2 = incremental_warc_ingest(
+            spark, str(in_dir), str(out), max_files=2
+        )
+        assert s2["files_processed"] == 1
