@@ -17,6 +17,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType, StringType
 
 from ..kernel.scala_hash import content_hash as _content_hash
+from ..kernel.urlclean import canonicalize_url as _canon
 from ..kernel.urlclean import clean_url as _clean_url
 from ..kernel.urlclean import merge_host_and_url as _merge
 
@@ -63,7 +64,17 @@ def merge_host_url_udf(url: pd.Series, host: pd.Series) -> pd.Series:
     return pd.Series([one(u, h) for u, h in zip(url, host)])
 
 
+@pandas_udf(StringType())
+def canonicalize_url_udf(url: pd.Series) -> pd.Series:
+    """RFC 3986 syntax-based normalization for crawl-frontier url
+    identity (kernel.urlclean.canonicalize_url): lowercase scheme/
+    host, default ports + fragments stripped, dot-segments resolved,
+    percent-normalization, tracking params dropped."""
+    return pd.Series([_canon(u) for u in url])
+
+
 def register_all(spark) -> None:
     spark.udf.register("content_hash", content_hash_udf)
     spark.udf.register("clean_url", clean_url_udf)
     spark.udf.register("merge_host_url", merge_host_url_udf)
+    spark.udf.register("canonicalize_url", canonicalize_url_udf)

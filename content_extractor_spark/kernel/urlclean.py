@@ -59,3 +59,108 @@ def merge_host_and_url(url: str, host: str) -> str:
     else:
         merged = host + url
     return clean_url(merged)
+
+
+# -- RFC 3986 canonicalization (crawl-frontier url identity) ---------------------
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_TRACKING_PARAMS = frozenset((
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid",
+))
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _norm_pct(s: str) -> str:
+    """Percent-decode unreserved chars; uppercase surviving %XX
+    (RFC 3986 §2.3/§6.2.2.2); malformed escapes pass through."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 3 <= n:
+            hx = s[i + 1:i + 3]
+            try:
+                ch = chr(int(hx, 16))
+            except ValueError:
+                out.append(c)
+                i += 1
+                continue
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + hx.upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 path normalization."""
+    out = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(seg)
+    norm = "/".join(out)
+    if path.startswith("/") and not norm.startswith("/"):
+        norm = "/" + norm
+    return norm or "/"
+
+
+def canonicalize_url(url, drop_tracking_params: bool = True):
+    """Full RFC 3986 syntax-based normalization for crawl-frontier url
+    identity (§6.2.2): lowercase scheme+host, strip default ports and
+    fragments, resolve dot-segments, percent-decode unreserved chars /
+    uppercase remaining escapes, empty path -> '/'; plus the de-facto
+    crawler step of dropping tracking query params (utm_*, fbclid, …)
+    while PRESERVING remaining param order (sorting would merge
+    semantically different urls on order-sensitive endpoints).
+
+    Non-http(s) or unparseable inputs return the input unchanged —
+    canonicalization must never lose a url.
+    """
+    if not url:
+        return url
+    from urllib.parse import urlsplit, urlunsplit
+
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return url
+    host = parts.hostname or ""
+    host = host.rstrip(".").lower()
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
+        netloc = f"{host}:{port}"
+    if parts.username:
+        cred = parts.username + (
+            f":{parts.password}" if parts.password else ""
+        )
+        netloc = f"{cred}@{netloc}"
+    path = _remove_dot_segments(_norm_pct(parts.path))
+    query = parts.query
+    if query:
+        kept = [
+            kv for kv in query.split("&")
+            if not (
+                drop_tracking_params
+                and kv.split("=", 1)[0].lower() in _TRACKING_PARAMS
+            )
+        ]
+        query = "&".join(_norm_pct(kv) for kv in kept)
+    return urlunsplit((scheme, netloc, path, query, ""))

@@ -153,3 +153,41 @@ class TestGermanDates:
     def test_unsupported_pattern_letter_raises(self):
         with pytest.raises(ValueError):
             reformat_datetime("x", "qq", "Europe/Berlin", TARGET)
+
+
+class TestCanonicalizeUrl:
+    """RFC 3986 §6.2.2 syntax-based normalization (frontier identity)."""
+
+    def test_full_normalization(self):
+        from content_extractor_spark.kernel.urlclean import canonicalize_url
+
+        assert canonicalize_url(
+            "HTTP://WWW.Example.COM:80/a/../b/./c%7ed?x=1&utm_source=nl&y=%41#f"
+        ) == "http://www.example.com/b/c~d?x=1&y=A"
+        # default port + empty path; non-default port kept
+        assert canonicalize_url("https://h.example:443") == "https://h.example/"
+        assert canonicalize_url("https://h.example:8443/p") == \
+            "https://h.example:8443/p"
+        # dot-segments never climb above root
+        assert canonicalize_url("https://h.example/a/b/../../../x") == \
+            "https://h.example/x"
+        # encoded slash is NOT decoded (it is not unreserved — decoding
+        # would change the path structure); hex uppercased
+        assert canonicalize_url("https://h.example/p%2fq") == \
+            "https://h.example/p%2Fq"
+        # tracking params dropped, remaining ORDER preserved
+        assert canonicalize_url(
+            "https://h.example/p?b=2&fbclid=x&a=1"
+        ) == "https://h.example/p?b=2&a=1"
+        # non-http(s) and unparseable inputs pass through unchanged
+        assert canonicalize_url("mailto:x@y.example") == "mailto:x@y.example"
+        assert canonicalize_url(None) is None
+
+    def test_sql_udf_registration(self, spark):
+        from content_extractor_spark.functions.udfs import register_all
+
+        register_all(spark)
+        row = spark.sql(
+            "SELECT canonicalize_url('HTTPS://A.Example/x/../y#z') AS u"
+        ).first()
+        assert row["u"] == "https://a.example/y"
