@@ -221,6 +221,8 @@ def simhash(text_col: str = "text", bits: int = 16) -> Column:
     SUM votes, value-identical output); :func:`simhash_duplicates`
     already routes through it.
     """
+    if bits > 64:
+        raise ValueError("simhash signatures are int64: bits <= 64")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok_hashes = F.transform(toks, lambda t: portable_hash(t))
     acc = None
@@ -231,7 +233,12 @@ def simhash(text_col: str = "text", bits: int = 16) -> Column:
             lambda s, h: s
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        bit = F.when(vote > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        # bit 63 contributes int64-min (two's complement): lit(2**63)
+        # overflows BIGINT and made the DOCUMENTED production setting
+        # bits=64 throw NumberFormatException; the banding/XOR/bit_count
+        # machinery is bit-identical on the signed value
+        bit_val = -(2 ** 63) if b == 63 else 2 ** b
+        bit = F.when(vote > 0, F.lit(bit_val)).otherwise(F.lit(0))
         acc = bit if acc is None else acc + bit
     return (
         F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(acc)
@@ -245,7 +252,8 @@ def simhash_signatures_df(
     bits: int = 16,
 ) -> DataFrame:
     """(id, sig) with values IDENTICAL to :func:`simhash` — the
-    scalable shape for corpus runs.
+    scalable shape for corpus runs (bits <= 64; bit 63 lands in the
+    int64 sign position, two's complement).
 
     The expression form evaluates `bits` aggregate-lambdas over the
     token-hash array (bits passes per row; 64 at production bits=64 —
@@ -261,6 +269,8 @@ def simhash_signatures_df(
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     nonnull = df.where(F.col(text_col).isNotNull())
+    if bits > 64:
+        raise ValueError("simhash signatures are int64: bits <= 64")
     ex = nonnull.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
     h = portable_hash(F.col("t"))
     aggs = [
@@ -272,7 +282,9 @@ def simhash_signatures_df(
     votes = ex.groupBy("id").agg(*aggs)
     sig = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        # two's-complement top bit (see simhash(): bits=64 support)
+        bit_val = -(2 ** 63) if b == 63 else 2 ** b
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(bit_val)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     null_rows = df.where(F.col(text_col).isNull()).select(
         F.col(id_col).alias("id"), F.lit(None).cast("bigint").alias("sig")

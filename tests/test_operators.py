@@ -1870,3 +1870,34 @@ class TestThumbnailsAndVideo:
                 for r in extract_video_features(
                     media, decode_stub_mode="raise").collect()}
         assert stub["v0"] == "unsupported"
+
+
+class TestSimhash64:
+    def test_production_bits64_works_and_agrees(self, spark):
+        """Regression: bits=64 (the documented corpus-scale setting)
+        used to throw NumberFormatException — lit(2**63) overflows
+        BIGINT. Bit 63 now lands in the int64 sign position (two's
+        complement); expression and df forms agree, and the Hamming
+        banding pairs exact duplicates at distance 0."""
+        from content_extractor_spark.operators.dedup_families import (
+            simhash,
+            simhash_hamming_pairs,
+            simhash_signatures_df,
+        )
+
+        rows = [(i, f"alpha beta gamma delta doc{i}") for i in range(6)]
+        rows.append((100, rows[0][1]))  # exact dup of doc 0
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        sigs = dict(simhash_signatures_df(df, bits=64).collect())
+        expr = dict(
+            df.select("doc_id", simhash("text", 64).alias("s")).collect()
+        )
+        assert sigs == expr
+        pairs = {(r["a"], r["b"]): r["hamming"]
+                 for r in simhash_hamming_pairs(
+                     df, bits=64, bands=8, max_hamming=4).collect()}
+        assert pairs.get((0, 100)) == 0
+        # >64 bits fails loudly instead of overflowing silently
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="bits <= 64"):
+            simhash("text", 65)
