@@ -92,8 +92,16 @@ MINHASH_ADD = 0x9E3779B9
 
 def minhash_signature(text_col: str = "text", num_perm: int = 16,
                       k: int = 3) -> Column:
-    """num_perm minhashes via linear permutations of one base hash."""
-    assert num_perm <= 31, "multiplier bound keeps products within int64"
+    """num_perm minhashes via linear permutations of one base hash.
+
+    num_perm <= 64: the largest multiplier (2*63+1)=127 times the
+    56-bit base hash stays below 2^63; 65 permutations would silently
+    wrap negative in BOTH engines (exact bound, not a guess).
+    """
+    if num_perm > 64:
+        raise ValueError(
+            "num_perm <= 64: (2j+1)*hash must stay within int64"
+        )
     base = F.transform(word_shingles(text_col, k), lambda s: portable_hash(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
@@ -145,7 +153,12 @@ def minhash_signatures_df(
     inlines array lambdas into each of the 16 permutation expressions,
     recomputing the shingle hashing 16x per row) and no giant arrays.
     Rows with fewer than k tokens produce no shingles and are dropped.
+    num_perm <= 64 (see :func:`minhash_signature` for the int64 bound).
     """
+    if num_perm > 64:
+        raise ValueError(
+            "num_perm <= 64: (2j+1)*hash must stay within int64"
+        )
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, k)).alias("s"),

@@ -1901,3 +1901,24 @@ class TestSimhash64:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="bits <= 64"):
             simhash("text", 65)
+
+    def test_minhash_num_perm_bound(self, spark):
+        """num_perm=64 (the curate job's default) is exactly safe —
+        (2*63+1) * a 56-bit hash stays under 2^63; 65 must fail loudly
+        instead of silently wrapping negative."""
+        from content_extractor_spark.operators.dedup_families import (
+            minhash_signature,
+            minhash_signatures_df,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+        )
+        (row,) = minhash_signatures_df(df, num_perm=64).collect()
+        assert len(row["sig"]) == 64
+        assert all(v >= 0 for v in row["sig"])  # no silent wraparound
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="num_perm <= 64"):
+            minhash_signatures_df(df, num_perm=65)
+        with _pytest.raises(ValueError, match="num_perm <= 64"):
+            minhash_signature(num_perm=65)
