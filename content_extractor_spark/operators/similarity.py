@@ -132,7 +132,11 @@ def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
 
 
 def lsh_bucket(vec_col: str, nbits: int, dim: int) -> Column:
-    """nbits-bit LSH bucket id from random-hyperplane signs."""
+    """nbits-bit LSH bucket id from random-hyperplane signs
+    (nbits <= 63: the 2^j bucket-bit literals must stay in int64 —
+    same class of silent-wrap hazard as the SimHash/MinHash bounds)."""
+    if nbits > 63:
+        raise ValueError("nbits <= 63: bucket-bit literals are int64")
     v = F.col(vec_col).cast("array<double>")
     acc = F.lit(0)
     for j in range(nbits):
