@@ -275,7 +275,7 @@ def robots_disallow_filter(
     Java regex once on the (tiny) rules side.
 
     Shape: the decision is computed once per distinct (host, path) —
-    a broadcast join against the tiny rules side plus one window. The
+    one equi-keyed join against the rules side plus one window. The
     blocked-path set scales with the distinct (host, path) corpus, so
     the back-join is a PLAIN equi-join (no forced broadcast — AQE
     picks broadcast when the set is actually small; an unconditional
@@ -319,7 +319,11 @@ def robots_disallow_filter(
         F.when(F.col("_r_wild"), F.expr("_p_path rlike _r_regex"))
         .otherwise(F.col("_p_path").startswith(F.col("_r_prefix")))
     )
-    matched = paths.join(F.broadcast(r), cond, "inner")
+    # plain join: host equality is an equi key, so Catalyst can SMJ
+    # with the prefix/regex predicate as a join filter when the rules
+    # corpus (which scales with the HOST population) outgrows
+    # broadcast; AQE still broadcasts small rule sets at runtime
+    matched = paths.join(r, cond, "inner")
     # longest rule path wins; tie -> allow ('allow' < 'disallow' asc)
     w = Window.partitionBy("_p_host", "_p_path").orderBy(
         F.length("_r_prefix").desc(), F.col("_r_kind").asc()
@@ -423,8 +427,10 @@ def crawl_schedule(
                 ).alias("_d_delay"),
             )
         )
+        # equi-join on host; delays scale with the host population —
+        # no forced broadcast (AQE decides)
         out = out.join(
-            F.broadcast(delays), out[host_col] == delays["_d_host"], "left"
+            delays, out[host_col] == delays["_d_host"], "left"
         )
         delay = F.coalesce(F.col("_d_delay"), F.lit(default_delay_sec))
     else:

@@ -57,11 +57,13 @@ def upsert_tag_dim(extracted: DataFrame, tag_dim: DataFrame) -> DataFrame:
 def connect_entries_to_tags(extracted: DataFrame, tag_dim: DataFrame) -> DataFrame:
     """(doc_id → array of tag ids), disconnectAll+connect semantics:
     the produced array fully replaces any previous linkage."""
-    dim = F.broadcast(
-        tag_dim.select(
-            F.lower(F.col("name")).alias("tag_key"), F.col("tag_id")
-        ).dropDuplicates(["tag_key"])
-    )
+    # NO forced broadcast: the tag dimension is corpus-derived
+    # (distinct tags grow with the corpus) — AQE broadcasts it when it
+    # is actually small, and falls back to a shuffle join when not
+    # (same policy as the robots blocked-set fix)
+    dim = tag_dim.select(
+        F.lower(F.col("name")).alias("tag_key"), F.col("tag_id")
+    ).dropDuplicates(["tag_key"])
     exploded = extracted.select(
         "doc_id", F.explode("tags").alias("tag")
     ).withColumn("tag_key", F.lower(F.col("tag")))

@@ -216,10 +216,10 @@ def test_pagerank_iterative_plan_shape(spark):
 
 
 def test_robots_blocked_side_not_force_broadcast(spark):
-    """Exactly ONE broadcast hint in the robots filter plan — the tiny
-    rules side. The blocked-path set scales with the distinct
-    (host, path) corpus, so it must NOT carry a forced-broadcast hint
-    (AQE may still choose broadcast when it is actually small)."""
+    """ZERO forced-broadcast hints in the robots filter plan: the
+    rules set scales with the HOST population and the blocked-path set
+    with the distinct (host, path) corpus — both joins are host-equi,
+    so AQE picks broadcast only when a side is actually small."""
     from content_extractor_spark.operators.scans import robots_disallow_filter
 
     urls = spark.createDataFrame(
@@ -232,7 +232,7 @@ def test_robots_blocked_side_not_force_broadcast(spark):
     )
     out = robots_disallow_filter(urls, robots)
     analyzed = out._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
-    assert analyzed.count("ResolvedHint") == 1, analyzed[:3000]
+    assert analyzed.count("ResolvedHint") == 0, analyzed[:3000]
 
 
 def test_chunk_documents_map_only(spark):
