@@ -210,9 +210,16 @@ def incremental_warc_ingest(
     }
     if not todo:
         return summary
+    from pyspark.sql import Observation
+
     recs = read_warc(spark, todo, warc_types=warc_types)
-    n = recs.count()
-    recs.write.mode("append").parquet(records_path)
+    # record count rides the write as an observation metric — counting
+    # separately would parse every archive TWICE
+    obs = Observation("warc_ingest")
+    recs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).parquet(records_path)
+    n = obs.get["n"]
     spark.createDataFrame(
         [(f, "done") for f in todo], "file string, status string"
     ).write.mode("append").parquet(ledger_path)
