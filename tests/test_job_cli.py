@@ -219,3 +219,57 @@ class TestCurateJob:
         # split is deterministic md5, both labels present at 40 docs
         assert {r["split"] for r in out.select("split").distinct().collect()} \
             == {"train", "val"}
+
+
+class TestWarcExtractJob:
+    def test_incremental_archive_to_spans(self, spark, tmp_path):
+        """Archives in, spans out, file-ledger resume: run 1 extracts
+        both files; run 2 is a no-op; a new archive appends only its
+        own documents. Metrics ride the single write action."""
+        from content_extractor_spark.kernel.profiles import profile_from_dict
+        from content_extractor_spark.kernel.warc import build_warc
+        from jobs.warc_extract_job import run_warc_extract
+
+        def pages(lo, n):
+            return [
+                (f"id-{i}", f"https://www.docs.example/p{i}",
+                 (f"<html><body><div id='content-main'>"
+                  f"<h1 class='title'>T{i}</h1><p>body {i}</p></div>"
+                  f"</body></html>").encode())
+                for i in range(lo, lo + n)
+            ]
+
+        in_dir = tmp_path / "in"
+        out = tmp_path / "out"
+        in_dir.mkdir()
+        (in_dir / "a.warc.gz").write_bytes(build_warc(pages(0, 5)))
+        (in_dir / "b.warc.gz").write_bytes(build_warc(pages(5, 3)))
+        profiles = {"www.docs.example": profile_from_dict({"profile": {
+            "hostname": "www.docs.example",
+            "pageTypes": [{
+                "name": "article",
+                "condition": {"selector": "div#content-main"},
+                "selectors": {"title": "h1.title",
+                              "content": "div#content-main"},
+            }],
+        }})}
+        s1 = run_warc_extract(spark, str(in_dir), str(out), profiles)
+        assert (s1["files_processed"], s1["docs"], s1["ok"]) == (2, 8, 8)
+        assert s1["errors"] == 0 and s1["spans_emitted"] > 0
+        s2 = run_warc_extract(spark, str(in_dir), str(out), profiles)
+        assert s2["files_processed"] == 0
+        (in_dir / "c.warc.gz").write_bytes(build_warc(pages(8, 2)))
+        s3 = run_warc_extract(spark, str(in_dir), str(out), profiles)
+        assert (s3["files_processed"], s3["docs"]) == (1, 2)
+        spans = spark.read.parquet(str(out / "spans"))
+        assert spans.count() == 10
+        assert spans.where("status = 'ok'").count() == 10
+
+    def test_env_first_config(self):
+        from jobs.warc_extract_job import resolve_config
+
+        cfg = resolve_config(
+            ["--input", "cli_in", "--output", "o", "--profiles", "p"],
+            env={"WARC_INPUT": "env_in", "WARC_MAX_FILES": "7"},
+        )
+        assert cfg.input == "env_in" and cfg.max_files == 7
