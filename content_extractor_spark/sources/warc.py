@@ -17,10 +17,11 @@ Scale design (100 TB = ~100k WARC files):
   * malformed/truncated records become rows with ``error`` set —
     counted, never task failures (same status-column policy as the
     extraction stage, reference O4).
-  * ``binaryFile`` enforces ``spark.sql.files.maxPartitionBytes`` as
-    an upper file-size bound per partition; WARC files above 2 GB
-    should be listed explicitly or repacked (Common Crawl caps at
-    ~1.2 GB).
+  * ``binaryFile`` never splits a file: the hard ceiling is the JVM
+    byte-array limit (~2 GB per file — larger archives must be
+    repacked; Common Crawl caps at ~1.2 GB so the standard layout is
+    always safe). ``spark.sql.files.maxPartitionBytes`` only controls
+    how many SMALL files pack into one task.
 """
 
 from __future__ import annotations
