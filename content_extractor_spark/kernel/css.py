@@ -390,9 +390,18 @@ def _compile_pseudo_regex(pattern: str):
 
 @lru_cache(maxsize=4096)
 def _parse(query: str) -> List[_Chain]:
-    """Compile a selector (cached — chains are stateless/reusable)."""
+    """Compile a selector (cached — chains are stateless/reusable).
+
+    Accepts the XPath subset too (queries starting with '/' or './/'
+    translate through kernel.xpath into this same dialect — CSS
+    selectors can never start with '/', so there is no ambiguity).
+    """
     if query is None or not query.strip():
         raise SelectorParseError("empty selector")
+    if query.lstrip().startswith(("/", ".//")):
+        from .xpath import xpath_to_css
+
+        query = xpath_to_css(query)
     chains: List[_Chain] = []
     parts: List[tuple] = []  # (comb_to_previous | None, _Simple)
     current: Optional[_Simple] = None

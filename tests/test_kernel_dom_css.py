@@ -431,3 +431,75 @@ def test_jsonld_reference_page_parity():
     assert ld["description"].startswith(
         "Hochwasserereignisse scheinen an Zahl"
     )
+
+
+class TestXPathSubset:
+    """XPath-subset selectors translate into the pinned CSS dialect
+    (profiles are "CSS/XPath selector configs" — one matching engine,
+    two syntaxes)."""
+
+    def test_translations(self):
+        from content_extractor_spark.kernel.xpath import xpath_to_css
+
+        cases = [
+            ("//div", "div"),
+            ("/html/body/div", "html:root > body > div"),
+            ("//div/p", "div > p"),
+            ("//div//p", "div p"),
+            ("//*[@id='x']", '*[id="x"]'),
+            ("//a[@href]", "a[href]"),
+            ("//li[3]", "li:nth-of-type(3)"),
+            ("//li[last()]", "li:last-of-type"),
+            ("//div[contains(@class,'x')]", 'div[class*="x"]'),
+            ("//a[@href][2]", "a[href]:nth-of-type(2)"),
+            (".//span", "span"),
+            ("//a | //b", "a, b"),
+        ]
+        for xp, want in cases:
+            assert xpath_to_css(xp) == want, xp
+
+    def test_select_with_xpath(self):
+        doc = parse(
+            "<html><body><div id='m'><ul><li>1</li><li>2</li><li>3</li>"
+            "</ul><a href='u'>link</a><p class='xy'>t</p></div>"
+            "</body></html>"
+        )
+        assert select_first(doc, "//li[3]").text() == "3"
+        assert select_first(doc, "/html/body/div").attr("id") == "m"
+        assert select_first(doc, "//a[@href]").text() == "link"
+        assert select_first(doc, "//p[contains(@class,'x')]").text() == "t"
+        assert [e.text() for e in select(doc, "//li[last()] | //a")] \
+            == ["3", "link"]
+
+    def test_out_of_subset_fails_loud(self):
+        doc = parse("<div><p>x</p></div>")
+        for bad in ("//div/text()", "//div/../p", "//descendant::p",
+                    "//div[position()>1]"):
+            with pytest.raises(SelectorParseError):
+                select(doc, bad)
+
+    def test_profile_with_xpath_selectors_extracts(self):
+        from content_extractor_spark.kernel.analyzer import (
+            STATUS_OK,
+            analyze,
+        )
+        from content_extractor_spark.kernel.profiles import profile_from_dict
+
+        profile = profile_from_dict({"profile": {
+            "hostname": "x.example",
+            "pageTypes": [{
+                "name": "article",
+                "condition": {"selector": "//div[@id='content-main']"},
+                "selectors": {
+                    "title": "//h1[contains(@class,'title')]",
+                    "content": "//div[@id='content-main']",
+                },
+            }],
+        }})
+        html = ("<html><body><div id='content-main'>"
+                "<h1 class='page-title'>T</h1><p>body text</p></div>"
+                "</body></html>")
+        out = analyze("https://x.example/p", html, profile)
+        assert out.status == STATUS_OK
+        assert out.entry.title == "T"
+        assert "body text" in out.entry.content
