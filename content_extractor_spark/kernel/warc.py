@@ -272,6 +272,13 @@ def decode_html_bytes(payload: bytes, content_type: str = None) -> str:
     else UTF-8; unknown labels and undecodable bytes never raise
     (errors='replace') — a mojibake row beats a dead task.
     """
+    # WHATWG: a byte-order mark outranks every other signal
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload[:2] == b"\xff\xfe":
+        return payload[2:].decode("utf-16-le", errors="replace")
+    if payload[:2] == b"\xfe\xff":
+        return payload[2:].decode("utf-16-be", errors="replace")
     enc = None
     if content_type:
         m = _CHARSET_PARAM.search(content_type)

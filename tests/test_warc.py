@@ -251,3 +251,16 @@ class TestIncrementalIngest:
             spark, str(in_dir), str(out), max_files=2
         )
         assert s2["files_processed"] == 1
+
+    def test_bom_outranks_header_and_meta(self):
+        from content_extractor_spark.kernel.warc import decode_html_bytes
+
+        # WHATWG: BOM wins even against a contradicting HTTP header
+        assert decode_html_bytes(
+            b"\xef\xbb\xbf" + "höhe".encode("utf-8"),
+            "text/html; charset=windows-1252",
+        ) == "höhe"
+        assert decode_html_bytes(
+            b"\xff\xfe" + "ab".encode("utf-16-le"), None) == "ab"
+        assert decode_html_bytes(
+            b"\xfe\xff" + "ab".encode("utf-16-be"), None) == "ab"
