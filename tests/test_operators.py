@@ -1922,3 +1922,45 @@ class TestSimhash64:
             minhash_signatures_df(df, num_perm=65)
         with _pytest.raises(ValueError, match="num_perm <= 64"):
             minhash_signature(num_perm=65)
+
+
+class TestBpe:
+    def test_train_and_apply_deterministic(self, spark):
+        """BPE merge training (Sennrich-style, word-frequency table
+        collected once, driver-side merge loop with lexicographic tie
+        break) + greedy rank-ordered apply as an Arrow UDF."""
+        from content_extractor_spark.operators.textstats import (
+            apply_bpe,
+            train_bpe_merges,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "low lower lowest low low newer new") for i in range(4)],
+            "doc_id int, text string",
+        )
+        merges = train_bpe_merges(df, n_merges=8)
+        # the canonical example: 'low' fuses first
+        assert merges[:3] == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+        # deterministic across runs
+        assert train_bpe_merges(df, n_merges=8) == merges
+        toks = apply_bpe(df.limit(1), merges).collect()[0]["bpe_tokens"]
+        assert toks[0] == "low</w>"          # frequent word = one token
+        assert "er</w>" in toks              # learned suffix unit
+        # unseen text degrades to characters, never fails
+        other = spark.createDataFrame([(9, "zzz")], "doc_id int, text string")
+        assert apply_bpe(other, merges).collect()[0]["bpe_tokens"] == [
+            "z", "z", "z", "</w>"
+        ]
+
+    def test_sampled_training_is_deterministic(self, spark):
+        from content_extractor_spark.operators.textstats import (
+            train_bpe_merges,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta w{i % 7}") for i in range(100)],
+            "doc_id int, text string",
+        )
+        a = train_bpe_merges(df, n_merges=5, sample_permille=400)
+        b = train_bpe_merges(df, n_merges=5, sample_permille=400)
+        assert a == b  # md5 sampling, never rand()
