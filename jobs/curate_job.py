@@ -269,9 +269,11 @@ def run_curation(spark, docs, cfg, benchmark=None, out_root=None):
         .partitionBy("split")
         .parquet(out_path)
     )
-    metrics = dict(obs.get)
+    # sums over zero rows surface as NULL — normalize so the metrics
+    # JSON carries clean zeros (empty input is a no-crash no-op)
+    metrics = {k: (v if v is not None else 0) for k, v in obs.get.items()}
     metrics["kept"] = metrics["total"] - sum(
-        metrics[f"drop_{r}"] or 0 for r in DROP_REASONS
+        metrics[f"drop_{r}"] for r in DROP_REASONS
     )
     flagged.unpersist()
     return metrics

@@ -273,3 +273,18 @@ class TestWarcExtractJob:
             env={"WARC_INPUT": "env_in", "WARC_MAX_FILES": "7"},
         )
         assert cfg.input == "env_in" and cfg.max_files == 7
+
+    def test_empty_input_yields_zero_metrics_no_crash(self, spark, tmp_path):
+        from jobs.curate_job import resolve_config, run_curation
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        cfg = resolve_config(["--input", "x", "--output", "y"])
+        m = run_curation(spark, docs, cfg,
+                         out_root=str(tmp_path / "empty"))
+        assert m["total"] == 0 and m["kept"] == 0
+        # clean zeros, never NULLs, so the metrics JSON is stable
+        assert all(m[f"drop_{r}"] == 0 for r in (
+            "lang", "quality", "repetition", "format", "exact_dup",
+            "near_dup", "contaminated"))
