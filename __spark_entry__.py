@@ -1927,11 +1927,25 @@ def oracle_sql() -> dict[str, str]:
                  + list_contains(toks,'des')::int) AS h_fr,
                 (list_contains(toks,'el')::int + list_contains(toks,'los')::int
                  + list_contains(toks,'las')::int + list_contains(toks,'una')::int
-                 + list_contains(toks,'por')::int) AS h_es
+                 + list_contains(toks,'por')::int) AS h_es,
+                (list_contains(toks,'che')::int + list_contains(toks,'della')::int
+                 + list_contains(toks,'anche')::int + list_contains(toks,'sono')::int
+                 + list_contains(toks,'gli')::int) AS h_it,
+                (list_contains(toks,'não')::int + list_contains(toks,'uma')::int
+                 + list_contains(toks,'são')::int + list_contains(toks,'você')::int
+                 + list_contains(toks,'também')::int) AS h_pt,
+                (list_contains(toks,'het')::int + list_contains(toks,'een')::int
+                 + list_contains(toks,'niet')::int + list_contains(toks,'zijn')::int
+                 + list_contains(toks,'voor')::int) AS h_nl
               FROM tok
             ),
             lid AS (
+              -- mirror of detect_language: the language with STRICTLY
+              -- more hits than every earlier one in loop order wins
               SELECT CASE
+                WHEN h_nl > greatest(h_pt, h_it, h_es, h_fr, h_de, h_en, 0) THEN 'nl'
+                WHEN h_pt > greatest(h_it, h_es, h_fr, h_de, h_en, 0) THEN 'pt'
+                WHEN h_it > greatest(h_es, h_fr, h_de, h_en, 0) THEN 'it'
                 WHEN h_es > greatest(h_fr, h_de, h_en, 0) THEN 'es'
                 WHEN h_fr > greatest(h_de, h_en, 0) THEN 'fr'
                 WHEN h_de > greatest(h_en, 0) THEN 'de'
@@ -1971,7 +1985,16 @@ def oracle_sql() -> dict[str, str]:
                       + list_contains(toks,'des')::int
                       + list_contains(toks,'el')::int + list_contains(toks,'los')::int
                       + list_contains(toks,'las')::int + list_contains(toks,'una')::int
-                      + list_contains(toks,'por')::int) AS q_stopword_hits
+                      + list_contains(toks,'por')::int
+                      + list_contains(toks,'che')::int + list_contains(toks,'della')::int
+                      + list_contains(toks,'anche')::int + list_contains(toks,'sono')::int
+                      + list_contains(toks,'gli')::int
+                      + list_contains(toks,'não')::int + list_contains(toks,'uma')::int
+                      + list_contains(toks,'são')::int + list_contains(toks,'você')::int
+                      + list_contains(toks,'também')::int
+                      + list_contains(toks,'het')::int + list_contains(toks,'een')::int
+                      + list_contains(toks,'niet')::int + list_contains(toks,'zijn')::int
+                      + list_contains(toks,'voor')::int) AS q_stopword_hits
               FROM f
             )
             SELECT doc_id, q_chars, q_tokens::int AS q_tokens,

@@ -20,6 +20,9 @@ LANG_MARKERS = {
     "de": ["der", "die", "und", "das", "nicht"],
     "fr": ["le", "la", "les", "et", "des"],
     "es": ["el", "los", "las", "una", "por"],
+    "it": ["che", "della", "anche", "sono", "gli"],
+    "pt": ["não", "uma", "são", "você", "também"],
+    "nl": ["het", "een", "niet", "zijn", "voor"],
 }
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -38,7 +41,8 @@ def _marker_hits(text: Column, words) -> Column:
 
 
 def detect_language(text_col: str = "text") -> Column:
-    """n-gram/stopword heuristic language ID -> 'en'|'de'|'fr'|'es'|'und'.
+    """Stopword-marker language ID over 7 languages
+    (en/de/fr/es/it/pt/nl) -> code or 'und'.
 
     Picks the language with the most marker-word hits; ties broken by
     fixed language order; zero hits -> 'und' (undetermined).
@@ -46,7 +50,7 @@ def detect_language(text_col: str = "text") -> Column:
     text = F.col(text_col)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
-    for lang in ("en", "de", "fr", "es"):
+    for lang in ("en", "de", "fr", "es", "it", "pt", "nl"):
         hits = _marker_hits(text, LANG_MARKERS[lang])
         improved = hits > best_hits
         best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)

@@ -1964,3 +1964,20 @@ class TestBpe:
         a = train_bpe_merges(df, n_merges=5, sample_permille=400)
         b = train_bpe_merges(df, n_merges=5, sample_permille=400)
         assert a == b  # md5 sampling, never rand()
+
+    def test_language_id_seven_languages(self, spark):
+        from content_extractor_spark.operators.textstats import (
+            detect_language,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "che cosa sono anche gli altri della città"),
+             (2, "não sei você também uma coisa são boas"),
+             (3, "het is een mooi huis niet voor niets zijn we hier"),
+             (4, "xyzzy qwerty plugh")],
+            "doc_id int, text string",
+        )
+        got = dict(
+            df.select("doc_id", detect_language("text").alias("l")).collect()
+        )
+        assert got == {1: "it", 2: "pt", 3: "nl", 4: "und"}
