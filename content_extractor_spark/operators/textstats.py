@@ -454,6 +454,8 @@ def train_bpe_merges(
     text_col: str = "text",
     sample_permille: int = 1000,
     id_col: str = "doc_id",
+    min_count: int = 1,
+    max_words: int = 1_000_000,
 ) -> list:
     """Train byte-pair-encoding merges over the corpus — the tokenizer-
     training primitive of an LLM data pipeline.
@@ -466,9 +468,15 @@ def train_bpe_merges(
     (ties broken lexicographically — deterministic across runs and
     cluster sizes), repeat. Per-merge distributed passes would be
     n_merges full shuffles for no benefit: the word table for a 100 TB
-    corpus is millions of rows, driver-sized, and standard practice
-    trains the tokenizer on it (or on a deterministic sample —
-    `sample_permille` uses the md5 hash, never rand()).
+    corpus is vocabulary-sized and standard practice trains the
+    tokenizer on it (or on a deterministic sample — `sample_permille`
+    uses the md5 hash, never rand()). RAW WEB TEXT has unbounded
+    distinct "words" (urls, hashes, garbage), so the collect is
+    bounded twice: `min_count` prunes the long tail inside the
+    aggregation (a HAVING pushdown, no extra pass) and `max_words`
+    hard-caps the table to the most frequent words (deterministic
+    count-desc, word-asc order) — rare words contribute nothing to
+    merge counts anyway.
 
     Returns the ordered merge list [(left, right), ...]; words are
     split into characters with the '</w>' end-of-word marker.
@@ -482,11 +490,17 @@ def train_bpe_merges(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10
         ).cast("bigint")
         base = df.where(h % 1000 < sample_permille)
-    word_counts = (
+    counts = (
         base.select(toks)
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("c") >= min_count)
+    word_counts = (
+        counts.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(max_words)
         .collect()
     )
     vocab = {

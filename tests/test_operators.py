@@ -1981,3 +1981,21 @@ class TestBpe:
             df.select("doc_id", detect_language("text").alias("l")).collect()
         )
         assert got == {1: "it", 2: "pt", 3: "nl", 4: "und"}
+
+    def test_bpe_collect_is_bounded(self, spark):
+        """min_count prunes the web-garbage tail inside the aggregation
+        and max_words hard-caps the driver table — merges stay
+        deterministic under both bounds."""
+        from content_extractor_spark.operators.textstats import (
+            train_bpe_merges,
+        )
+
+        rows = [(i, "low lower low low " + f"garbage{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        # every garbage token appears once -> pruned by min_count
+        m = train_bpe_merges(df, n_merges=3, min_count=2)
+        assert m[:2] == [("l", "o"), ("lo", "w")]
+        assert m == train_bpe_merges(df, n_merges=3, min_count=2)
+        # cap to the 2 most frequent words only: same top merges
+        m2 = train_bpe_merges(df, n_merges=3, max_words=2)
+        assert m2[:2] == [("l", "o"), ("lo", "w")]
