@@ -1417,6 +1417,59 @@ _SHINGLES3_ALL = (
 )
 
 
+# -- language-ID snippets, generated from the SAME marker table the Spark
+#    operator uses so oracle and operator cannot drift ----------------------
+
+def _lang_hits_select_sql() -> str:
+    """One presence-count column per language (h_en, h_de, ...)."""
+    from content_extractor_spark.operators.textstats import LANG_MARKERS
+
+    cols = []
+    for lang, words in LANG_MARKERS.items():
+        s = " + ".join(f"list_contains(toks,'{w}')::int" for w in words)
+        cols.append(f"({s}) AS h_{lang}")
+    return ",\n                ".join(cols)
+
+
+def _lang_id_case_sql() -> str:
+    """Mirror of detect_language's argmax-earliest-tie-break: checked
+    last-to-first, a language wins iff it has STRICTLY more hits than
+    every earlier language (so equal maxima fall through to the
+    earliest one)."""
+    from content_extractor_spark.operators.textstats import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    clauses = []
+    for i in range(len(langs) - 1, 0, -1):
+        earlier = ", ".join(f"h_{l}" for l in langs[:i])
+        clauses.append(f"WHEN h_{langs[i]} > greatest({earlier}, 0) THEN '{langs[i]}'")
+    clauses.append(f"WHEN h_{langs[0]} > 0 THEN '{langs[0]}'")
+    return (
+        "CASE\n                "
+        + "\n                ".join(clauses)
+        + "\n                ELSE 'und' END"
+    )
+
+
+def _stop_hits_sum_sql() -> str:
+    """Sum of per-language marker presence counts (q_stopword_hits)."""
+    from content_extractor_spark.operators.textstats import LANG_MARKERS
+
+    terms = [
+        f"list_contains(toks,'{w}')::int"
+        for words in LANG_MARKERS.values()
+        for w in words
+    ]
+    return "(" + "\n                      + ".join(terms) + ")"
+
+
+# RE2 equivalents of textstats.KANA_RE / HANGUL_RE / HAN_RE
+_CJK_CASE_SQL = r"""
+                WHEN regexp_matches(text, '[\x{3040}-\x{30FF}]') THEN 'ja'
+                WHEN regexp_matches(text, '[\x{AC00}-\x{D7A3}]') THEN 'ko'
+                WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'"""
+
+
 def oracle_sql() -> dict[str, str]:
     ph_text = _PH.format(x="{x}")
     return {
@@ -1910,47 +1963,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = b
             WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
         """,
-        "language_id": r"""
+        "language_id": rf"""
             WITH tok AS (
-              SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+              SELECT text, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents
             ),
             hits AS (
-              SELECT
-                (list_contains(toks,'the')::int + list_contains(toks,'and')::int
-                 + list_contains(toks,'of')::int + list_contains(toks,'to')::int
-                 + list_contains(toks,'in')::int) AS h_en,
-                (list_contains(toks,'der')::int + list_contains(toks,'die')::int
-                 + list_contains(toks,'und')::int + list_contains(toks,'das')::int
-                 + list_contains(toks,'nicht')::int) AS h_de,
-                (list_contains(toks,'le')::int + list_contains(toks,'la')::int
-                 + list_contains(toks,'les')::int + list_contains(toks,'et')::int
-                 + list_contains(toks,'des')::int) AS h_fr,
-                (list_contains(toks,'el')::int + list_contains(toks,'los')::int
-                 + list_contains(toks,'las')::int + list_contains(toks,'una')::int
-                 + list_contains(toks,'por')::int) AS h_es,
-                (list_contains(toks,'che')::int + list_contains(toks,'della')::int
-                 + list_contains(toks,'anche')::int + list_contains(toks,'sono')::int
-                 + list_contains(toks,'gli')::int) AS h_it,
-                (list_contains(toks,'não')::int + list_contains(toks,'uma')::int
-                 + list_contains(toks,'são')::int + list_contains(toks,'você')::int
-                 + list_contains(toks,'também')::int) AS h_pt,
-                (list_contains(toks,'het')::int + list_contains(toks,'een')::int
-                 + list_contains(toks,'niet')::int + list_contains(toks,'zijn')::int
-                 + list_contains(toks,'voor')::int) AS h_nl
+              SELECT text,
+                {_lang_hits_select_sql()}
               FROM tok
             ),
             lid AS (
-              -- mirror of detect_language: the language with STRICTLY
-              -- more hits than every earlier one in loop order wins
-              SELECT CASE
-                WHEN h_nl > greatest(h_pt, h_it, h_es, h_fr, h_de, h_en, 0) THEN 'nl'
-                WHEN h_pt > greatest(h_it, h_es, h_fr, h_de, h_en, 0) THEN 'pt'
-                WHEN h_it > greatest(h_es, h_fr, h_de, h_en, 0) THEN 'it'
-                WHEN h_es > greatest(h_fr, h_de, h_en, 0) THEN 'es'
-                WHEN h_fr > greatest(h_de, h_en, 0) THEN 'fr'
-                WHEN h_de > greatest(h_en, 0) THEN 'de'
-                WHEN h_en > 0 THEN 'en'
-                ELSE 'und' END AS lang_detected
+              -- mirror of detect_language: CJK scripts decisive first,
+              -- else the language with STRICTLY more hits than every
+              -- earlier one in marker-table order wins
+              SELECT CASE{_CJK_CASE_SQL}
+                ELSE {_lang_id_case_sql()} END AS lang_detected
               FROM hits
             )
             SELECT lang_detected, count(*) AS n FROM lid GROUP BY lang_detected
@@ -1974,27 +2002,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, q_chars, q_tokens, tokens_bpe, norm, lf,
                      CASE WHEN q_tokens > 0 THEN q_chars::double / q_tokens ELSE 0.0 END AS mean_tok_len,
                      CASE WHEN q_chars > 0 THEN n_punct::double / q_chars ELSE 0.0 END AS punct_ratio,
-                     (list_contains(toks,'the')::int + list_contains(toks,'and')::int
-                      + list_contains(toks,'of')::int + list_contains(toks,'to')::int
-                      + list_contains(toks,'in')::int
-                      + list_contains(toks,'der')::int + list_contains(toks,'die')::int
-                      + list_contains(toks,'und')::int + list_contains(toks,'das')::int
-                      + list_contains(toks,'nicht')::int
-                      + list_contains(toks,'le')::int + list_contains(toks,'la')::int
-                      + list_contains(toks,'les')::int + list_contains(toks,'et')::int
-                      + list_contains(toks,'des')::int
-                      + list_contains(toks,'el')::int + list_contains(toks,'los')::int
-                      + list_contains(toks,'las')::int + list_contains(toks,'una')::int
-                      + list_contains(toks,'por')::int
-                      + list_contains(toks,'che')::int + list_contains(toks,'della')::int
-                      + list_contains(toks,'anche')::int + list_contains(toks,'sono')::int
-                      + list_contains(toks,'gli')::int
-                      + list_contains(toks,'não')::int + list_contains(toks,'uma')::int
-                      + list_contains(toks,'são')::int + list_contains(toks,'você')::int
-                      + list_contains(toks,'também')::int
-                      + list_contains(toks,'het')::int + list_contains(toks,'een')::int
-                      + list_contains(toks,'niet')::int + list_contains(toks,'zijn')::int
-                      + list_contains(toks,'voor')::int) AS q_stopword_hits
+                     {_stop_hits_sum_sql()} AS q_stopword_hits
               FROM f
             )
             SELECT doc_id, q_chars, q_tokens::int AS q_tokens,

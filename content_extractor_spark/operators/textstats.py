@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# tiny per-language stopword marker sets (deterministic, oracle-friendly)
+# tiny per-language stopword marker sets (deterministic, oracle-friendly);
+# dict order IS the tie-break order (earlier language wins equal hit counts)
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in"],
     "de": ["der", "die", "und", "das", "nicht"],
@@ -23,39 +24,90 @@ LANG_MARKERS = {
     "it": ["che", "della", "anche", "sono", "gli"],
     "pt": ["não", "uma", "são", "você", "também"],
     "nl": ["het", "een", "niet", "zijn", "voor"],
+    "ru": ["и", "не", "на", "что", "это"],
+    "pl": ["się", "jest", "oraz", "czy", "dla"],
+    "sv": ["och", "att", "som", "är", "ett"],
+    "da": ["og", "til", "af", "er", "ikke"],
 }
+
+# CJK script detection ranges — checked BEFORE the marker ladder.
+# Presence of kana is decisive for Japanese (Chinese never uses kana);
+# hangul syllables for Korean; han ideographs without kana -> Chinese.
+KANA_RE = "[぀-ヿ]"  # hiragana U+3040-309F + katakana U+30A0-30FF
+HANGUL_RE = "[가-힣]"  # hangul syllables
+HAN_RE = "[一-鿿]"  # CJK unified ideographs
+# union of the three — a single guard scan so Latin documents pay ONE
+# regex pass instead of three before falling to the marker ladder
+CJK_ANY_RE = "[぀-ヿ가-힣一-鿿]"
 
 TOKEN_SPLIT_RE = r"\s+"
 # BPE-ish word/punct segmentation: word chars | single non-space non-word
 BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
 
 
+def _distinct_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, de-duplicated.
+
+    Tokenize-once base for marker-hit counting: marker hits are
+    PRESENCE counts (0..len(words)), so de-duplicating tokens is
+    value-preserving and lets ``array_intersect`` count one language's
+    hits in a single pass instead of one ``array_contains`` full scan
+    per marker word.  The old per-word form re-split the document once
+    per marker (35+ splits) and blew the janino 64 KB method limit,
+    dropping the whole projection out of whole-stage codegen.
+    """
+    return F.array_distinct(F.split(F.lower(text), TOKEN_SPLIT_RE))
+
+
+def _marker_hits_tokens(toks: Column, words) -> Column:
+    """Presence count of marker words in a pre-tokenized document."""
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
+
 def _marker_hits(text: Column, words) -> Column:
     """How many of the marker words appear as whole tokens in text."""
-    toks = F.split(F.lower(text), TOKEN_SPLIT_RE)
-    hits = None
-    for w in words:
-        h = F.array_contains(toks, w).cast("int")
-        hits = h if hits is None else hits + h
-    return hits
+    return _marker_hits_tokens(_distinct_tokens(text), words)
 
 
 def detect_language(text_col: str = "text") -> Column:
-    """Stopword-marker language ID over 7 languages
-    (en/de/fr/es/it/pt/nl) -> code or 'und'.
+    """Script + stopword-marker language ID over 14 languages -> code
+    or 'und'.
 
-    Picks the language with the most marker-word hits; ties broken by
-    fixed language order; zero hits -> 'und' (undetermined).
+    Ladder: CJK scripts are decisive and checked first (kana -> 'ja',
+    hangul -> 'ko', han ideographs without kana -> 'zh'); otherwise the
+    language whose marker set has the most whole-token hits wins
+    (en/de/fr/es/it/pt/nl/ru/pl/sv/da), ties broken by fixed language
+    order; zero hits -> 'und' (undetermined).
+
+    Codegen-friendly formulation: the document is tokenized ONCE
+    (``array_distinct(split(...))`` — Catalyst CSE emits it a single
+    time), each language scores via one ``array_intersect``, and the
+    argmax-with-earliest-tie-break is a single ``array_max`` over
+    (hits, -index, lang) structs, not an O(langs²) when-chain.
     """
     text = F.col(text_col)
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in ("en", "de", "fr", "es", "it", "pt", "nl"):
-        hits = _marker_hits(text, LANG_MARKERS[lang])
-        improved = hits > best_hits
-        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(improved, hits).otherwise(best_hits)
-    return best_lang
+    toks = _distinct_tokens(text)
+    pairs = F.array(
+        *[
+            F.struct(
+                _marker_hits_tokens(toks, words).alias("h"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, words) in enumerate(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(pairs)
+    marker_lang = F.when(best["h"] >= 1, best["lang"]).otherwise(F.lit("und"))
+    # guarded ladder: the union class decides CJK-vs-Latin in one scan;
+    # only CJK documents pay the kana/hangul disambiguation scans (the
+    # final 'zh' needs no scan — any-CJK minus kana minus hangul IS han)
+    cjk = (
+        F.when(text.rlike(KANA_RE), F.lit("ja"))
+        .when(text.rlike(HANGUL_RE), F.lit("ko"))
+        .otherwise(F.lit("zh"))
+    )
+    return F.when(text.rlike(CJK_ANY_RE), cjk).otherwise(marker_lang)
 
 
 def token_count_ws(text_col: str = "text") -> Column:
@@ -80,9 +132,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     n_tokens = token_count_ws(text_col)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    # tokenize ONCE (CSE shares the split across languages), then one
+    # array_intersect per language — same presence-count values as the
+    # old 55-array_contains form but inside the janino method limit
+    toks = _distinct_tokens(t)
     stop_hits = None
     for words in LANG_MARKERS.values():
-        h = _marker_hits(t, words)
+        h = _marker_hits_tokens(toks, words)
         stop_hits = h if stop_hits is None else stop_hits + h
     mean_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(
         F.lit(0.0)

@@ -1982,6 +1982,43 @@ class TestBpe:
         )
         assert got == {1: "it", 2: "pt", 3: "nl", 4: "und"}
 
+    def test_language_id_wide_ladder(self, spark):
+        """r5 widening: ru/pl/sv/da markers + CJK script detection.
+
+        One pinned row per new language, plus the decisive-script rules
+        (kana beats han even when han chars dominate; hangul+han -> ko)
+        and the earliest-language tie-break on equal marker hits.
+        """
+        from content_extractor_spark.operators.textstats import (
+            detect_language,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "и это не на что похоже совсем"),  # ru (cyrillic markers)
+                (2, "to jest dla nas oraz czy się uda"),  # pl
+                (3, "och att det som är ett hus"),  # sv
+                (4, "og til af er ikke mange"),  # da
+                (5, "東京タワーは日本にある"),  # ja: han + katakana+hiragana
+                (6, "한국어 문서입니다"),  # ko: hangul
+                (7, "中文文档没有假名"),  # zh: han only, no kana
+                (8, "日本語 ひらがな"),  # ja: kana decisive
+                (9, "한국 漢字 혼용문"),  # ko: hangul + han, no kana
+                # tie: one sv marker ('och') vs one da marker ('ikke')
+                # -> sv, the earlier language in marker-table order
+                (10, "och ikke zzz"),
+            ],
+            "doc_id int, text string",
+        )
+        got = dict(
+            df.select("doc_id", detect_language("text").alias("l")).collect()
+        )
+        assert got == {
+            1: "ru", 2: "pl", 3: "sv", 4: "da",
+            5: "ja", 6: "ko", 7: "zh", 8: "ja", 9: "ko",
+            10: "sv",
+        }
+
     def test_bpe_collect_is_bounded(self, spark):
         """min_count prunes the web-garbage tail inside the aggregation
         and max_words hard-caps the driver table — merges stay
