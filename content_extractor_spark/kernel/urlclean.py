@@ -143,7 +143,13 @@ def canonicalize_url(url, drop_tracking_params: bool = True):
         return url
     host = parts.hostname or ""
     host = host.rstrip(".").lower()
-    port = parts.port
+    # urlsplit defers port validation to the accessor: 'http://h:abc/'
+    # and out-of-range ports raise HERE, not at urlsplit time.  The
+    # never-lose-a-url contract applies, so return such inputs as-is.
+    try:
+        port = parts.port
+    except ValueError:
+        return url
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
         netloc = f"{host}:{port}"

@@ -165,7 +165,14 @@ def _iter_plain(data: bytes) -> Iterator[WarcRecord]:
 
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Inflate one gzip member at a time (never the whole file at
-    once) — the WARC .gz framing contract."""
+    once) — the WARC .gz framing contract.
+
+    Advances through the buffer via a memoryview: ``data[pos:]`` on raw
+    bytes would COPY the entire remaining file once per member, i.e.
+    O(members × filesize) memcpy on a Common Crawl archive with tens of
+    thousands of members.
+    """
+    mv = memoryview(data)
     pos = 0
     n = len(data)
     while pos < n - 1:
@@ -173,7 +180,7 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
             return
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
         try:
-            out = d.decompress(data[pos:])
+            out = d.decompress(mv[pos:])
         except zlib.error:
             return
         yield out

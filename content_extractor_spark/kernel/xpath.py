@@ -15,8 +15,12 @@ profile authors use:
     //li[3]                     li:nth-of-type(3)
     //li[last()]                li:last-of-type
     //div[contains(@class,'x')] div[class*="x"]
-    //a[@href][2]               a[href]:nth-of-type(2)
     a//b | c/d                  comma group
+
+A positional predicate AFTER a filter predicate (``//a[@href][2]``)
+is rejected: XPath counts among the filtered nodes, CSS
+``:nth-of-type`` among all same-tag siblings, and approximating one
+with the other silently selects a different element.
 
 Everything else (axes `::`, `..`, `text()`, attribute selection
 steps, nested predicates) raises :class:`SelectorParseError` loudly —
@@ -81,21 +85,37 @@ def _step_to_css(step: str, xp: str) -> str:
         )
     name, preds_raw = m.group(1), m.group(2)
     css = name
+    saw_filter_pred = False
     for pred in re.findall(r"\[([^\[\]]*)\]", preds_raw):
         pred = pred.strip()
+        # XPath [n] counts among nodes matching the PRECEDING predicates,
+        # while CSS :nth-of-type counts among ALL same-tag siblings —
+        # equal only when [n] is the step's first predicate. A trailing
+        # positional after a filter (//a[@href][2]) would silently select
+        # a different element, so it is rejected, not approximated.
+        if saw_filter_pred and (_PRED_POS.match(pred) or pred == "last()"):
+            raise SelectorParseError(
+                f"positional predicate '[{pred}]' after a filter "
+                f"predicate in '{xp}': XPath counts among filtered "
+                "nodes, CSS :nth-of-type among all same-tag siblings "
+                "— outside the faithful subset"
+            )
         pm = _PRED_ATTR_EQ.match(pred)
         if pm:
             val = pm.group(2) if pm.group(2) is not None else pm.group(3)
             css += f'[{pm.group(1)}="{val}"]'
+            saw_filter_pred = True
             continue
         pm = _PRED_CONTAINS.match(pred)
         if pm:
             val = pm.group(2) if pm.group(2) is not None else pm.group(3)
             css += f'[{pm.group(1)}*="{val}"]'
+            saw_filter_pred = True
             continue
         pm = _PRED_ATTR.match(pred)
         if pm:
             css += f"[{pm.group(1)}]"
+            saw_filter_pred = True
             continue
         pm = _PRED_POS.match(pred)
         if pm:

@@ -170,6 +170,59 @@ def _list_warc_files(spark: SparkSession, in_dir: str) -> list:
     return sorted(out)
 
 
+def read_file_ledger(spark: SparkSession, ledger_path: str):
+    """(done_files, committed_batches) from a file ledger, tolerating
+    pre-batch-column ledgers and a not-yet-existing path."""
+    try:
+        rows = spark.read.parquet(ledger_path).collect()
+    except Exception:
+        return set(), set()
+    done = {r["file"] for r in rows}
+    batches = {
+        b for b in (r.asDict().get("batch") for r in rows) if b
+    }
+    return done, batches
+
+
+def commit_file_ledger(spark, ledger_path: str, files, batch: str) -> None:
+    """Append (file, done, batch) rows — the atomicity point of a run."""
+    spark.createDataFrame(
+        [(f, "done", batch) for f in files],
+        "file string, status string, batch string",
+    ).write.mode("append").parquet(ledger_path)
+
+
+def batch_id(files) -> str:
+    """Deterministic id for a batch of input files."""
+    import hashlib
+
+    return hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()[:16]
+
+
+def drop_orphan_batches(spark, data_path: str, committed) -> list:
+    """Delete ``ingest_batch=*`` subdirectories whose batch id is not
+    in the ledger — leftovers of a run that crashed between the data
+    write and the ledger commit. This is what makes ingestion
+    exactly-once rather than at-least-once: the re-run regenerates the
+    batch instead of appending a second copy. Driver-side O(batches)
+    directory listing, never a data scan."""
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(data_path)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    dropped = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith("ingest_batch="):
+            bid = name.split("=", 1)[1]
+            if bid not in committed:
+                fs.delete(status.getPath(), True)
+                dropped.append(bid)
+    return dropped
+
+
 def incremental_warc_ingest(
     spark: SparkSession,
     in_dir: str,
@@ -181,10 +234,13 @@ def incremental_warc_ingest(
     each run parses ONLY archive files not yet committed to the file
     ledger, appends their records as parquet, then commits the files —
     the batch analog of a Structured Streaming file source for a
-    format it cannot stream (binaryFile). Idempotent: a crashed run
-    re-processes at most its uncommitted batch (the ledger commit is
-    the atomicity point, same contract as the pipeline's bucket
-    ledger); `max_files` bounds a run for steady backlog drain.
+    format it cannot stream (binaryFile). Exactly-once: each batch
+    writes to its own ``ingest_batch=<id>`` partition directory and
+    the ledger commit registers the batch id; a run that crashed
+    between the data write and the ledger commit leaves an orphan
+    batch directory, which the next run deletes before re-processing
+    — so a batch lands at most once. ``max_files`` bounds a run for
+    steady backlog drain.
 
     Returns {"files_total", "files_new", "files_processed",
     "records"} — at 100k-file corpora the listing and ledger stay
@@ -193,13 +249,8 @@ def incremental_warc_ingest(
     ledger_path = f"{out_root}/warc_ledger"
     records_path = f"{out_root}/records"
     files = _list_warc_files(spark, in_dir)
-    try:
-        done = {
-            r["file"]
-            for r in spark.read.parquet(ledger_path).collect()
-        }
-    except Exception:
-        done = set()
+    done, committed = read_file_ledger(spark, ledger_path)
+    drop_orphan_batches(spark, records_path, committed)
     todo = [f for f in files if f not in done]
     if max_files is not None:
         todo = todo[:max_files]
@@ -217,13 +268,12 @@ def incremental_warc_ingest(
     # record count rides the write as an observation metric — counting
     # separately would parse every archive TWICE
     obs = Observation("warc_ingest")
+    bid = batch_id(todo)
     recs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "append"
-    ).parquet(records_path)
+        "overwrite"
+    ).parquet(f"{records_path}/ingest_batch={bid}")
     n = obs.get["n"]
-    spark.createDataFrame(
-        [(f, "done") for f in todo], "file string, status string"
-    ).write.mode("append").parquet(ledger_path)
+    commit_file_ledger(spark, ledger_path, todo, bid)
     summary["files_processed"] = len(todo)
     summary["records"] = n
     return summary

@@ -131,7 +131,11 @@ DROP_REASONS = (
 def flag_documents(docs, cfg, benchmark=None):
     """Assign every row its priority-ordered `drop_reason` (NULL =
     keep). Single linear DAG except the near-dup branch, which runs
-    only over rows surviving the earlier stages."""
+    only over rows surviving the earlier stages.
+
+    Returns ``(flagged_df, cached_df)`` — the caller must unpersist
+    ``cached_df`` (the pre-near-dup intermediate this function caches)
+    after its terminal action."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -191,8 +195,12 @@ def flag_documents(docs, cfg, benchmark=None):
         ),
     ).drop("_early", "_rn")
 
-    # near-dup: LSH pairs + CC over the current survivors only
-    df = df.persist()
+    # near-dup: LSH pairs + CC over the current survivors only.
+    # Keep a handle on the EXACT frame that is persisted: df rebinds
+    # through the joins below, so unpersisting the returned frame would
+    # silently miss this cache and leak it for the session lifetime.
+    cached = df.persist()
+    df = cached
     surv = df.where(F.col("drop_reason").isNull()).select("doc_id", "text")
     pairs = minhash_lsh_pairs(
         surv, num_perm=cfg.minhash_perms, num_bands=cfg.minhash_bands,
@@ -233,7 +241,7 @@ def flag_documents(docs, cfg, benchmark=None):
                 F.when(F.col("_contam"), F.lit("contaminated")),
             ),
         ).drop("_contam")
-    return df
+    return df, cached
 
 
 def run_curation(spark, docs, cfg, benchmark=None, out_root=None):
@@ -248,7 +256,7 @@ def run_curation(spark, docs, cfg, benchmark=None, out_root=None):
         train_val_split,
     )
 
-    flagged = flag_documents(docs, cfg, benchmark=benchmark)
+    flagged, cached = flag_documents(docs, cfg, benchmark=benchmark)
     obs = Observation("curation_funnel")
     aggs = [F.count(F.lit(1)).alias("total")] + [
         F.sum((F.col("drop_reason") == r).cast("long")).alias(f"drop_{r}")
@@ -275,7 +283,7 @@ def run_curation(spark, docs, cfg, benchmark=None, out_root=None):
     metrics["kept"] = metrics["total"] - sum(
         metrics[f"drop_{r}"] for r in DROP_REASONS
     )
-    flagged.unpersist()
+    cached.unpersist()
     return metrics
 
 

@@ -79,14 +79,20 @@ def resolve_config(argv=None, env=None):
 
 
 def run_warc_extract(spark, in_dir, out_root, profiles, max_files=None):
-    """One incremental batch: uncommitted archives -> spans append +
-    ledger commit. Returns the run summary dict."""
+    """One incremental batch: uncommitted archives -> spans batch dir +
+    ledger commit (exactly-once — orphan batch dirs from a crashed run
+    are dropped before re-processing, same contract as
+    incremental_warc_ingest). Returns the run summary dict."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from content_extractor_spark.operators.extract import extract_entries
     from content_extractor_spark.sources.warc import (
         _list_warc_files,
+        batch_id,
+        commit_file_ledger,
+        drop_orphan_batches,
+        read_file_ledger,
         read_warc,
         warc_documents,
     )
@@ -94,11 +100,8 @@ def run_warc_extract(spark, in_dir, out_root, profiles, max_files=None):
     ledger_path = f"{out_root}/warc_ledger"
     spans_path = f"{out_root}/spans"
     files = _list_warc_files(spark, in_dir)
-    try:
-        done = {r["file"]
-                for r in spark.read.parquet(ledger_path).collect()}
-    except Exception:
-        done = set()
+    done, committed = read_file_ledger(spark, ledger_path)
+    drop_orphan_batches(spark, spans_path, committed)
     todo = [f for f in files if f not in done]
     if max_files is not None:
         todo = todo[:max_files]
@@ -121,10 +124,11 @@ def run_warc_extract(spark, in_dir, out_root, profiles, max_files=None):
         F.sum(F.size(F.coalesce(F.col("spans"), F.array()))
               ).alias("spans_emitted"),
     )
-    observed.write.mode("append").parquet(spans_path)
-    spark.createDataFrame(
-        [(f, "done") for f in todo], "file string, status string"
-    ).write.mode("append").parquet(ledger_path)
+    bid = batch_id(todo)
+    observed.write.mode("overwrite").parquet(
+        f"{spans_path}/ingest_batch={bid}"
+    )
+    commit_file_ledger(spark, ledger_path, todo, bid)
     m = obs.get
     summary.update(
         files_processed=len(todo), docs=m["docs"], ok=m["ok"] or 0,

@@ -183,6 +183,20 @@ class TestCanonicalizeUrl:
         assert canonicalize_url("mailto:x@y.example") == "mailto:x@y.example"
         assert canonicalize_url(None) is None
 
+    def test_malformed_port_passes_through(self):
+        """urlsplit defers port validation to the .port accessor — a
+        raw-crawl url with a junk port must return unchanged, never
+        raise (one bad url would otherwise fail the whole Spark task).
+        """
+        from content_extractor_spark.kernel.urlclean import canonicalize_url
+
+        for bad in (
+            "http://example.com:abc/x",
+            "http://h.example:99999999999/",
+            "https://h.example:-1/p",
+        ):
+            assert canonicalize_url(bad) == bad
+
     def test_sql_udf_registration(self, spark):
         from content_extractor_spark.functions.udfs import register_all
 

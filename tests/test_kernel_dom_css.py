@@ -451,12 +451,26 @@ class TestXPathSubset:
             ("//li[3]", "li:nth-of-type(3)"),
             ("//li[last()]", "li:last-of-type"),
             ("//div[contains(@class,'x')]", 'div[class*="x"]'),
-            ("//a[@href][2]", "a[href]:nth-of-type(2)"),
             (".//span", "span"),
             ("//a | //b", "a, b"),
         ]
         for xp, want in cases:
             assert xpath_to_css(xp) == want, xp
+
+    def test_positional_after_filter_rejected(self):
+        """XPath [n] counts among filtered nodes; CSS :nth-of-type
+        counts among all same-tag siblings — //a[@href][2] would
+        silently pick a different element when some siblings lack
+        href, so the translator must refuse it loudly."""
+        from content_extractor_spark.kernel.xpath import xpath_to_css
+
+        for xp in ("//a[@href][2]", "//p[contains(@class,'x')][last()]",
+                   "//div[@id='m'][1]"):
+            with pytest.raises(SelectorParseError):
+                xpath_to_css(xp)
+        # positional FIRST (pure [n] step) stays supported — there the
+        # two counting rules agree
+        assert xpath_to_css("//li[3]") == "li:nth-of-type(3)"
 
     def test_select_with_xpath(self):
         doc = parse(

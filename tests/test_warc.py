@@ -233,6 +233,38 @@ class TestIncrementalIngest:
         assert s3["records"] == 2
         assert spark.read.parquet(str(out / "records")).count() == 9
 
+    def test_crash_between_data_and_ledger_is_exactly_once(
+        self, spark, tmp_path
+    ):
+        """A run that died after the records write but before the
+        ledger commit leaves an orphan ingest_batch dir; the next run
+        must drop it and re-process, landing each record ONCE."""
+        from content_extractor_spark.sources.warc import (
+            batch_id,
+            incremental_warc_ingest,
+        )
+
+        in_dir = tmp_path / "in"
+        out = tmp_path / "out"
+        in_dir.mkdir()
+        (in_dir / "a.warc.gz").write_bytes(build_warc(_pages(4)))
+        # simulate the crashed half-run: records batch dir exists with
+        # the records parquet, but the ledger was never written
+        files = [str(in_dir / "a.warc.gz")]
+        from content_extractor_spark.sources.warc import read_warc
+
+        bid = batch_id([f"file:{f}" for f in files])
+        read_warc(spark, files).write.parquet(
+            str(out / "records" / f"ingest_batch={bid}")
+        )
+        assert spark.read.parquet(str(out / "records")).count() == 4
+        s = incremental_warc_ingest(spark, str(in_dir), str(out))
+        assert s["files_processed"] == 1 and s["records"] == 4
+        # no duplicate rows: orphan dropped, batch landed exactly once
+        recs = spark.read.parquet(str(out / "records"))
+        assert recs.count() == 4
+        assert recs.select("record_id").distinct().count() == 4
+
     def test_max_files_bounds_a_run(self, spark, tmp_path):
         from content_extractor_spark.sources.warc import (
             incremental_warc_ingest,
