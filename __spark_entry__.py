@@ -1003,7 +1003,47 @@ def q_link_graph(spark, sf_dir):
         F.coalesce(F.col("lastmod"), F.lit("")).alias("anchor_text"),
         F.lit(0).cast("bigint").alias("n"),
     )
-    return edges.unionByName(anchors).unionByName(sm)
+    # fourth product: WAT-sidecar links (r5) — the Common Crawl JSON
+    # envelope is synthesized in SQL per doc, parsed by the REAL
+    # from_json path (sources.warc.wat_links), and the oracle rebuilds
+    # the parse OUTPUT arithmetically, pinning the envelope schema
+    from content_extractor_spark.sources.warc import wat_links
+
+    src_url = F.concat(
+        F.lit("https://h"), (d % 5).cast("string"),
+        F.lit(".example/p"), d.cast("string"),
+    )
+    payload = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
+        src_url,
+        F.lit('"},"Payload-Metadata":{"HTTP-Response-Metadata":'
+              '{"HTML-Metadata":{"Head":{"Title":"T'),
+        d.cast("string"),
+        F.lit('"},"Links":[{"path":"A@/href","url":"https://h'),
+        ((d * 2 + 1) % 5).cast("string"),
+        F.lit('.example/w"},{"path":"A@/href","url":"/rel/x","text":"r'),
+        d.cast("string"),
+        F.lit('"}]}}}}}'),
+    )
+    wat_records = docs.select(
+        F.lit("synth.wat").alias("warc_file"),
+        F.concat(F.lit("wat-"), d.cast("string")).alias("record_id"),
+        F.lit("metadata").alias("warc_type"),
+        src_url.alias("url"),
+        F.lit("2021-07-01T00:00:00Z").alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        F.lit("application/json").alias("content_type"),
+        F.encode(payload, "utf-8").alias("payload"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    wat = wat_links(wat_records).select(
+        F.lit("wat_link").alias("kind"),
+        F.col("src_url").alias("src"),
+        F.col("link_url").alias("dst"),
+        F.concat_ws("|", "title", "link_text").alias("anchor_text"),
+        F.lit(0).cast("bigint").alias("n"),
+    )
+    return edges.unionByName(anchors).unionByName(sm).unionByName(wat)
 
 
 def q_pagerank_hosts(spark, sf_dir):
@@ -2221,6 +2261,27 @@ def oracle_sql() -> dict[str, str]:
                      || doc_id::varchar AS dst,
                    '' AS anchor_text, 0::BIGINT AS n
             FROM documents WHERE doc_id < 200 AND doc_id % 10 != 0
+            UNION ALL
+            -- wat_link rows: the arithmetic image of the synthesized
+            -- WAT envelope after wat_links' from_json+explode (first
+            -- link has no "text" key -> '' after the parse coalesce)
+            SELECT 'wat_link' AS kind,
+                   'https://h' || (doc_id % 5)::varchar || '.example/p'
+                     || doc_id::varchar AS src,
+                   'https://h' || ((doc_id * 2 + 1) % 5)::varchar
+                     || '.example/w' AS dst,
+                   'T' || doc_id::varchar || '|' AS anchor_text,
+                   0::BIGINT AS n
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT 'wat_link' AS kind,
+                   'https://h' || (doc_id % 5)::varchar || '.example/p'
+                     || doc_id::varchar AS src,
+                   '/rel/x' AS dst,
+                   'T' || doc_id::varchar || '|r' || doc_id::varchar
+                     AS anchor_text,
+                   0::BIGINT AS n
+            FROM documents WHERE doc_id < 200
         """,
         "pagerank_hosts": """
             WITH links AS (

@@ -147,18 +147,52 @@ def run_extraction_job(spark, corpus_path: str, out_path: str, buckets: int = 64
     return wall, summary
 
 
-def time_queries(spark, sf_dir: str) -> dict:
+def time_queries(spark, sf_dir: str, reps: int = 2) -> dict:
+    """Min-of-k per query — the repo's de-noising policy (the sandbox
+    VM has noisy neighbors; a single rep recorded phantom 2-3x
+    regressions in r4 that warm re-runs could not reproduce). The
+    first rep doubles as the warm-up; min() discards its JIT/code-ship
+    cost along with any noise burst."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     out = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
+
+
+def run_curate_bench(spark, sf_dir: str, reps: int = 2) -> dict:
+    """The composed 100-TB curation funnel (language -> quality ->
+    repetition -> exact dup -> near dup -> decontaminate -> split) over
+    the sf documents table — benched as one wall-time row so funnel
+    regressions are visible, with the funnel identity asserted."""
+    from jobs.curate_job import DROP_REASONS, resolve_config, run_curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    benchmark = docs.where("doc_id < 50").select("text")
+    cfg = resolve_config(["--input", "-", "--output", "-"])
+    best, metrics = None, None
+    for _ in range(reps):
+        shutil.rmtree("/tmp/ce_bench_curate", ignore_errors=True)
+        t0 = time.monotonic()
+        metrics = run_curation(
+            spark, docs, cfg, benchmark=benchmark,
+            out_root="/tmp/ce_bench_curate",
+        )
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    dropped = sum(metrics[f"drop_{r}"] for r in DROP_REASONS)
+    assert metrics["kept"] + dropped == metrics["total"], metrics
+    return {"wall_sec": round(best, 2), **metrics}
 
 
 def main():
@@ -188,6 +222,7 @@ def main():
 
     # -- representative query set at sf_dir ----------------------------------
     query_times = time_queries(spark, sf_dir)
+    curation = run_curate_bench(spark, sf_dir)
     spark.stop()
 
     # -- scaling: the extraction stage at N vs 4N cores ------------------------
@@ -246,6 +281,7 @@ def main():
             "errors": summary["errors"],
             "spans_emitted": summary["spans_emitted"],
         },
+        "curation": curation,
         "scaling": scaling,
         "cpus": cpus,
     }

@@ -203,12 +203,42 @@ def build_warc(
     pages: List[Tuple[str, str, bytes]],
     gzip_members: bool = True,
     warc_date: str = "2021-07-01T00:00:00Z",
+    with_requests: bool = False,
 ) -> bytes:
     """Synthesize a .warc(.gz) from (record_id, url, html_bytes)
     response records — the deterministic test/bench corpus writer
-    (records are the standard warcinfo-free minimal form)."""
+    (records are the standard warcinfo-free minimal form).
+
+    ``with_requests=True`` interleaves a ``request`` record before each
+    response (msgtype=request HTTP message), matching the full Common
+    Crawl archive layout so request-record handling is testable."""
     out = io.BytesIO()
+
+    def _emit(record: bytes) -> None:
+        if gzip_members:
+            co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            out.write(co.compress(record) + co.flush())
+        else:
+            out.write(record)
+
     for rid, url, body in pages:
+        if with_requests:
+            m = re.match(r"^https?://([^/]+)(/.*)?$", url)
+            host, path = (m.group(1), m.group(2) or "/") if m else ("", "/")
+            req = (
+                f"GET {path} HTTP/1.1\r\n".encode()
+                + f"Host: {host}\r\n\r\n".encode()
+            )
+            _emit(
+                b"WARC/1.0\r\n"
+                b"WARC-Type: request\r\n"
+                + f"WARC-Record-ID: <urn:uuid:req-{rid}>\r\n".encode()
+                + f"WARC-Target-URI: {url}\r\n".encode()
+                + f"WARC-Date: {warc_date}\r\n".encode()
+                + b"Content-Type: application/http; msgtype=request\r\n"
+                + f"Content-Length: {len(req)}\r\n".encode()
+                + b"\r\n" + req + b"\r\n\r\n"
+            )
         http = (
             b"HTTP/1.1 200 OK\r\n"
             b"Content-Type: text/html; charset=utf-8\r\n"
@@ -225,7 +255,55 @@ def build_warc(
             + f"Content-Length: {len(http)}\r\n".encode()
             + b"\r\n"
         )
-        record = headers + http + b"\r\n\r\n"
+        _emit(headers + http + b"\r\n\r\n")
+    return out.getvalue()
+
+
+def build_wat(
+    entries,
+    gzip_members: bool = True,
+    warc_date: str = "2021-07-01T00:00:00Z",
+) -> bytes:
+    """Synthesize a .warc.wat(.gz) of ``metadata`` records — the
+    Common Crawl WAT sidecar layout (per-page JSON envelope carrying
+    the parsed head title and outgoing links, so link-graph consumers
+    never re-parse HTML).
+
+    ``entries``: iterable of (record_id, page_url, title,
+    links=[(url, text), ...]).
+    """
+    import json as _json
+
+    out = io.BytesIO()
+    for rid, url, title, links in entries:
+        envelope = {
+            "Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": url},
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": title},
+                            "Links": [
+                                {"path": "A@/href", "url": u, "text": t}
+                                for u, t in links
+                            ],
+                        }
+                    }
+                },
+            }
+        }
+        body = _json.dumps(envelope, separators=(",", ":")).encode("utf-8")
+        headers = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: metadata\r\n"
+            + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode()
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {warc_date}\r\n".encode()
+            + b"Content-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"\r\n"
+        )
+        record = headers + body + b"\r\n\r\n"
         if gzip_members:
             co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
             out.write(co.compress(record) + co.flush())

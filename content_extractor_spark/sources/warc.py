@@ -150,6 +150,76 @@ def wet_documents(records: DataFrame) -> DataFrame:
     )
 
 
+# Common Crawl WAT envelope subset: head title + outgoing anchors.
+# Dashed field names are quoted; everything else in the envelope is
+# ignored by from_json (permissive-by-schema, the Spark JSON contract).
+WAT_ENVELOPE_DDL = (
+    "STRUCT<`Envelope`: STRUCT<"
+    "`WARC-Header-Metadata`: STRUCT<`WARC-Target-URI`: STRING>, "
+    "`Payload-Metadata`: STRUCT<`HTTP-Response-Metadata`: STRUCT<"
+    "`HTML-Metadata`: STRUCT<"
+    "`Head`: STRUCT<`Title`: STRING>, "
+    "`Links`: ARRAY<STRUCT<`path`: STRING, `url`: STRING, "
+    "`text`: STRING>>>>>>>"
+)
+
+
+def wat_links(records: DataFrame) -> DataFrame:
+    """WAT ``metadata`` records -> one row per outgoing link:
+    (src_url, title, link_path, link_url, link_text).
+
+    Pure Catalyst — ``from_json`` over the JSON envelope + explode; no
+    Python stage, so the link graph of a 100 TB crawl comes out of its
+    WAT sidecars at scan speed without ever re-parsing HTML. The
+    page url prefers the envelope's WARC-Header-Metadata and falls
+    back to the record's own WARC-Target-URI header."""
+    env = F.from_json(F.col("payload").cast("string"), WAT_ENVELOPE_DDL)
+    html_meta = env["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"
+    ]["HTML-Metadata"]
+    return (
+        records.where(
+            F.col("error").isNull() & (F.col("warc_type") == "metadata")
+        )
+        .select(
+            F.coalesce(
+                env["Envelope"]["WARC-Header-Metadata"]["WARC-Target-URI"],
+                F.col("url"),
+            ).alias("src_url"),
+            F.coalesce(html_meta["Head"]["Title"], F.lit("")).alias("title"),
+            F.explode(html_meta["Links"]).alias("link"),
+        )
+        .where(F.col("link.url").isNotNull())
+        .select(
+            "src_url",
+            "title",
+            F.coalesce(F.col("link.path"), F.lit("")).alias("link_path"),
+            F.col("link.url").alias("link_url"),
+            F.coalesce(F.col("link.text"), F.lit("")).alias("link_text"),
+        )
+    )
+
+
+def wat_host_edges(records: DataFrame) -> DataFrame:
+    """WAT records -> distinct (src, dst) host edges, the direct input
+    of ``pagerank_hosts`` — same edge semantics as
+    ``linkgraph.extract_host_links`` (absolute http(s) links only,
+    self-loops dropped) but sourced from WAT sidecars instead of HTML.
+    """
+    from content_extractor_spark.operators.linkgraph import HOST_RE
+
+    links = wat_links(records)
+    return (
+        links.select(
+            F.regexp_extract("src_url", HOST_RE, 1).alias("src"),
+            F.regexp_extract("link_url", HOST_RE, 1).alias("dst"),
+        )
+        .where((F.col("src") != "") & (F.col("dst") != "")
+               & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+
+
 def _list_warc_files(spark: SparkSession, in_dir: str) -> list:
     """Deterministic WARC file listing via the Hadoop FileSystem API —
     works for local, HDFS and object-store paths alike."""
@@ -165,6 +235,7 @@ def _list_warc_files(spark: SparkSession, in_dir: str) -> list:
         if status.isFile() and (
             name.endswith(".warc") or name.endswith(".warc.gz")
             or name.endswith(".warc.wet.gz") or name.endswith(".wet.gz")
+            or name.endswith(".warc.wat.gz") or name.endswith(".wat.gz")
         ):
             out.append(status.getPath().toString())
     return sorted(out)

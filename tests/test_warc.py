@@ -123,6 +123,94 @@ class TestWet:
         )
 
 
+class TestWatAndRequests:
+    """Round 5: the remaining ISO 28500 record types — ``request``
+    records (full-archive layout) and ``metadata``/WAT parsing into
+    the link-graph family without HTML re-parse."""
+
+    def test_request_records_roundtrip(self):
+        data = build_warc(_pages(3), with_requests=True)
+        recs = list(iter_warc_records(data))
+        assert [r.warc_type for r in recs] == [
+            "request", "response"] * 3
+        req = recs[0]
+        assert req.target_uri == "https://www.docs.example/p0"
+        assert req.payload.startswith(b"GET /p0 HTTP/1.1\r\n")
+        assert b"Host: www.docs.example" in req.payload
+
+    def test_read_warc_filters_request_records(self, spark, tmp_path):
+        from content_extractor_spark.sources.warc import read_warc
+
+        (tmp_path / "a.warc.gz").write_bytes(
+            build_warc(_pages(4), with_requests=True)
+        )
+        reqs = read_warc(spark, str(tmp_path), warc_types=("request",))
+        assert reqs.count() == 4
+        # default read stays response-only: requests don't leak in
+        resp = read_warc(spark, str(tmp_path))
+        assert resp.count() == 4
+        assert {r["warc_type"] for r in resp.collect()} == {"response"}
+
+    def test_wat_roundtrip_links(self, spark, tmp_path):
+        from content_extractor_spark.kernel.warc import build_wat
+        from content_extractor_spark.sources.warc import (
+            read_warc,
+            wat_host_edges,
+            wat_links,
+        )
+
+        wat = build_wat([
+            ("w1", "https://a.example/p1", "Title One",
+             [("https://b.example/x", "to b"), ("/rel/y", "rel")]),
+            ("w2", "https://b.example/p2", "Title Two",
+             [("https://a.example/z", "back"),
+              ("https://b.example/self", "self")]),
+            ("w3", "https://c.example/p3", "No Links", []),
+        ])
+        (tmp_path / "a.warc.wat.gz").write_bytes(wat)
+        recs = read_warc(spark, str(tmp_path), warc_types=("metadata",))
+        assert recs.count() == 3
+        links = {
+            (r["src_url"], r["link_url"], r["link_text"], r["title"])
+            for r in wat_links(recs).collect()
+        }
+        assert links == {
+            ("https://a.example/p1", "https://b.example/x", "to b",
+             "Title One"),
+            ("https://a.example/p1", "/rel/y", "rel", "Title One"),
+            ("https://b.example/p2", "https://a.example/z", "back",
+             "Title Two"),
+            ("https://b.example/p2", "https://b.example/self", "self",
+             "Title Two"),
+        }
+        # host edges: absolute cross-host links only, no self-loops
+        edges = {(r["src"], r["dst"])
+                 for r in wat_host_edges(recs).collect()}
+        assert edges == {("a.example", "b.example"),
+                         ("b.example", "a.example")}
+
+    def test_wat_malformed_json_yields_no_rows(self, spark, tmp_path):
+        """A WAT record with garbage JSON must contribute zero link
+        rows, never a task failure (from_json -> NULL envelope)."""
+        from content_extractor_spark.kernel.warc import build_wat
+        from content_extractor_spark.sources.warc import (
+            read_warc,
+            wat_links,
+        )
+
+        good = build_wat(
+            [("w1", "https://a.example/p", "T",
+              [("https://b.example/q", "t")])],
+            gzip_members=False,
+        )
+        # corrupt the JSON body but keep Content-Length consistent
+        bad = good.replace(b'{"Envelope"', b'{"EnvelXXX"')
+        (tmp_path / "a.warc").write_bytes(bad)
+        recs = read_warc(spark, str(tmp_path), warc_types=("metadata",))
+        assert recs.count() == 1
+        assert wat_links(recs).count() == 0
+
+
 class TestWarcFuzz:
     def test_roundtrip_property(self):
         """Any (id, url, body) corpus round-trips exactly, gz or plain;
