@@ -884,15 +884,31 @@ def q_top_terms(spark, sf_dir):
 
 
 def q_unigram_logprob(spark, sf_dir):
-    """Per-doc mean unigram log-probability under the corpus's own LM
-    (cheap perplexity proxy) PLUS the CCNet-style head/middle/tail
-    banding per language (deterministic ntile over the score) — one
-    driver row value-checks both operators.
+    """Corpus-LM perplexity proxies, both orders, one driver row:
+    per-doc mean UNIGRAM log-probability (kind='uni') and the
+    Laplace-smoothed BIGRAM conditional log-probability (kind='bi'),
+    each with its own CCNet-style head/middle/tail banding per
+    language (deterministic ntile over the score). n_units is the
+    scoring-unit count (tokens resp. bigrams).
     """
-    from content_extractor_spark.operators.textstats import perplexity_bands
+    from content_extractor_spark.operators.textstats import (
+        bigram_logprob,
+        perplexity_bands,
+    )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return perplexity_bands(docs, bands=3, round_to=5)
+    uni = perplexity_bands(docs, bands=3, round_to=5).select(
+        F.lit("uni").alias("kind"), "doc_id", "lang", "mean_logprob",
+        F.col("n_tokens").alias("n_units"), "band", "band_name",
+    )
+    bi = perplexity_bands(
+        docs, bands=3, round_to=5,
+        scores=bigram_logprob(docs, round_to=5),
+    ).select(
+        F.lit("bi").alias("kind"), "doc_id", "lang", "mean_logprob",
+        F.col("n_bigrams").alias("n_units"), "band", "band_name",
+    )
+    return uni.unionByName(bi)
 
 
 def q_sample_and_split(spark, sf_dir):
@@ -2178,12 +2194,74 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY s.mean_logprob DESC,
                                              s.doc_id ASC) AS band
               FROM scores s JOIN documents d USING (doc_id)
+            ),
+            -- bigram LM (kind='bi'): Laplace-smoothed conditional
+            -- p(v|u) = (C(u,v)+1)/(C(u,*)+V) under the corpus's own
+            -- bigram counts; history count and successor vocabulary
+            -- both derive from the bigram aggregate
+            bt AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents WHERE doc_id < 300
+            ),
+            bgr AS (
+              SELECT doc_id,
+                     unnest([t[i] || ' ' || t[i+1]
+                             for i in range(1, greatest(len(t)-1, 0)+1)])
+                         AS bg
+              FROM bt
+            ),
+            bbase AS (
+              SELECT doc_id, bg, count(*) AS tc FROM bgr
+              GROUP BY doc_id, bg
+            ),
+            bcorpus AS (
+              SELECT bg, split_part(bg, ' ', 1) AS u, sum(tc) AS cc
+              FROM bbase GROUP BY bg
+            ),
+            bhist AS (SELECT u, sum(cc) AS hc FROM bcorpus GROUP BY u),
+            bvocab AS (
+              SELECT count(DISTINCT split_part(bg, ' ', 2))::DOUBLE AS vsz
+              FROM bcorpus
+            ),
+            bscored AS (
+              SELECT b.doc_id,
+                     round(sum(b.tc * ln((c.cc + 1.0)
+                                         / (h.hc + v.vsz))) / sum(b.tc),
+                           5) AS mean_logprob,
+                     sum(b.tc)::BIGINT AS n_bigrams
+              FROM bbase b
+              JOIN bcorpus c USING (bg)
+              JOIN bhist h ON c.u = h.u, bvocab v
+              GROUP BY b.doc_id
+            ),
+            bscores AS (
+              SELECT d.doc_id,
+                     coalesce(s.mean_logprob, 0.0) AS mean_logprob,
+                     coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+              LEFT JOIN bscored s USING (doc_id)
+            ),
+            bbanded AS (
+              SELECT s.doc_id, d.lang, s.mean_logprob, s.n_bigrams,
+                     ntile(3) OVER (PARTITION BY d.lang
+                                    ORDER BY s.mean_logprob DESC,
+                                             s.doc_id ASC) AS band
+              FROM bscores s JOIN documents d USING (doc_id)
             )
-            SELECT doc_id, lang, mean_logprob, n_tokens, band,
+            SELECT 'uni' AS kind, doc_id, lang, mean_logprob,
+                   n_tokens AS n_units, band,
                    CASE WHEN band = 1 THEN 'head'
                         WHEN band = 3 THEN 'tail'
                         ELSE 'middle' END AS band_name
             FROM banded
+            UNION ALL
+            SELECT 'bi' AS kind, doc_id, lang, mean_logprob,
+                   n_bigrams AS n_units, band,
+                   CASE WHEN band = 1 THEN 'head'
+                        WHEN band = 3 THEN 'tail'
+                        ELSE 'middle' END AS band_name
+            FROM bbanded
         """,
         "sample_and_split": f"""
             WITH sampled AS (

@@ -414,6 +414,91 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    Laplace-smoothed bigram LM — one step closer to the published
+    CCNet recipe than the unigram proxy: it sees local word ORDER, so
+    shuffled-word gibberish that fools the unigram score does not fool
+    this one.
+
+    p(v|u) = (C(u,v) + alpha) / (C(u,*) + alpha*V), where C(u,*) is
+    the history count (sum of C(u,v) over v — occurrences of u except
+    document-final) and V the successor vocabulary size (distinct v
+    over corpus bigrams). score(doc) = sum over the doc's bigram
+    occurrences of ln p(v|u), divided by the bigram count. Documents
+    with < 2 tokens get mean_logprob = 0.0 and n_bigrams = 0
+    (sentinels, not NULLs — driver dtype contract). Deterministic.
+
+    Plan: ONE (doc, bigram) count aggregate (map-side slide over the
+    token array, then explode); corpus counts, history counts and V
+    all derive from it via token-keyed shuffles with partial
+    aggregation; V and nothing else is a broadcast scalar; the final
+    per-doc combine shuffles on id. Raw token streams never ship.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    cnt = F.size(toks) - 1
+    bigrams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("tc"))
+    )
+    corpus = (
+        base.groupBy("bg")
+        .agg(F.sum("tc").alias("cc"))
+        .withColumn("u", F.substring_index("bg", " ", 1))
+    )
+    hist = corpus.groupBy("u").agg(F.sum("cc").alias("hc"))
+    vocab = corpus.select(
+        F.countDistinct(F.substring_index("bg", " ", -1)).alias("vsz")
+    )
+    scored = (
+        base.join(corpus, "bg")
+        .join(hist, "u")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tc")
+                    * F.log(
+                        (F.col("cc") + F.lit(alpha))
+                        / (F.col("hc") + F.lit(alpha) * F.col("vsz"))
+                    )
+                )
+                / F.sum("tc"),
+                round_to,
+            ).alias("mean_logprob"),
+            F.sum("tc").alias("n_bigrams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("mean_logprob"), F.lit(0.0)).alias(
+                "mean_logprob"
+            ),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+        )
+    )
+
+
 def perplexity_bands(
     df: DataFrame,
     text_col: str = "text",
@@ -421,6 +506,7 @@ def perplexity_bands(
     group_col: str = "lang",
     bands: int = 3,
     round_to: int = 6,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity banding: per group (language), split
     documents into `bands` equal-count bands by their mean unigram
@@ -428,15 +514,24 @@ def perplexity_bands(
     band `bands` ('tail') = most-perplexing. CCNet keeps head+middle
     and drops (or down-weights) tail for pretraining mixes.
 
-    (id, group, mean_logprob, n_tokens, band, band_name). Deterministic:
+    (id, group, mean_logprob, <count>, band, band_name). Deterministic:
     ntile over (score DESC, id ASC) — ties break on id, never on
     partition order. One window per group on the per-doc score rows
-    (corpus-sized but narrow); the heavy lifting is
-    :func:`unigram_logprob`'s shared (doc, term) aggregate.
+    (corpus-sized but narrow); the heavy lifting is the scorer's
+    shared (doc, term) aggregate.
+
+    ``scores``: optionally a precomputed (id, mean_logprob, <count>)
+    frame — e.g. :func:`bigram_logprob`'s output — to band by a
+    different LM; defaults to :func:`unigram_logprob`. The scorer's
+    count column keeps its own name (n_tokens / n_bigrams).
     """
     from pyspark.sql import Window
 
-    scores = unigram_logprob(df, text_col, id_col, round_to=round_to)
+    if scores is None:
+        scores = unigram_logprob(df, text_col, id_col, round_to=round_to)
+    count_col = [
+        c for c in scores.columns if c not in (id_col, "mean_logprob")
+    ][0]
     grouped = scores.join(
         df.select(F.col(id_col), F.col(group_col).alias("grp")), id_col
     )
@@ -451,7 +546,7 @@ def perplexity_bands(
     )
     return grouped.select(
         F.col(id_col), F.col("grp").alias(group_col), "mean_logprob",
-        "n_tokens", band.alias("band"), name.alias("band_name"),
+        count_col, band.alias("band"), name.alias("band_name"),
     )
 
 

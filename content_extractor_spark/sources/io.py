@@ -78,6 +78,14 @@ _ENTRY_FIELDS = (
 # write-only columns the mutations set but extraction never produces
 _WRITE_COLS = ("next_crawl", "updated_at", "has_been_tagged")
 
+# the planned-actions columns the entries MERGE consumes (plan_actions
+# output subset) — the dry run validates source expressions against it
+PLANNED_DDL = (
+    "url_id string, action string, title string, summary string, "
+    "content string, date string, tags array<string>, etag string, "
+    "image_url string, content_hash int, disabled boolean"
+)
+
 
 def _parse_clock(clock: str) -> datetime:
     return datetime.fromisoformat(clock.replace("Z", "+00:00")).astimezone(
@@ -199,6 +207,44 @@ def entry_merge_sql(
           INSERT ({insert_cols})
           VALUES ({insert_vals})
     """
+
+
+def entry_merge_dry_run(
+    spark: SparkSession,
+    entries_table: str,
+    planned: DataFrame,
+    clock: str = DEFAULT_CLOCK,
+    reanalysis_interval_hours: int = REANALYSIS_INTERVAL_HOURS,
+) -> str:
+    """Executable dry run of the entries MERGE for environments without
+    a MERGE-capable catalog (this sandbox ships no Iceberg jar): walks
+    the REAL path — temp-view registration, SQL generation — and
+    analyzes every source-side expression the MERGE references against
+    the live planned frame (p.url_id, p.action, each p.<field>, the
+    coalesce on p.disabled), so a schema drift in plan_actions fails
+    here exactly as it would fail the live MERGE. Returns the exact
+    SQL; executes nothing against the target table.
+    """
+    view = "__planned_entry_actions"
+    planned.createOrReplaceTempView(view)
+    try:
+        sql = entry_merge_sql(
+            entries_table, view, clock, reanalysis_interval_hours
+        )
+        probe = ", ".join(
+            [
+                "concat('entry-', p.url_id)",
+                "p.url_id",
+                "p.action",
+                *[f"p.{c}" for c in _ENTRY_FIELDS],
+                "coalesce(p.disabled, false)",
+            ]
+        )
+        # .schema forces analysis without executing a job
+        spark.sql(f"SELECT {probe} FROM {view} p").schema
+    finally:
+        spark.catalog.dropTempView(view)
+    return sql
 
 
 def merge_entry_actions(

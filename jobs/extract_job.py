@@ -77,6 +77,11 @@ def resolve_config(argv=None, env=None):
                        help="existing entries table/path for dup-disable + ETag skip")
         p.add_argument("--target-pattern", default="yyyy-MM-dd'T'HH:mm:ssXXX")
         p.add_argument("--target-zone", default="UTC")
+        p.add_argument("--print-merge-sql", action="store_true",
+                       help="dry run: print the exact entries MERGE the "
+                            "catalog path would execute, then exit "
+                            "(requires --entries; no data is read or "
+                            "written)")
         args = p.parse_args(argv)
 
         def take(attr: str, var: str, cast=str) -> None:
@@ -102,6 +107,10 @@ def resolve_config(argv=None, env=None):
         take("target_zone", "TARGET_TIME_ZONE")
         if args.mode not in ("all", "new", "existing"):
             p.error(f"invalid mode '{args.mode}' (all|new|existing)")
+        if args.print_merge_sql:
+            if not args.entries:
+                p.error("--print-merge-sql requires --entries")
+            return args  # dry run needs no input/output/profiles
         missing = [k for k in ("input", "output", "profiles")
                    if not getattr(args, k)]
         if missing:
@@ -127,6 +136,24 @@ def main(argv=None):
 
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"content-extract-{args.run_id}")
+    if args.print_merge_sql:
+        # dry run: exercise the live MERGE path (view registration +
+        # source-expression analysis against the canonical planned
+        # schema) and print the exact SQL; nothing is read or written
+        from content_extractor_spark.sources.io import (
+            PLANNED_DDL,
+            entry_merge_dry_run,
+        )
+
+        planned = spark.createDataFrame([], PLANNED_DDL)
+        print(entry_merge_dry_run(
+            spark, args.entries, planned,
+            clock=args.now,
+            reanalysis_interval_hours=args.reanalysis_hours,
+        ))
+        if not preexisting:
+            spark.stop()
+        return 0
     docs = (
         spark.read.table(args.input)
         if "/" not in args.input

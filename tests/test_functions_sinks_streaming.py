@@ -135,6 +135,57 @@ class TestEntryMerge:
                   "image_url", "content_hash"):
             assert f"t.{c} = p.{c}" in sql
 
+    def test_merge_dry_run_leg(self, spark):
+        """Executable smoke for the MERGE path in a jar-less sandbox:
+        the dry run walks view registration + source-expression
+        analysis against a REAL planned frame and returns the exact
+        SQL; a planned frame missing a referenced column must fail
+        analysis (what the live MERGE would do)."""
+        import pytest as _pytest
+
+        from content_extractor_spark.sources.io import (
+            PLANNED_DDL,
+            entry_merge_dry_run,
+        )
+        from pyspark.errors import AnalysisException
+
+        planned = spark.createDataFrame(
+            [("u1", "create", "t", "s", "c", "d", ["a"], None, None, 7,
+              False)],
+            PLANNED_DDL,
+        )
+        sql = entry_merge_dry_run(
+            spark, "cat.db.entries", planned,
+            clock="2021-07-01T00:00:00Z", reanalysis_interval_hours=48,
+        )
+        assert "MERGE INTO cat.db.entries t" in sql
+        assert "USING __planned_entry_actions p" in sql
+        assert "t.next_crawl = '2021-07-03T00:00:00Z'" in sql
+        # temp view is cleaned up even on success
+        assert not any(
+            t.name == "__planned_entry_actions"
+            for t in spark.catalog.listTables()
+        )
+        with _pytest.raises(AnalysisException):
+            entry_merge_dry_run(
+                spark, "cat.db.entries", planned.drop("content_hash")
+            )
+
+    def test_job_print_merge_sql(self, spark, capsys):
+        """jobs-level dry run: --print-merge-sql needs only --entries
+        and prints the exact statement, reading and writing nothing."""
+        from jobs.extract_job import main
+
+        rc = main([
+            "--print-merge-sql", "--entries", "cat.db.entries",
+            "--now", "2021-07-01T00:00:00Z", "--reanalysis-hours", "48",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "MERGE INTO cat.db.entries t" in out
+        assert "t.next_crawl = '2021-07-03T00:00:00Z'" in out
+        assert "WHEN NOT MATCHED AND p.action = 'create' THEN" in out
+
     def test_merge_path_matches_rewrite_path(self, spark, tmp_path):
         """With an Iceberg catalog the MERGE must land the same final
         state as apply_entry_actions. Skipped when the runtime jar is

@@ -1982,6 +1982,31 @@ class TestBpe:
         )
         assert got == {1: "it", 2: "pt", 3: "nl", 4: "und"}
 
+    def test_bigram_logprob_hand_computed(self, spark):
+        """Laplace bigram LM pinned against hand arithmetic.
+
+        Corpus bigrams: C(a b)=1, C(b a)=2; histories C(a,*)=1,
+        C(b,*)=2; successor vocab V = |{a, b}| = 2. So
+        p(b|a) = (1+1)/(1+2) = 2/3 and p(a|b) = (2+1)/(2+2) = 3/4.
+        """
+        import math
+
+        from content_extractor_spark.operators.textstats import (
+            bigram_logprob,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "b a"), (3, "x")],
+            "doc_id int, text string",
+        )
+        got = {
+            r["doc_id"]: (r["mean_logprob"], r["n_bigrams"])
+            for r in bigram_logprob(df).collect()
+        }
+        d1 = round((math.log(2 / 3) + math.log(3 / 4)) / 2, 6)
+        d2 = round(math.log(3 / 4), 6)
+        assert got == {1: (d1, 2), 2: (d2, 1), 3: (0.0, 0)}
+
     def test_language_id_wide_ladder(self, spark):
         """r5 widening: ru/pl/sv/da markers + CJK script detection.
 
