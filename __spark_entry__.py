@@ -1197,15 +1197,58 @@ def q_normalize_pii_scrub(spark, sf_dir):
     )
 
 
+# PQ driver-row parameters (shared with the generated oracle SQL)
+_PQ_M, _PQ_K, _PQ_DIM = 4, 4, 64
+
+
+def _pq_query_vector():
+    """Deterministic synthetic query vector: q[i] = ((i*7) % 13) / 13
+    (0-based dim) — trivially reproducible in SQL."""
+    return [((i * 7) % 13) / 13.0 for i in range(_PQ_DIM)]
+
+
 def q_kmeans_assign(spark, sf_dir):
-    # deterministic fixed-iteration Lloyd k-means (the IVF coarse
-    # quantizer): init = vectors of the 4 smallest ids, one update
-    # iteration, rounded centroids/distances, argmin ties to the
-    # lowest cluster — the oracle replays the identical arithmetic
-    from content_extractor_spark.operators.similarity import kmeans_assign
+    """Vector quantization, both quantizers, one driver row:
+    kind='kmeans' — deterministic fixed-iteration Lloyd k-means (the
+    IVF coarse quantizer): init = vectors of the 4 smallest ids, one
+    update iteration, rounded centroids/distances, argmin ties to the
+    lowest cluster; kind='pq' — product quantization over the same
+    vectors (m=4 subspaces x k=4 codes trained by the same k-means in
+    each subspace): `cluster` carries the packed code word
+    (sum code_s * k^s) and `dist` the ADC distance to a deterministic
+    synthetic query. The oracle replays ALL of the arithmetic,
+    including the per-subspace codebook training.
+    """
+    from content_extractor_spark.operators.similarity import (
+        kmeans_assign,
+        pq_adc_distances,
+        pq_encode,
+        pq_train_codebooks,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return kmeans_assign(emb, dim=64, k=4, iterations=1, round_to=6)
+    km = kmeans_assign(emb, dim=64, k=4, iterations=1, round_to=6).select(
+        F.lit("kmeans").alias("kind"), "vec_id",
+        "cluster", "dist",
+    )
+    books = pq_train_codebooks(
+        emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iterations=1, round_to=6
+    )
+    codes = pq_encode(emb, books, round_to=6)
+    packed = None
+    for s in range(_PQ_M):
+        term = F.col("codes")[s] * F.lit(_PQ_K ** s)
+        packed = term if packed is None else packed + term
+    adc = pq_adc_distances(codes, books, _pq_query_vector(), round_to=6)
+    pq = (
+        codes.join(adc, "vec_id")
+        .select(
+            F.lit("pq").alias("kind"), "vec_id",
+            packed.cast("int").alias("cluster"),
+            F.col("adc_dist").alias("dist"),
+        )
+    )
+    return km.unionByName(pq)
 
 
 def q_windowed_agg(spark, sf_dir):
@@ -1524,6 +1567,91 @@ _CJK_CASE_SQL = r"""
                 WHEN regexp_matches(text, '[\x{3040}-\x{30FF}]') THEN 'ja'
                 WHEN regexp_matches(text, '[\x{AC00}-\x{D7A3}]') THEN 'ko'
                 WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'"""
+
+
+def _pq_oracle_sql() -> str:
+    """Generated CTE chain replaying product quantization end to end:
+    per subspace, the SAME one-iteration k-means the kmeans oracle
+    replays (init = subvectors of the 4 smallest ids), then nearest-
+    centroid encoding and the ADC distance to the synthetic query —
+    all from first principles, so the oracle checks codebook training,
+    encoding AND search arithmetic."""
+    sub = _PQ_DIM // _PQ_M
+    q = _pq_query_vector()
+    parts = []
+    for s in range(_PQ_M):
+        lo = s * sub + 1
+        rng = f"range(1, {sub + 1})"
+        qlist = "[" + ", ".join(repr(x) for x in q[s * sub:(s + 1) * sub]) + "]"
+        parts.append(f"""
+            sv{s} AS (
+              SELECT vec_id, v[{lo}:{lo + sub - 1}] AS v FROM vecs
+            ),
+            sc0_{s} AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+              FROM (SELECT vec_id, v FROM sv{s} ORDER BY vec_id
+                    LIMIT {_PQ_K})
+            ),
+            sa1_{s} AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist ASC,
+                                                      cluster ASC) AS rn
+                FROM (
+                  SELECT sv{s}.vec_id, sv{s}.v, c.cluster,
+                         round(list_sum([
+                           (sv{s}.v[i] - c.v[i]) * (sv{s}.v[i] - c.v[i])
+                           for i in {rng}]), 6) AS dist
+                  FROM sv{s}, sc0_{s} c
+                )
+              ) WHERE rn = 1
+            ),
+            sd_{s} AS (
+              SELECT a.cluster, d.i, round(avg(a.v[d.i]), 6) AS cv
+              FROM sa1_{s} a, (SELECT unnest({rng}) AS i) d
+              GROUP BY a.cluster, d.i
+            ),
+            sc1_{s} AS (
+              SELECT cluster, list(cv ORDER BY i) AS v FROM sd_{s}
+              GROUP BY cluster
+            ),
+            scode_{s} AS (
+              SELECT vec_id, cluster AS code FROM (
+                SELECT sv.vec_id, c.cluster,
+                       row_number() OVER (
+                         PARTITION BY sv.vec_id
+                         ORDER BY round(list_sum([
+                             (sv.v[i] - c.v[i]) * (sv.v[i] - c.v[i])
+                             for i in {rng}]), 6) ASC,
+                           c.cluster ASC) AS rn
+                FROM sv{s} sv, sc1_{s} c
+              ) WHERE rn = 1
+            ),
+            stab_{s} AS (
+              SELECT c.cluster,
+                     round(list_sum([
+                       (q.qs[i] - c.v[i]) * (q.qs[i] - c.v[i])
+                       for i in {rng}]), 6) AS td
+              FROM sc1_{s} c, (SELECT {qlist} AS qs) q
+            )""")
+    packed = " + ".join(
+        f"c{s}.code * {_PQ_K ** s}" for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"t{s}.td" for s in range(_PQ_M))
+    joins = "\n              ".join(
+        f"JOIN scode_{s} c{s} USING (vec_id)" for s in range(_PQ_M)
+    ) + "\n              " + "\n              ".join(
+        f"JOIN stab_{s} t{s} ON t{s}.cluster = c{s}.code"
+        for s in range(_PQ_M)
+    )
+    return ",".join(parts) + f""",
+            pq AS (
+              SELECT v.vec_id,
+                     ({packed})::INT AS cluster,
+                     round({adc}, 6) AS dist
+              FROM vecs v
+              {joins}
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2488,7 +2616,7 @@ def oracle_sql() -> dict[str, str]:
                                   '<PHONE>', 'g') AS scrubbed
             FROM s2
         """,
-        "kmeans_assign": """
+        "kmeans_assign": f"""
             WITH vecs AS (
               SELECT vec_id, embedding::DOUBLE[] AS v
               FROM embeddings WHERE vec_id < 200
@@ -2519,8 +2647,9 @@ def oracle_sql() -> dict[str, str]:
             c1 AS (
               SELECT cluster, list(cv ORDER BY i) AS v FROM dims
               GROUP BY cluster
-            )
-            SELECT vec_id, cluster, dist FROM (
+            ),
+            {_pq_oracle_sql()}
+            SELECT 'kmeans' AS kind, vec_id, cluster, dist FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id
                                            ORDER BY dist ASC, cluster ASC)
                             AS rn
@@ -2532,6 +2661,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM vecs, c1
               )
             ) WHERE rn = 1
+            UNION ALL
+            SELECT 'pq' AS kind, vec_id, cluster, dist FROM pq
         """,
         "weighted_source_sample": f"""
             WITH w(source, permille) AS (

@@ -253,6 +253,30 @@ def _sq_dist_to(vec: Column, centroid, round_to: int) -> Column:
     )
 
 
+def _kmeans_centroids(base: DataFrame, dim: int, k: int,
+                      iterations: int, round_to: int):
+    """Deterministic Lloyd centroid training over base(id, v):
+    init = vectors of the k smallest ids; per iteration one
+    groupBy(cluster) AVG pass + a k-row driver collect; empty clusters
+    keep their previous centroid. Shared by kmeans_assign (IVF coarse
+    quantizer) and the per-subspace PQ codebook trainer."""
+    init = base.orderBy("id").limit(k).collect()
+    cents = [list(r["v"]) for r in init]
+    for _ in range(iterations):
+        assigned = _kmeans_assign_stage(base, cents, round_to)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(*[
+                F.round(F.avg(F.col("v")[i]), round_to).alias(f"c{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        got = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+        cents = [got.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
 def _kmeans_assign_stage(base: DataFrame, cents, round_to: int) -> DataFrame:
     """Argmin over centroid literals; ties break to the lowest cluster
     index (array_position returns the FIRST minimum)."""
@@ -297,20 +321,7 @@ def kmeans_assign(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).cache()
-    init = base.orderBy("id").limit(k).collect()
-    cents = [list(r["v"]) for r in init]
-    for _ in range(iterations):
-        assigned = _kmeans_assign_stage(base, cents, round_to)
-        rows = (
-            assigned.groupBy("cluster")
-            .agg(*[
-                F.round(F.avg(F.col("v")[i]), round_to).alias(f"c{i}")
-                for i in range(dim)
-            ])
-            .collect()
-        )
-        got = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
-        cents = [got.get(j, cents[j]) for j in range(len(cents))]
+    cents = _kmeans_centroids(base, dim, k, iterations, round_to)
     out = _kmeans_assign_stage(base, cents, round_to).select(
         F.col("id").alias(id_col), "cluster", "dist"
     )
@@ -319,3 +330,143 @@ def kmeans_assign(
     # pinning the full vector projection for the rest of the session)
     base.unpersist(blocking=False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Mirror of Spark's Round on DOUBLE (BigDecimal HALF_UP over the
+    shortest decimal representation) — Python's built-in round() is
+    half-EVEN and would diverge on exact .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+    ))
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+):
+    """Train per-subspace PQ codebooks: split each vector into `m`
+    contiguous subvectors of dim/m and run the SAME deterministic
+    Lloyd k-means the IVF coarse quantizer uses in each subspace.
+
+    Returns a driver-side list of m codebooks x k centroids x (dim/m)
+    floats — m*k rows total cross the driver (codebooks are model
+    parameters, bounded by construction, never corpus-sized). At
+    100 TB the training input would be a deterministic sample; the
+    trainer itself is one AVG aggregation pass per iteration per
+    subspace.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("full"),
+    ).cache()
+    books = []
+    for s in range(m):
+        sb = base.select(
+            "id", F.slice("full", s * sub + 1, sub).alias("v")
+        )
+        books.append(_kmeans_centroids(sb, sub, k, iterations, round_to))
+    base.unpersist(blocking=False)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the index of the nearest
+    codebook centroid (rounded squared distance, ties to the lowest
+    index — the kmeans_assign determinism contract). MAP-ONLY: the
+    codebooks are array literals, so encoding a 10^12-vector corpus is
+    one scan with no shuffle; the encoded corpus is m bytes-ish per
+    vector instead of dim floats — the entire point of PQ.
+    """
+    sub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s, book in enumerate(codebooks):
+        sv = F.slice(vec, s * sub + 1, sub)
+        dists = F.array(*[_sq_dist_to(sv, c, round_to) for c in book])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(
+        F.col(id_col), F.array(*codes).alias("codes")
+    )
+
+
+def pq_adc_distances(
+    codes_df: DataFrame,
+    codebooks,
+    query,
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric distance computation: per subspace, the query's
+    squared distance to each codebook centroid forms a k-entry lookup
+    table (computed driver-side — m*k scalars); a row's approximate
+    distance is the sum of its codes' table entries. MAP-ONLY over the
+    encoded corpus: scoring 10^12 vectors is m array lookups + one
+    rounded sum per row, no shuffle, no full-precision vector reads.
+
+    Returns (id, adc_dist). Table entries use the same HALF_UP
+    rounding as the engine so a SQL oracle can replay them from its
+    own centroids.
+    """
+    sub = len(codebooks[0][0])
+    tables = []
+    for s, book in enumerate(codebooks):
+        q = query[s * sub:(s + 1) * sub]
+        tables.append([
+            _round_half_up(
+                sum((qd - cd) * (qd - cd) for qd, cd in zip(q, c)),
+                round_to,
+            )
+            for c in book
+        ])
+    dist = None
+    for s, table in enumerate(tables):
+        t = F.array(*[F.lit(x) for x in table])
+        term = F.element_at(t, F.col("codes")[s] + 1)
+        dist = term if dist is None else dist + term
+    return codes_df.select(
+        F.col(id_col), F.round(dist, round_to).alias("adc_dist")
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks,
+    query,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """End-to-end PQ search: encode + ADC + top-k (ascending distance,
+    ties to the lowest id). orderBy+limit compiles to TakeOrdered —
+    per-partition top-k then a k-row driver merge, never a global
+    sort."""
+    codes = pq_encode(df, codebooks, id_col, vec_col, round_to)
+    scored = pq_adc_distances(codes, codebooks, query, id_col, round_to)
+    return scored.orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    ).limit(topk)

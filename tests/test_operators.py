@@ -257,6 +257,44 @@ class TestTags:
 
 
 class TestSimilarity:
+    def test_pq_encode_adc_roundtrip(self, spark):
+        """Product quantization sanity on a separable corpus: two tight
+        clusters must get distinct code words in every subspace, the
+        codebooks must be deterministic across retrains, and a query
+        placed AT one cluster must ADC-rank that cluster's vectors
+        strictly closer than the other's."""
+        from content_extractor_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        # cluster A around +1, cluster B around -1, dim 8
+        rows = []
+        for i in range(10):
+            rows.append((i, [1.0 + (i % 3) * 0.01] * 8))
+            rows.append((100 + i, [-1.0 - (i % 3) * 0.01] * 8))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        books = pq_train_codebooks(df, dim=8, m=2, k=2, iterations=1)
+        assert books == pq_train_codebooks(df, dim=8, m=2, k=2,
+                                           iterations=1)
+        assert len(books) == 2 and all(len(b) == 2 for b in books)
+        codes = {
+            r["vec_id"]: tuple(r["codes"])
+            for r in pq_encode(df, books).collect()
+        }
+        a_codes = {codes[i] for i in range(10)}
+        b_codes = {codes[100 + i] for i in range(10)}
+        assert len(a_codes) == 1 and len(b_codes) == 1
+        assert a_codes != b_codes
+        top = pq_adc_topk(df, books, [1.0] * 8, topk=10).collect()
+        assert sorted(r["vec_id"] for r in top) == list(range(10))
+        # ascending distance, ties to the lowest id
+        dists = [r["adc_dist"] for r in top]
+        assert dists == sorted(dists)
+
     def test_cosine_topk_self_best(self, spark):
         import random
 

@@ -265,3 +265,82 @@ def test_weighted_source_sample_broadcasts_weights(spark):
     assert rep["has_broadcast_join"], rep["text"][:1500]
     assert rep["python_stages"] == 0
     assert rep["exchanges"] == 0, rep["text"][:1500]
+
+
+def test_wat_links_pure_catalyst(spark):
+    """WAT envelope parsing must be from_json + explode in the JVM:
+    zero Python stages, zero exchanges (map-only until a consumer
+    aggregates)."""
+    from content_extractor_spark.sources.warc import wat_links
+
+    recs = spark.createDataFrame(
+        [("f", "id1", "metadata", "https://a.example/p",
+          "2021-07-01T00:00:00Z", 200, "application/json",
+          bytearray(b'{"Envelope":{}}'), None)],
+        "warc_file string, record_id string, warc_type string, "
+        "url string, warc_date string, http_status int, "
+        "content_type string, payload binary, error string",
+    )
+    rep = plan_report(wat_links(recs))
+    assert rep["python_stages"] == 0
+    assert rep["exchanges"] == 0, rep["text"][:1500]
+
+
+def test_bigram_logprob_partial_aggs_no_cartesian(spark):
+    """The bigram LM must partial-aggregate before every shuffle and
+    broadcast only the 1-row vocabulary scalar — no cartesian product
+    over data-sized sides."""
+    from content_extractor_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id int, text string"
+    )
+    rep = plan_report(bigram_logprob(df))
+    assert rep["python_stages"] == 0
+    # the only nested-loop join is the broadcast of the 1-row scalar
+    import re as _re
+
+    cartesians = _re.findall(
+        r"^\(\d+\) CartesianProduct", rep["text"], _re.M
+    )
+    assert not cartesians, rep["text"][:2000]
+    assert rep["has_broadcast_join"] or (
+        "BroadcastNestedLoopJoin" in rep["text"]
+    )
+
+
+def test_language_id_stays_codegen(spark):
+    """r4 regression guard: the 14-language ladder must stay inside
+    whole-stage codegen (the old per-marker re-tokenization blew the
+    janino method limit and ran the whole corpus scan interpreted)."""
+    from content_extractor_spark.operators.textstats import detect_language
+
+    df = spark.createDataFrame(
+        [(1, "the and of it all")], "doc_id int, text string"
+    )
+    out = df.select(detect_language("text").alias("l"))
+    rep = plan_report(out)
+    assert rep["wholestage_codegen_spans"] >= 1, rep["text"][:1500]
+
+
+def test_pq_encode_and_adc_map_only(spark):
+    """PQ encoding and ADC scoring must be map-only over literal
+    codebooks/tables: zero Python stages, zero exchanges — the scan
+    IS the search at any corpus size."""
+    from content_extractor_spark.operators.similarity import (
+        pq_adc_distances,
+        pq_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.9] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    books = [[[0.0] * 4, [1.0] * 4]] * 2
+    codes = pq_encode(df, books)
+    rep = plan_report(codes)
+    assert rep["python_stages"] == 0
+    assert rep["exchanges"] == 0, rep["text"][:1200]
+    rep2 = plan_report(pq_adc_distances(codes, books, [0.5] * 8))
+    assert rep2["python_stages"] == 0
+    assert rep2["exchanges"] == 0, rep2["text"][:1200]
