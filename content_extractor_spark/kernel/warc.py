@@ -266,23 +266,34 @@ def build_wat(
 ) -> bytes:
     """Synthesize a .warc.wat(.gz) of ``metadata`` records — the
     Common Crawl WAT sidecar layout (per-page JSON envelope carrying
-    the parsed head title and outgoing links, so link-graph consumers
-    never re-parse HTML).
+    the parsed head title/metas/scripts and outgoing links, so
+    link-graph consumers never re-parse HTML).
 
     ``entries``: iterable of (record_id, page_url, title,
-    links=[(url, text), ...]).
+    links=[(url, text), ...]) or (..., links, metas=[(name, content)],
+    script_urls=[url]).
     """
     import json as _json
 
     out = io.BytesIO()
-    for rid, url, title, links in entries:
+    for entry in entries:
+        rid, url, title, links = entry[:4]
+        metas = entry[4] if len(entry) > 4 else []
+        scripts = entry[5] if len(entry) > 5 else []
+        head = {"Title": title}
+        if metas:
+            head["Metas"] = [
+                {"name": n, "content": c} for n, c in metas
+            ]
+        if scripts:
+            head["Scripts"] = [{"url": u} for u in scripts]
         envelope = {
             "Envelope": {
                 "WARC-Header-Metadata": {"WARC-Target-URI": url},
                 "Payload-Metadata": {
                     "HTTP-Response-Metadata": {
                         "HTML-Metadata": {
-                            "Head": {"Title": title},
+                            "Head": head,
                             "Links": [
                                 {"path": "A@/href", "url": u, "text": t}
                                 for u, t in links

@@ -158,7 +158,9 @@ WAT_ENVELOPE_DDL = (
     "`WARC-Header-Metadata`: STRUCT<`WARC-Target-URI`: STRING>, "
     "`Payload-Metadata`: STRUCT<`HTTP-Response-Metadata`: STRUCT<"
     "`HTML-Metadata`: STRUCT<"
-    "`Head`: STRUCT<`Title`: STRING>, "
+    "`Head`: STRUCT<`Title`: STRING, "
+    "`Metas`: ARRAY<STRUCT<`name`: STRING, `content`: STRING>>, "
+    "`Scripts`: ARRAY<STRUCT<`url`: STRING>>>, "
     "`Links`: ARRAY<STRUCT<`path`: STRING, `url`: STRING, "
     "`text`: STRING>>>>>>>"
 )
@@ -196,6 +198,37 @@ def wat_links(records: DataFrame) -> DataFrame:
             F.coalesce(F.col("link.path"), F.lit("")).alias("link_path"),
             F.col("link.url").alias("link_url"),
             F.coalesce(F.col("link.text"), F.lit("")).alias("link_text"),
+        )
+    )
+
+
+def wat_head_meta(records: DataFrame) -> DataFrame:
+    """WAT ``metadata`` records -> one row per <head> meta tag:
+    (src_url, meta_name, meta_content) — description/robots/og:* etc.
+    without HTML re-parse. Same pure-Catalyst from_json shape as
+    :func:`wat_links`."""
+    env = F.from_json(F.col("payload").cast("string"), WAT_ENVELOPE_DDL)
+    head = env["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"
+    ]["HTML-Metadata"]["Head"]
+    return (
+        records.where(
+            F.col("error").isNull() & (F.col("warc_type") == "metadata")
+        )
+        .select(
+            F.coalesce(
+                env["Envelope"]["WARC-Header-Metadata"]["WARC-Target-URI"],
+                F.col("url"),
+            ).alias("src_url"),
+            F.explode(head["Metas"]).alias("meta"),
+        )
+        .where(F.col("meta.name").isNotNull())
+        .select(
+            "src_url",
+            F.col("meta.name").alias("meta_name"),
+            F.coalesce(F.col("meta.content"), F.lit("")).alias(
+                "meta_content"
+            ),
         )
     )
 

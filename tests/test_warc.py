@@ -189,6 +189,31 @@ class TestWatAndRequests:
         assert edges == {("a.example", "b.example"),
                          ("b.example", "a.example")}
 
+    def test_wat_head_metas(self, spark, tmp_path):
+        from content_extractor_spark.kernel.warc import build_wat
+        from content_extractor_spark.sources.warc import (
+            read_warc,
+            wat_head_meta,
+        )
+
+        wat = build_wat([
+            ("w1", "https://a.example/p1", "T1",
+             [("https://b.example/x", "t")],
+             [("description", "a page"), ("robots", "noindex")],
+             ["https://cdn.example/app.js"]),
+            ("w2", "https://b.example/p2", "T2", [], [], []),
+        ])
+        (tmp_path / "m.warc.wat.gz").write_bytes(wat)
+        recs = read_warc(spark, str(tmp_path), warc_types=("metadata",))
+        metas = {
+            (r["src_url"], r["meta_name"], r["meta_content"])
+            for r in wat_head_meta(recs).collect()
+        }
+        assert metas == {
+            ("https://a.example/p1", "description", "a page"),
+            ("https://a.example/p1", "robots", "noindex"),
+        }
+
     def test_wat_malformed_json_yields_no_rows(self, spark, tmp_path):
         """A WAT record with garbage JSON must contribute zero link
         rows, never a task failure (from_json -> NULL envelope)."""
