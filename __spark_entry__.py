@@ -1239,14 +1239,13 @@ def q_kmeans_assign(spark, sf_dir):
     for s in range(_PQ_M):
         term = F.col("codes")[s] * F.lit(_PQ_K ** s)
         packed = term if packed is None else packed + term
-    adc = pq_adc_distances(codes, books, _pq_query_vector(), round_to=6)
-    pq = (
-        codes.join(adc, "vec_id")
-        .select(
-            F.lit("pq").alias("kind"), "vec_id",
-            packed.cast("int").alias("cluster"),
-            F.col("adc_dist").alias("dist"),
-        )
+    adc = pq_adc_distances(
+        codes, books, _pq_query_vector(), round_to=6, keep=("codes",)
+    )
+    pq = adc.select(
+        F.lit("pq").alias("kind"), "vec_id",
+        packed.cast("int").alias("cluster"),
+        F.col("adc_dist").alias("dist"),
     )
     return km.unionByName(pq)
 

@@ -419,6 +419,7 @@ def pq_adc_distances(
     query,
     id_col: str = "vec_id",
     round_to: int = 6,
+    keep: tuple = (),
 ) -> DataFrame:
     """Asymmetric distance computation: per subspace, the query's
     squared distance to each codebook centroid forms a k-entry lookup
@@ -427,9 +428,10 @@ def pq_adc_distances(
     encoded corpus: scoring 10^12 vectors is m array lookups + one
     rounded sum per row, no shuffle, no full-precision vector reads.
 
-    Returns (id, adc_dist). Table entries use the same HALF_UP
-    rounding as the engine so a SQL oracle can replay them from its
-    own centroids.
+    Returns (id, *keep, adc_dist) — ``keep`` passes columns through so
+    callers never need a self-join to pair distances with codes. Table
+    entries use the same HALF_UP rounding as the engine so a SQL
+    oracle can replay them from its own centroids.
     """
     sub = len(codebooks[0][0])
     tables = []
@@ -448,7 +450,8 @@ def pq_adc_distances(
         term = F.element_at(t, F.col("codes")[s] + 1)
         dist = term if dist is None else dist + term
     return codes_df.select(
-        F.col(id_col), F.round(dist, round_to).alias("adc_dist")
+        F.col(id_col), *[F.col(c) for c in keep],
+        F.round(dist, round_to).alias("adc_dist"),
     )
 
 
