@@ -364,9 +364,13 @@ def pq_train_codebooks(
     Returns a driver-side list of m codebooks x k centroids x (dim/m)
     floats — m*k rows total cross the driver (codebooks are model
     parameters, bounded by construction, never corpus-sized). At
-    100 TB the training input would be a deterministic sample; the
-    trainer itself is one AVG aggregation pass per iteration per
-    subspace.
+    100 TB the training input would be a deterministic sample.
+
+    ALL subspaces train together: one init collect, then per Lloyd
+    iteration ONE pass over the (posexploded) subvectors with a single
+    groupBy(subspace, cluster) AVG — not m separate jobs. Values are
+    identical to training each subspace independently (same init, same
+    rounded distances, same tie-breaks); only the job count changes.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -375,12 +379,44 @@ def pq_train_codebooks(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("full"),
     ).cache()
-    books = []
-    for s in range(m):
-        sb = base.select(
-            "id", F.slice("full", s * sub + 1, sub).alias("v")
+    init = base.orderBy("id").limit(k).collect()
+    books = [
+        [list(r["full"][s * sub:(s + 1) * sub]) for r in init]
+        for s in range(m)
+    ]
+    slices = F.array(
+        *[F.slice("full", s * sub + 1, sub) for s in range(m)]
+    )
+    long = base.select("id", F.posexplode(slices).alias("s", "v"))
+    for _ in range(iterations):
+        darr = None
+        for s in range(m - 1, -1, -1):
+            arr = F.array(
+                *[_sq_dist_to(F.col("v"), c, round_to) for c in books[s]]
+            )
+            darr = arr if darr is None else (
+                F.when(F.col("s") == s, arr).otherwise(darr)
+            )
+        assigned = long.withColumn(
+            "cluster",
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int"),
         )
-        books.append(_kmeans_centroids(sb, sub, k, iterations, round_to))
+        rows = (
+            assigned.groupBy("s", "cluster")
+            .agg(*[
+                F.round(F.avg(F.col("v")[i]), round_to).alias(f"c{i}")
+                for i in range(sub)
+            ])
+            .collect()
+        )
+        got = {
+            (r["s"], r["cluster"]): [r[f"c{i}"] for i in range(sub)]
+            for r in rows
+        }
+        books = [
+            [got.get((s, j), books[s][j]) for j in range(k)]
+            for s in range(m)
+        ]
     base.unpersist(blocking=False)
     return books
 
