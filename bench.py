@@ -291,11 +291,11 @@ def main():
 # best clean-run times observed so far (quiet box, min-of-k); the
 # VM's noisy neighbors make single runs swing up to 3x, so the file
 # below always reports the latest run AND this best-known reference.
-# r3 minima (2026-08-16, two clean windows): 60.57 / 14.88 / 5.45 —
-# the r2 advice fix let the columnar Arrow decode path handle
-# null-span rows instead of silently falling back to to_pylist, which
-# shows up at every parallelism level
-_BEST_KNOWN = {2: 60.57, 8: 14.88, 32: 5.45}
+# local[2] 59.64 is an r5 clean-window run (ambient 1.4); 14.88/5.45
+# are r3/r4 minima — the r2 advice fix let the columnar Arrow decode
+# path handle null-span rows instead of silently falling back to
+# to_pylist, which shows up at every parallelism level
+_BEST_KNOWN = {2: 59.64, 8: 14.88, 32: 5.45}
 
 
 def _write_baseline_md(n_docs, summary, scaling, load1=-1.0, load5=-1.0):
