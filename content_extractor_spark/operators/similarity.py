@@ -509,3 +509,63 @@ def pq_adc_topk(
     return scored.orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     ).limit(topk)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    coarse_centroids,
+    codebooks,
+    query,
+    topk: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """FAISS-style IVF-PQ search: the coarse quantizer routes the query
+    to its `nprobe` nearest inverted lists, and only THOSE partitions'
+    PQ codes are ADC-scored — at 10^12 vectors with nlist partitions,
+    a query scans ~nprobe/nlist of the corpus instead of all of it,
+    and what it scans is m-byte codes, not full-precision vectors.
+
+    ``coarse_centroids``: the k-means centroids (e.g. from the same
+    training pass `kmeans_assign` runs); ``codebooks``: per-subspace PQ
+    codebooks (:func:`pq_train_codebooks`). Deterministic: probe order,
+    code assignment and tie-breaks all follow the established rounded
+    argmin-lowest-index contract; recall is governed by nprobe exactly
+    as in the published IVF-PQ design.
+
+    Plan shape: the partition filter is an `isin` over nprobe literal
+    cluster ids — pushable to a corpus bucketed/partitioned by
+    `cluster` — followed by the map-only encode + ADC scoring and a
+    TakeOrdered top-k. One scan, one k-row driver merge, no shuffle.
+    """
+    # driver-side probe selection: distance of the query to each coarse
+    # centroid (same rounding discipline as the executors)
+    qdists = [
+        (
+            _round_half_up(
+                sum((q - c) * (q - c) for q, c in zip(query, cent)),
+                round_to,
+            ),
+            j,
+        )
+        for j, cent in enumerate(coarse_centroids)
+    ]
+    probes = [j for _, j in sorted(qdists)[:max(1, nprobe)]]
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    routed = _kmeans_assign_stage(
+        base.withColumnRenamed(id_col, "id"), coarse_centroids, round_to
+    ).where(F.col("cluster").isin(probes))
+    routed = routed.withColumnRenamed("id", id_col).withColumnRenamed(
+        "v", vec_col
+    )
+    codes = pq_encode(routed, codebooks, id_col, vec_col, round_to)
+    scored = pq_adc_distances(
+        codes, codebooks, query, id_col, round_to, keep=()
+    )
+    return scored.orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    ).limit(topk)

@@ -295,6 +295,35 @@ class TestSimilarity:
         dists = [r["adc_dist"] for r in top]
         assert dists == sorted(dists)
 
+    def test_ivf_pq_topk_probes_route_the_search(self, spark):
+        """IVF-PQ composition: with nprobe=1 the query at +1 searches
+        ONLY its nearest inverted list (the -1 cluster is never
+        scanned); nprobe=2 widens to both; results order by ADC
+        distance with id tie-break."""
+        from content_extractor_spark.operators.similarity import (
+            ivf_pq_topk,
+            pq_train_codebooks,
+        )
+
+        rows = [(i, [1.0 + (i % 3) * 0.01] * 8) for i in range(6)]
+        rows += [(100 + i, [-1.0 - (i % 3) * 0.01] * 8) for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        coarse = [[1.0] * 8, [-1.0] * 8]
+        books = pq_train_codebooks(df, dim=8, m=2, k=2, iterations=1)
+        near = ivf_pq_topk(df, coarse, books, [1.0] * 8, topk=20,
+                           nprobe=1)
+        got = sorted(r["vec_id"] for r in near.collect())
+        assert got == list(range(6))  # far cluster never scanned
+        both = ivf_pq_topk(df, coarse, books, [1.0] * 8, topk=20,
+                           nprobe=2)
+        assert sorted(r["vec_id"] for r in both.collect()) == sorted(
+            i for i, _ in rows
+        )
+        dists = [r["adc_dist"] for r in both.collect()]
+        assert dists == sorted(dists)
+
     def test_cosine_topk_self_best(self, spark):
         import random
 
