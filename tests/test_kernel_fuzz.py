@@ -217,3 +217,35 @@ class TestImageCodecFuzz:
             decode_netpbm(payload)
         except Exception:
             raise AssertionError("netpbm decoder raised")
+
+
+class TestUrlNeverCrashes:
+    """canonicalize_url runs over raw crawl urls inside a Spark UDF —
+    ANY exception fails the task and the job, so the contract is
+    return-the-input-unchanged for everything unparseable (r5 advice:
+    urlsplit defers port validation to the accessor)."""
+
+    @given(url=st.text(max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def test_arbitrary_text(self, url):
+        from content_extractor_spark.kernel.urlclean import (
+            canonicalize_url,
+        )
+
+        canonicalize_url(url)  # must not raise
+
+    @given(
+        host=st.text(
+            alphabet="ab.:@%[]-_0129", min_size=0, max_size=20
+        ),
+        port=st.text(alphabet="0123456789abc-", min_size=0, max_size=14),
+        path=st.text(max_size=40),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_hostile_authority_section(self, host, port, path):
+        from content_extractor_spark.kernel.urlclean import (
+            canonicalize_url,
+        )
+
+        canonicalize_url(f"http://{host}:{port}/{path}")
+        canonicalize_url(f"https://{host}/{path}#frag")
