@@ -2128,3 +2128,90 @@ class TestBpe:
         # cap to the 2 most frequent words only: same top merges
         m2 = train_bpe_merges(df, n_merges=3, max_words=2)
         assert m2[:2] == [("l", "o"), ("lo", "w")]
+
+
+class TestBigramDifferential:
+    def test_bigram_lm_matches_pure_python(self, spark):
+        """Differential: the distributed Laplace bigram LM must equal a
+        direct single-process implementation on a small random corpus
+        (counts, histories, vocabulary, smoothing, sentinels)."""
+        import math
+        import random
+
+        from content_extractor_spark.operators.textstats import (
+            bigram_logprob,
+        )
+
+        rng = random.Random(7)
+        words = ["alpha", "beta", "gamma", "delta", "x"]
+        docs = [
+            (i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(0, 9))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            r["doc_id"]: (r["mean_logprob"], r["n_bigrams"])
+            for r in bigram_logprob(df).collect()
+        }
+
+        # pure-python reference
+        from collections import Counter
+
+        per_doc = {}
+        corpus = Counter()
+        for i, text in docs:
+            toks = [t for t in text.lower().strip().split() if t != ""]
+            bgs = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+            per_doc[i] = Counter(bgs)
+            corpus.update(bgs)
+        hist = Counter()
+        for (u, _v), c in corpus.items():
+            hist[u] += c
+        vocab = len({v for (_u, v) in corpus})
+        want = {}
+        for i, _text in docs:
+            cnt = per_doc[i]
+            n = sum(cnt.values())
+            if n == 0:
+                want[i] = (0.0, 0)
+                continue
+            s = sum(
+                c * math.log((corpus[bg] + 1.0) / (hist[bg[0]] + vocab))
+                for bg, c in cnt.items()
+            )
+            want[i] = (round(s / n, 6), n)
+        assert got == want
+
+
+class TestPqRecall:
+    def test_adc_top1_matches_exact_on_separated_data(self, spark):
+        """On well-separated data, PQ ADC top-1 must agree with exact
+        euclidean top-1 (the quantization error is far smaller than the
+        inter-cluster distance) — pins that ADC approximates true NN
+        ranking, not just that it runs."""
+        import random
+
+        from content_extractor_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_train_codebooks,
+        )
+
+        rng = random.Random(11)
+        centers = [[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4]
+        rows = []
+        for i in range(30):
+            c = centers[i % 3]
+            rows.append(
+                (i, [x + rng.uniform(-0.2, 0.2) for x in c])
+            )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        books = pq_train_codebooks(df, dim=8, m=4, k=3, iterations=2)
+        for qi in (0, 1, 2):
+            q = centers[qi]
+            top = pq_adc_topk(df, books, q, topk=10).collect()
+            got_ids = {r["vec_id"] for r in top}
+            exact = {i for i, _ in rows if i % 3 == qi}
+            assert got_ids == exact, (qi, sorted(got_ids))
