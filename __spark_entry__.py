@@ -597,12 +597,17 @@ def q_density_extract(spark, sf_dir):
 
 
 def q_pdf_text_roundtrip(spark, sf_dir):
-    # PDF/layout parse: build a FlateDecode PDF per document inside the
-    # batch UDF, extract its text back with the pure-Python PDF parser;
-    # the oracle reconstructs the same 10-word line wrapping in SQL, so
-    # equality pins the whole encode->parse chain
+    """Document-format parsing, both formats, one driver row: per doc,
+    build a FlateDecode PDF (kind='pdf') AND a minimal OOXML .docx
+    (kind='docx') inside the batch UDF from the same 10-word line
+    wrapping, then extract the text back with the respective
+    pure-Python parsers (the docx leg also round-trips the Dublin Core
+    title). The oracle reconstructs the wrapping (and title) in SQL,
+    so equality pins both encode->parse chains end to end.
+    """
     import pandas as pd
 
+    from content_extractor_spark.kernel import docx as docxmod
     from content_extractor_spark.kernel import pdftext
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
@@ -611,18 +616,28 @@ def q_pdf_text_roundtrip(spark, sf_dir):
 
     def run(batches):
         for pdf in batches:
-            out = {"doc_id": [], "pdf_text": []}
+            out = {"kind": [], "doc_id": [], "title": [], "body": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = text.split()
                 lines = [
                     " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
                 ]
                 blob = pdftext.build_simple_pdf(lines)
+                out["kind"].append("pdf")
                 out["doc_id"].append(doc_id)
-                out["pdf_text"].append(pdftext.extract_text(blob))
+                out["title"].append("")
+                out["body"].append(pdftext.extract_text(blob))
+                dblob = docxmod.build_docx(lines, title=f"T{doc_id}")
+                got = docxmod.extract_docx_text(dblob)
+                out["kind"].append("docx")
+                out["doc_id"].append(doc_id)
+                out["title"].append(got["title"])
+                out["body"].append(got["text"])
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(run, schema="doc_id long, pdf_text string")
+    return docs.mapInPandas(
+        run, schema="kind string, doc_id long, title string, body string"
+    )
 
 
 def q_two_phase_union(spark, sf_dir):
@@ -1928,13 +1943,20 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
               FROM documents WHERE doc_id < 100
+            ),
+            wrapped AS (
+              SELECT doc_id,
+                     array_to_string(
+                       [array_to_string(toks[i:i+9], ' ')
+                        for i in range(1, len(toks)+1, 10)],
+                       chr(10)) AS body
+              FROM tok
             )
-            SELECT doc_id,
-                   array_to_string(
-                     [array_to_string(toks[i:i+9], ' ')
-                      for i in range(1, len(toks)+1, 10)],
-                     chr(10)) AS pdf_text
-            FROM tok
+            SELECT 'pdf' AS kind, doc_id, '' AS title, body FROM wrapped
+            UNION ALL
+            SELECT 'docx' AS kind, doc_id,
+                   'T' || doc_id::varchar AS title, body
+            FROM wrapped
         """,
         "two_phase_union": """
             SELECT mode, lang, count(*) AS n FROM (

@@ -128,3 +128,71 @@ class TestPdfOperator:
         spans = extract_pdf_layout_spans(df).collect()
         assert {r["doc_id"] for r in spans} == {"p1"}
         assert any(r["text"] == "Line 2." for r in spans)
+
+
+class TestDocx:
+    """OOXML (.docx) extraction — same never-crash/round-trip policy
+    as the PDF parser."""
+
+    def test_roundtrip_with_title_entities_and_breaks(self):
+        from content_extractor_spark.kernel.docx import (
+            build_docx,
+            extract_docx_text,
+        )
+
+        got = extract_docx_text(
+            build_docx(
+                ["Hello & <world>", "", "tab\there"],
+                title="Title & Co",
+            )
+        )
+        assert got["error"] is None
+        assert got["title"] == "Title & Co"
+        assert got["paragraphs"] == ["Hello & <world>", "", "tab\there"]
+        assert got["text"] == "Hello & <world>\n\ntab\there"
+
+    def test_tab_br_and_numeric_entities(self):
+        """Hand-built document.xml: w:tab -> TAB, w:br -> newline
+        within the paragraph, numeric char refs decoded."""
+        import io
+        import zipfile
+
+        from content_extractor_spark.kernel.docx import extract_docx_text
+
+        doc = (
+            '<w:document xmlns:w="x"><w:body>'
+            "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/>"
+            "<w:t>&#228;&#x41;</w:t></w:r></w:p>"
+            "</w:body></w:document>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", doc)
+        got = extract_docx_text(buf.getvalue())
+        assert got["paragraphs"] == ["a\tb\näA"]
+
+    def test_never_raises(self):
+        import io
+        import zipfile
+
+        from content_extractor_spark.kernel.docx import extract_docx_text
+
+        assert extract_docx_text(b"")["error"] == "not a zip archive"
+        assert (
+            extract_docx_text(b"PK\x03\x04trunc")["error"]
+            == "not a zip archive"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("other.xml", "<x/>")
+        assert (
+            extract_docx_text(buf.getvalue())["error"]
+            == "no word/document.xml"
+        )
+
+    def test_build_is_deterministic(self):
+        from content_extractor_spark.kernel.docx import build_docx
+
+        assert build_docx(["a", "b"], title="t") == build_docx(
+            ["a", "b"], title="t"
+        )
