@@ -221,7 +221,11 @@ def build_warc(
         else:
             out.write(record)
 
-    for rid, url, body in pages:
+    for page in pages:
+        rid, url, body = page[:3]
+        # optional 4th element: the HTTP Content-Type (attachments:
+        # application/pdf, the OOXML media type, ...)
+        ctype = page[3] if len(page) > 3 else "text/html; charset=utf-8"
         if with_requests:
             m = re.match(r"^https?://([^/]+)(/.*)?$", url)
             host, path = (m.group(1), m.group(2) or "/") if m else ("", "/")
@@ -241,7 +245,7 @@ def build_warc(
             )
         http = (
             b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Type: {ctype}\r\n".encode()
             + f"Content-Length: {len(body)}\r\n\r\n".encode()
             + body
         )

@@ -26,6 +26,8 @@ Scale design (100 TB = ~100k WARC files):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -130,6 +132,76 @@ def warc_documents(
         F.col("record_id").alias("url_id"),
         F.col("warc_date").alias("last_crawl"),
         F.lit(None).cast("string").alias("etag"),
+    )
+
+
+def attachment_documents(records: DataFrame) -> DataFrame:
+    """Non-HTML response payloads -> extracted text documents, routed
+    by magic bytes: ``%PDF`` -> the pure-Python PDF parser, ``PK`` ->
+    the OOXML .docx extractor. One Arrow-batched mapInPandas stage
+    (the decoders are per-payload Python by nature — same justified
+    boundary as the image/WARC decode UDFs); per-row failures become
+    ``error`` rows, never task failures.
+
+    Output: (doc_id, url, host, format, title, text, error). HTML
+    stays on the :func:`warc_documents` profile-extraction path —
+    this is the sidecar lane for document attachments in the archive.
+    """
+    import pandas as pd
+
+    ok = records.where(
+        F.col("error").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & ~F.coalesce(F.col("content_type"), F.lit("")).startswith(
+            "text/html"
+        )
+    ).select("record_id", "url", "payload")
+
+    def run(batches):
+        from ..kernel.docx import extract_docx_text
+        from ..kernel.pdftext import extract_text
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "url": [], "host": [], "format": [],
+                "title": [], "text": [], "error": [],
+            }
+            for rid, url, payload in zip(
+                pdf["record_id"], pdf["url"], pdf["payload"]
+            ):
+                b = b"" if payload is None else bytes(payload)
+                fmt, title, text, err = "unknown", "", "", None
+                try:
+                    if b.startswith(b"%PDF"):
+                        fmt = "pdf"
+                        text = extract_text(b)
+                    elif b.startswith(b"PK"):
+                        got = extract_docx_text(b)
+                        fmt = "docx" if got["error"] is None else "zip"
+                        title = got["title"]
+                        text = got["text"]
+                        err = got["error"]
+                    else:
+                        err = "unsupported format"
+                except Exception as exc:  # decoder bug: row, not task
+                    err = f"decode error: {exc}"
+                m = re.match(r"^https?://([^/]+)", url or "")
+                out["doc_id"].append((rid or "").strip("<>"))
+                out["url"].append(url)
+                out["host"].append(m.group(1) if m else "")
+                out["format"].append(fmt)
+                out["title"].append(title)
+                out["text"].append(text)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return ok.mapInPandas(
+        run,
+        schema=(
+            "doc_id string, url string, host string, format string, "
+            "title string, text string, error string"
+        ),
     )
 
 

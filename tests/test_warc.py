@@ -214,6 +214,48 @@ class TestWatAndRequests:
             ("https://a.example/p1", "robots", "noindex"),
         }
 
+    def test_attachment_documents_routing(self, spark, tmp_path):
+        """Mixed archive: html stays on the profile path; pdf/docx
+        payloads route by magic to the right parser; junk becomes an
+        error ROW (never a task failure)."""
+        from content_extractor_spark.kernel.docx import build_docx
+        from content_extractor_spark.kernel.pdftext import (
+            build_simple_pdf,
+        )
+        from content_extractor_spark.sources.warc import (
+            attachment_documents,
+            read_warc,
+            warc_documents,
+        )
+
+        pages = [
+            ("h1", "https://a.example/page", b"<html><body>x</body></html>"),
+            ("p1", "https://a.example/doc.pdf",
+             build_simple_pdf(["line one", "line two"]),
+             "application/pdf"),
+            ("d1", "https://b.example/doc.docx",
+             build_docx(["para one", "para two"], title="D1"),
+             "application/vnd.openxmlformats-officedocument"
+             ".wordprocessingml.document"),
+            ("x1", "https://b.example/blob.bin", b"\x00\x01garbage",
+             "application/octet-stream"),
+        ]
+        (tmp_path / "mix.warc.gz").write_bytes(build_warc(pages))
+        recs = read_warc(spark, str(tmp_path))
+        assert warc_documents(recs).count() == 1  # html only
+        got = {
+            r["doc_id"]: (r["format"], r["title"], r["text"], r["error"])
+            for r in attachment_documents(recs).collect()
+        }
+        assert set(got) == {"urn:uuid:p1", "urn:uuid:d1", "urn:uuid:x1"}
+        assert got["urn:uuid:p1"][0] == "pdf"
+        assert got["urn:uuid:p1"][2] == "line one\nline two"
+        assert got["urn:uuid:d1"][:3] == (
+            "docx", "D1", "para one\npara two"
+        )
+        assert got["urn:uuid:x1"][0] == "unknown"
+        assert got["urn:uuid:x1"][3] == "unsupported format"
+
     def test_wat_malformed_json_yields_no_rows(self, spark, tmp_path):
         """A WAT record with garbage JSON must contribute zero link
         rows, never a task failure (from_json -> NULL envelope)."""
