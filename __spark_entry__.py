@@ -1195,6 +1195,16 @@ def q_normalize_pii_scrub(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    # every 3rd doc carries a Luhn-VALID test PAN (redacted as <CC>);
+    # every 3rd+1 an INVALID 16-digit run (falls through to <PHONE> \u2014
+    # only checksum-valid numbers are the high-severity leak)
+    card = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" card 4111 1111 1111 1111 ok"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.lit(" card 4111 1111 1111 1112 no"))
+        .otherwise(F.lit(""))
+    )
     dirty = docs.select(
         "doc_id",
         F.concat(
@@ -1203,12 +1213,14 @@ def q_normalize_pii_scrub(spark, sf_dir):
             F.lit("@mail.example or +49 30 55512"),
             (F.col("doc_id") % 100).cast("string"),
             F.lit(" ip 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+            card,
             F.lit("  \u2018x\u2019\u00a0y\t"),
         ).alias("text"),
     )
     out = pii_scrub(normalize_text(dirty), text_col="text_norm")
     return out.select(
-        "doc_id", "text_norm", "n_emails", "n_ips", "n_phones", "scrubbed"
+        "doc_id", "text_norm", "n_emails", "n_ips", "n_cards",
+        "n_phones", "scrubbed"
     )
 
 
@@ -1581,6 +1593,22 @@ _CJK_CASE_SQL = r"""
                 WHEN regexp_matches(text, '[\x{3040}-\x{30FF}]') THEN 'ja'
                 WHEN regexp_matches(text, '[\x{AC00}-\x{D7A3}]') THEN 'ko'
                 WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'"""
+
+
+def _luhn_filter_sql(list_expr: str) -> str:
+    """DuckDB mirror of curation._luhn_valid applied as a list_filter
+    over candidate card numbers (generated so the checksum arithmetic
+    is written once)."""
+    dig = "reverse(regexp_replace(c,'[^0-9]','','g'))"
+    d = f"substr({dig}, i, 1)::int"
+    term = (
+        f"CASE WHEN i % 2 = 0 THEN CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 "
+        f"ELSE 2*{d} END ELSE {d} END"
+    )
+    return (
+        f"list_filter({list_expr}, c -> list_sum([{term} for i in "
+        "range(1, len(regexp_replace(c,'[^0-9]','','g'))+1)]) % 10 = 0)"
+    )
 
 
 def _pq_oracle_sql() -> str:
@@ -2593,6 +2621,11 @@ def oracle_sql() -> dict[str, str]:
                        || '@mail.example or +49 30 55512'
                        || (doc_id % 100)::varchar
                        || ' ip 10.0.0.' || (doc_id % 255)::varchar
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' card 4111 1111 1111 1111 ok'
+                               WHEN doc_id % 3 = 1
+                               THEN ' card 4111 1111 1111 1112 no'
+                               ELSE '' END
                        || '  ‘x’' || chr(160) || 'y' || chr(9) AS t
               FROM documents WHERE doc_id < 200
             ),
@@ -2629,14 +2662,30 @@ def oracle_sql() -> dict[str, str]:
                          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
                          '<IP>', 'g') AS t
               FROM s1
+            ),
+            -- Luhn-valid payment cards (checked BEFORE phones: a valid
+            -- PAN becomes <CC>; an invalid digit run falls through to
+            -- the phone scrubber)
+            s3 AS (
+              SELECT doc_id, text_norm, n_emails, n_ips,
+                     len(__LUHN_CARDS__)::int AS n_cards,
+                     list_reduce(
+                       list_prepend(t, list_distinct(__LUHN_CARDS__)),
+                       (acc, c) -> replace(acc, c, '<CC>')) AS t
+              FROM s2
             )
-            SELECT doc_id, text_norm, n_emails, n_ips,
+            SELECT doc_id, text_norm, n_emails, n_ips, n_cards,
                    len(regexp_extract_all(t,
                        '\+?[0-9][0-9 ()/-]{6,}[0-9]'))::int AS n_phones,
                    regexp_replace(t, '\+?[0-9][0-9 ()/-]{6,}[0-9]',
                                   '<PHONE>', 'g') AS scrubbed
-            FROM s2
-        """,
+            FROM s3
+        """.replace(
+            "__LUHN_CARDS__",
+            _luhn_filter_sql(
+                r"regexp_extract_all(t, '\b(?:\d[ -]?){12,18}\d\b')"
+            ),
+        ),
         "kmeans_assign": f"""
             WITH vecs AS (
               SELECT vec_id, embedding::DOUBLE[] AS v

@@ -31,29 +31,64 @@ from pyspark.sql import functions as F
 EMAIL_RE = r"[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
 PHONE_RE = r"\+?[0-9][0-9 ()/-]{6,}[0-9]"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# 13-19 digits, optionally space/dash separated (ISO/IEC 7812 PANs)
+CARD_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def _luhn_valid(cand: Column) -> Column:
+    """ISO/IEC 7812 Luhn checksum over a candidate's digits — pure
+    Catalyst (reverse + transform + aggregate), no UDF."""
+    digits = F.reverse(F.regexp_replace(cand, r"[^0-9]", ""))
+    idx = F.sequence(F.lit(1), F.length(digits))
+
+    def val(i):
+        d = F.substring(digits, i, F.lit(1)).cast("int")
+        dbl = d * 2
+        return F.when(
+            i % 2 == 0, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        ).otherwise(d)
+
+    total = F.aggregate(F.transform(idx, val), F.lit(0), lambda a, x: a + x)
+    return total % 10 == 0
 
 
 def pii_scrub(
     df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
 ) -> DataFrame:
-    """Redact emails, phone-ish numbers and IPv4 addresses.
+    """Redact emails, IPv4 addresses, Luhn-valid payment-card numbers
+    and phone-ish digit runs.
 
-    Order matters (emails first, else the phone pattern can eat digit
-    runs inside addresses); counts are taken BEFORE redaction.
+    Order matters: emails first (else the phone pattern eats digit
+    runs inside addresses); cards BEFORE phones, validated by the Luhn
+    checksum so a valid PAN becomes <CC> while a random 16-digit run
+    falls through to the phone scrubber (only checksum-valid numbers
+    are the high-severity leak). Counts are taken BEFORE each
+    redaction. All steps are Catalyst expressions — the card check is
+    a per-candidate transform/aggregate, not a UDF.
     """
     t = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
     step1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     n_ips = F.size(F.regexp_extract_all(step1, F.lit(IPV4_RE), F.lit(0)))
     step2 = F.regexp_replace(step1, IPV4_RE, "<IP>")
-    n_phones = F.size(F.regexp_extract_all(step2, F.lit(PHONE_RE), F.lit(0)))
-    step3 = F.regexp_replace(step2, PHONE_RE, "<PHONE>")
+    cards = F.filter(
+        F.regexp_extract_all(step2, F.lit(CARD_RE), F.lit(0)), _luhn_valid
+    )
+    n_cards = F.size(cards)
+    step3 = F.aggregate(
+        F.array_distinct(cards),
+        step2,
+        lambda acc, c: F.replace(acc, c, F.lit("<CC>")),
+    )
+    n_phones = F.size(F.regexp_extract_all(step3, F.lit(PHONE_RE), F.lit(0)))
+    step4 = F.regexp_replace(step3, PHONE_RE, "<PHONE>")
     return df.select(
         "*",
         n_emails.cast("int").alias("n_emails"),
         n_ips.cast("int").alias("n_ips"),
+        n_cards.cast("int").alias("n_cards"),
         n_phones.cast("int").alias("n_phones"),
-        step3.alias(out_col),
+        step4.alias(out_col),
     )
 
 

@@ -581,6 +581,31 @@ class TestCuration:
         assert out[2]["scrubbed"] == "nothing sensitive here"
         assert out[2]["n_emails"] == 0
 
+    def test_pii_scrub_luhn_cards(self, spark):
+        """Payment cards: a Luhn-VALID PAN (spaced or dashed) becomes
+        <CC>; an invalid 16-digit run fails the checksum and falls
+        through to the phone scrubber — only checksum-valid numbers
+        are the high-severity leak."""
+        from content_extractor_spark.operators.curation import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "pay 4111 1111 1111 1111 today"),
+             (2, "pay 4111-1111-1111-1112 today"),
+             (3, "amex 3782 822463 10005 ok"),
+             (4, "id 1234 is fine")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert out[1]["scrubbed"] == "pay <CC> today"
+        assert (out[1]["n_cards"], out[1]["n_phones"]) == (1, 0)
+        assert out[2]["scrubbed"] == "pay <PHONE> today"
+        assert (out[2]["n_cards"], out[2]["n_phones"]) == (0, 1)
+        # 15-digit Amex test PAN, Luhn-valid
+        assert out[3]["scrubbed"] == "amex <CC> ok"
+        assert out[3]["n_cards"] == 1
+        assert out[4]["scrubbed"] == "id 1234 is fine"
+        assert out[4]["n_cards"] == 0
+
     def test_decontaminate(self, spark):
         from content_extractor_spark.operators.curation import decontaminate
 
