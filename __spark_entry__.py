@@ -1205,6 +1205,13 @@ def q_normalize_pii_scrub(spark, sf_dir):
               F.lit(" card 4111 1111 1111 1112 no"))
         .otherwise(F.lit(""))
     )
+    # even docs carry a mod-97-VALID compact IBAN (-> <IBAN>); odd
+    # docs an invalid one whose digit tail the phone scrubber eats
+    iban = (
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit(" iban DE89370400440532013000 here"))
+        .otherwise(F.lit(" iban DE89370400440532013001 here"))
+    )
     dirty = docs.select(
         "doc_id",
         F.concat(
@@ -1214,13 +1221,14 @@ def q_normalize_pii_scrub(spark, sf_dir):
             (F.col("doc_id") % 100).cast("string"),
             F.lit(" ip 10.0.0."), (F.col("doc_id") % 255).cast("string"),
             card,
+            iban,
             F.lit("  \u2018x\u2019\u00a0y\t"),
         ).alias("text"),
     )
     out = pii_scrub(normalize_text(dirty), text_col="text_norm")
     return out.select(
-        "doc_id", "text_norm", "n_emails", "n_ips", "n_cards",
-        "n_phones", "scrubbed"
+        "doc_id", "text_norm", "n_emails", "n_ibans", "n_ips",
+        "n_cards", "n_phones", "scrubbed"
     )
 
 
@@ -1608,6 +1616,22 @@ def _luhn_filter_sql(list_expr: str) -> str:
     return (
         f"list_filter({list_expr}, c -> list_sum([{term} for i in "
         "range(1, len(regexp_replace(c,'[^0-9]','','g'))+1)]) % 10 = 0)"
+    )
+
+
+def _iban_filter_sql(list_expr: str) -> str:
+    """DuckDB mirror of curation._iban_valid: rearrange, map chars to
+    packed (value, multiplier) ints, fold mod 97 — valid iff 1."""
+    rearr = "substr(c,5)||substr(c,1,4)"
+    a = f"ascii(substr({rearr}, i, 1))"
+    packed = (
+        f"CASE WHEN {a} >= 65 THEN ({a} - 55) * 1000 + 100 "
+        f"ELSE ({a} - 48) * 1000 + 10 END"
+    )
+    return (
+        f"list_filter({list_expr}, c -> list_reduce(list_prepend(0, "
+        f"[{packed} for i in range(1, len(c)+1)]), "
+        "(acc, x) -> (acc * (x % 1000) + x // 1000) % 97) = 1)"
     )
 
 
@@ -2626,6 +2650,10 @@ def oracle_sql() -> dict[str, str]:
                                WHEN doc_id % 3 = 1
                                THEN ' card 4111 1111 1111 1112 no'
                                ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN ' iban DE89370400440532013000 here'
+                               ELSE ' iban DE89370400440532013001 here'
+                               END
                        || '  ‘x’' || chr(160) || 'y' || chr(9) AS t
               FROM documents WHERE doc_id < 200
             ),
@@ -2654,27 +2682,36 @@ def oracle_sql() -> dict[str, str]:
                          '<EMAIL>', 'g') AS t
               FROM norm
             ),
-            s2 AS (
+            -- mod-97-valid IBANs (before IPs/cards/phones)
+            s1b AS (
               SELECT doc_id, text_norm, n_emails,
+                     len(__IBAN_LIST__)::int AS n_ibans,
+                     list_reduce(
+                       list_prepend(t, list_distinct(__IBAN_LIST__)),
+                       (acc, c) -> replace(acc, c, '<IBAN>')) AS t
+              FROM s1
+            ),
+            s2 AS (
+              SELECT doc_id, text_norm, n_emails, n_ibans,
                      len(regexp_extract_all(t,
                          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::int AS n_ips,
                      regexp_replace(t,
                          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
                          '<IP>', 'g') AS t
-              FROM s1
+              FROM s1b
             ),
             -- Luhn-valid payment cards (checked BEFORE phones: a valid
             -- PAN becomes <CC>; an invalid digit run falls through to
             -- the phone scrubber)
             s3 AS (
-              SELECT doc_id, text_norm, n_emails, n_ips,
+              SELECT doc_id, text_norm, n_emails, n_ibans, n_ips,
                      len(__LUHN_CARDS__)::int AS n_cards,
                      list_reduce(
                        list_prepend(t, list_distinct(__LUHN_CARDS__)),
                        (acc, c) -> replace(acc, c, '<CC>')) AS t
               FROM s2
             )
-            SELECT doc_id, text_norm, n_emails, n_ips, n_cards,
+            SELECT doc_id, text_norm, n_emails, n_ibans, n_ips, n_cards,
                    len(regexp_extract_all(t,
                        '\+?[0-9][0-9 ()/-]{6,}[0-9]'))::int AS n_phones,
                    regexp_replace(t, '\+?[0-9][0-9 ()/-]{6,}[0-9]',
@@ -2684,6 +2721,12 @@ def oracle_sql() -> dict[str, str]:
             "__LUHN_CARDS__",
             _luhn_filter_sql(
                 r"regexp_extract_all(t, '\b(?:\d[ -]?){12,18}\d\b')"
+            ),
+        ).replace(
+            "__IBAN_LIST__",
+            _iban_filter_sql(
+                r"regexp_extract_all(t, "
+                r"'\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b')"
             ),
         ),
         "kmeans_assign": f"""

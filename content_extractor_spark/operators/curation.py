@@ -33,6 +33,29 @@ PHONE_RE = r"\+?[0-9][0-9 ()/-]{6,}[0-9]"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 # 13-19 digits, optionally space/dash separated (ISO/IEC 7812 PANs)
 CARD_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+# compact-form IBAN (ISO 13616): country code + 2 check digits + BBAN.
+# The spaced display form is out of scope (documented) — raw dumps and
+# form posts carry the compact form.
+IBAN_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+
+def _iban_valid(cand: Column) -> Column:
+    """ISO 13616 mod-97 check: move the first 4 chars to the end, map
+    A-Z to 10-35, and fold digit-by-digit mod 97 (the incremental form
+    — the full number exceeds int64); valid iff the remainder is 1.
+    Pure Catalyst (sequence + aggregate), no UDF."""
+    r = F.concat(
+        F.substring(cand, 5, F.length(cand)), F.substring(cand, 1, F.lit(4))
+    )
+    idx = F.sequence(F.lit(1), F.length(r))
+
+    def step(acc, i):
+        a = F.ascii(F.substring(r, i, F.lit(1)))
+        return F.when(
+            a >= 65, (acc * 100 + (a - 55)) % 97
+        ).otherwise((acc * 10 + (a - 48)) % 97)
+
+    return F.aggregate(idx, F.lit(0), step) == 1
 
 
 def _luhn_valid(cand: Column) -> Column:
@@ -55,22 +78,32 @@ def _luhn_valid(cand: Column) -> Column:
 def pii_scrub(
     df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
 ) -> DataFrame:
-    """Redact emails, IPv4 addresses, Luhn-valid payment-card numbers
-    and phone-ish digit runs.
+    """Redact emails, mod-97-valid IBANs, IPv4 addresses, Luhn-valid
+    payment-card numbers and phone-ish digit runs.
 
     Order matters: emails first (else the phone pattern eats digit
-    runs inside addresses); cards BEFORE phones, validated by the Luhn
-    checksum so a valid PAN becomes <CC> while a random 16-digit run
-    falls through to the phone scrubber (only checksum-valid numbers
-    are the high-severity leak). Counts are taken BEFORE each
-    redaction. All steps are Catalyst expressions — the card check is
-    a per-candidate transform/aggregate, not a UDF.
+    runs inside addresses); IBANs and cards BEFORE phones, validated
+    by their real checksums (ISO 13616 mod-97, ISO/IEC 7812 Luhn) so a
+    valid number becomes <IBAN>/<CC> while a random digit run falls
+    through to the phone scrubber — only checksum-valid numbers are
+    the high-severity leak. Counts are taken BEFORE each redaction.
+    All steps are Catalyst expressions — both checksums run as
+    per-candidate transform/aggregate folds, not UDFs.
     """
     t = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
     step1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
-    n_ips = F.size(F.regexp_extract_all(step1, F.lit(IPV4_RE), F.lit(0)))
-    step2 = F.regexp_replace(step1, IPV4_RE, "<IP>")
+    ibans = F.filter(
+        F.regexp_extract_all(step1, F.lit(IBAN_RE), F.lit(0)), _iban_valid
+    )
+    n_ibans = F.size(ibans)
+    step1b = F.aggregate(
+        F.array_distinct(ibans),
+        step1,
+        lambda acc, c: F.replace(acc, c, F.lit("<IBAN>")),
+    )
+    n_ips = F.size(F.regexp_extract_all(step1b, F.lit(IPV4_RE), F.lit(0)))
+    step2 = F.regexp_replace(step1b, IPV4_RE, "<IP>")
     cards = F.filter(
         F.regexp_extract_all(step2, F.lit(CARD_RE), F.lit(0)), _luhn_valid
     )
@@ -85,6 +118,7 @@ def pii_scrub(
     return df.select(
         "*",
         n_emails.cast("int").alias("n_emails"),
+        n_ibans.cast("int").alias("n_ibans"),
         n_ips.cast("int").alias("n_ips"),
         n_cards.cast("int").alias("n_cards"),
         n_phones.cast("int").alias("n_phones"),

@@ -606,6 +606,25 @@ class TestCuration:
         assert out[4]["scrubbed"] == "id 1234 is fine"
         assert out[4]["n_cards"] == 0
 
+    def test_pii_scrub_iban_mod97(self, spark):
+        """IBANs: the ISO 13616 mod-97 check gates redaction — the
+        textbook-valid DE IBAN becomes <IBAN>; flipping its last digit
+        fails the check and the phone scrubber eats the digit tail."""
+        from content_extractor_spark.operators.curation import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "pay to DE89370400440532013000 now"),
+             (2, "pay to DE89370400440532013001 now"),
+             (3, "GB82WEST12345698765432 works too")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert out[1]["scrubbed"] == "pay to <IBAN> now"
+        assert out[1]["n_ibans"] == 1
+        assert out[2]["n_ibans"] == 0
+        assert "<IBAN>" not in out[2]["scrubbed"]
+        assert out[3]["scrubbed"] == "<IBAN> works too"
+
     def test_decontaminate(self, spark):
         from content_extractor_spark.operators.curation import decontaminate
 
