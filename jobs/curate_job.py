@@ -244,9 +244,11 @@ def flag_documents(docs, cfg, benchmark=None):
     return df, cached
 
 
-def run_curation(spark, docs, cfg, benchmark=None, out_root=None):
+def run_curation(spark, docs, cfg, benchmark=None, out_root=None,
+                 write_mode="overwrite"):
     """Flag -> filter -> normalize -> scrub -> split -> write, with the
-    funnel counted as observation metrics on the single write action."""
+    funnel counted as observation metrics on the single write action.
+    ``write_mode="append"`` is the streaming micro-batch form."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -273,7 +275,7 @@ def run_curation(spark, docs, cfg, benchmark=None, out_root=None):
     out_path = f"{out_root}/curated"
     (
         curated.select(*out_cols)
-        .write.mode("overwrite")
+        .write.mode(write_mode)
         .partitionBy("split")
         .parquet(out_path)
     )
@@ -285,6 +287,65 @@ def run_curation(spark, docs, cfg, benchmark=None, out_root=None):
     )
     cached.unpersist()
     return metrics
+
+
+def run_curation_stream(
+    spark, input_dir, cfg, out_root, checkpoint, benchmark=None
+):
+    """Continuous curation: documents stream in (file source) and each
+    micro-batch runs the SAME batch funnel, with exact dedup extended
+    ACROSS batches via a persistent digest ledger — a document whose
+    md5(text) was processed in ANY earlier batch is dropped before the
+    funnel (first writer wins, the streaming analog of the batch
+    first-surviving-row rule). foreachBatch executes serially, so the
+    ledger read-then-append is race-free; the stream checkpoint makes
+    source progress exactly-once and the ledger append idempotent per
+    batch id is not needed (a replayed batch re-drops via the ledger).
+
+    Per-batch funnel metrics (plus the cross-batch ``drop_seen``
+    count) append to ``{out_root}/metrics`` with the batch id.
+    """
+    from pyspark.sql import functions as F
+
+    seen_path = f"{out_root}/seen_digests"
+    metrics_path = f"{out_root}/metrics"
+    schema = spark.read.parquet(input_dir).schema
+
+    def sink(batch_df, batch_id):
+        s = batch_df.sparkSession
+        total_in = batch_df.count()
+        if total_in == 0:
+            return
+        keyed = batch_df.withColumn("_digest", F.md5(F.col("text")))
+        try:
+            seen = s.read.parquet(seen_path)
+            fresh = keyed.join(seen, "_digest", "left_anti")
+        except Exception:  # first batch: no ledger yet
+            fresh = keyed
+        fresh = fresh.localCheckpoint(eager=True)  # pin pre-ledger-append state
+        m = run_curation(
+            s, fresh.drop("_digest"), cfg, benchmark=benchmark,
+            out_root=out_root, write_mode="append",
+        )
+        m["drop_seen"] = total_in - m["total"]
+        m["batch_id"] = batch_id
+        s.createDataFrame([tuple(m[k] for k in sorted(m))],
+                          ", ".join(f"{k} long" for k in sorted(m))
+                          ).write.mode("append").parquet(metrics_path)
+        # commit the batch's digests LAST (ledger = the dedup frontier)
+        fresh.select("_digest").distinct().write.mode("append").parquet(
+            seen_path
+        )
+
+    q = (
+        spark.readStream.schema(schema).format("parquet").load(input_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
 
 
 def main(argv=None):
