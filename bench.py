@@ -195,6 +195,62 @@ def run_curate_bench(spark, sf_dir: str, reps: int = 2) -> dict:
     return {"wall_sec": round(best, 2), **metrics}
 
 
+def ensure_warc_corpus(n_files: int = 8, pages_per_file: int = 1500,
+                       seed: int = 42) -> str:
+    """Deterministic .warc.gz corpus for the connector bench — one
+    file per task (the real parallelism unit)."""
+    import random
+
+    path = f"/tmp/ce_bench_warc_n{n_files}x{pages_per_file}_s{seed}"
+    if os.path.exists(os.path.join(path, "_DONE")):
+        return path
+    from content_extractor_spark.kernel.warc import build_warc
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(500)]
+    for f in range(n_files):
+        pages = []
+        for p in range(pages_per_file):
+            body = " ".join(rng.choice(words) for _ in range(120))
+            pages.append(
+                (f"{f}-{p}", f"https://h{p % 24}.example/f{f}/p{p}",
+                 (f"<html><head><title>T{f}-{p}</title></head>"
+                  f"<body><div id='content-main'><h1>T{f}-{p}</h1>"
+                  f"<p>{body}</p></div></body></html>").encode())
+            )
+        with open(os.path.join(path, f"f{f}.warc.gz"), "wb") as fh:
+            fh.write(build_warc(pages))
+    open(os.path.join(path, "_DONE"), "w").close()
+    return path
+
+
+def run_warc_bench(spark, reps: int = 2) -> dict:
+    """Crawl-archive connector throughput: .warc.gz files -> parsed +
+    charset-decoded documents (the deployment-entry path). Min-of-k,
+    counted via a noop sink so nothing but the connector is timed."""
+    from content_extractor_spark.sources.warc import (
+        read_warc,
+        warc_documents,
+    )
+
+    corpus = ensure_warc_corpus()
+    n_docs = 8 * 1500
+    best = None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        docs = warc_documents(read_warc(spark, corpus))
+        docs.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "wall_sec": round(best, 2),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / best, 1),
+    }
+
+
 def main():
     # ambient-load transparency: sample BEFORE any Spark session exists,
     # so the number reflects the neighbors, not our own executors (the
@@ -223,6 +279,7 @@ def main():
     # -- representative query set at sf_dir ----------------------------------
     query_times = time_queries(spark, sf_dir)
     curation = run_curate_bench(spark, sf_dir)
+    warc = run_warc_bench(spark)
     spark.stop()
 
     # -- scaling: the extraction stage at N vs 4N cores ------------------------
@@ -282,6 +339,7 @@ def main():
             "spans_emitted": summary["spans_emitted"],
         },
         "curation": curation,
+        "warc_connector": warc,
         "scaling": scaling,
         "cpus": cpus,
     }
