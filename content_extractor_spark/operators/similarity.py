@@ -569,3 +569,76 @@ def ivf_pq_topk(
     return scored.orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     ).limit(topk)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding storage quantization
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization for embedding STORAGE:
+    scale = max|x|/127, q_i = round(x_i/scale) in [-127, 127] — 4x
+    smaller than float32 (16x vs float64) with the scale carried per
+    row, which is what makes a 10^12-row embedding column storable and
+    scannable. Map-only Catalyst (transform + array_max); zero vectors
+    get scale 0 and all-zero codes. Deterministic: engine HALF_UP
+    rounding.
+
+    Returns (id, codes array<tinyint>, scale double).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale > 0, F.round(x / scale, 0))
+        .otherwise(F.lit(0.0))
+        .cast("tinyint"),
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        scale.alias("scale"),
+    )
+
+
+def dequantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes, scale) -> (id, embedding array<double>): x_i ~=
+    q_i * scale, with |error| <= scale/2 per component."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col("codes"), lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+
+
+def int8_cosine(a_codes: Column, a_scale: Column,
+                b_codes: Column, b_scale: Column) -> Column:
+    """Cosine similarity straight from int8 codes: the per-vector
+    scales cancel out of the ratio, so this is pure small-integer
+    arithmetic over the stored codes — the cheap scan-side similarity
+    for quantized corpora (the int sums stay well inside int64 for any
+    dim <= ~5.5e14/127^2)."""
+    ab = F.aggregate(
+        F.zip_with(a_codes, b_codes,
+                   lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    aa = F.aggregate(
+        F.transform(a_codes, lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    bb = F.aggregate(
+        F.transform(b_codes, lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    return ab.cast("double") / F.sqrt(
+        aa.cast("double") * bb.cast("double")
+    )

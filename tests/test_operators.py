@@ -295,6 +295,53 @@ class TestSimilarity:
         dists = [r["adc_dist"] for r in top]
         assert dists == sorted(dists)
 
+    def test_int8_quantization_roundtrip_and_cosine(self, spark):
+        """Storage quantization: per-component reconstruction error is
+        bounded by scale/2; int8 cosine (pure code arithmetic, scales
+        cancel) tracks the float cosine within quantization noise;
+        zero vectors quantize safely."""
+        import math
+        import random
+
+        from content_extractor_spark.operators.similarity import (
+            dequantize_embeddings_int8,
+            int8_cosine,
+            quantize_embeddings_int8,
+        )
+
+        rng = random.Random(5)
+        rows = [
+            (i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(12)
+        ] + [(99, [0.0] * 16)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        q = quantize_embeddings_int8(df)
+        deq = {
+            r["vec_id"]: r["embedding"]
+            for r in dequantize_embeddings_int8(q).collect()
+        }
+        scales = {r["vec_id"]: r["scale"] for r in q.collect()}
+        orig = dict(rows)
+        for i, vec in orig.items():
+            for x, y in zip(vec, deq[i]):
+                assert abs(x - y) <= scales[i] / 2 + 1e-9
+        assert scales[99] == 0.0 and deq[99] == [0.0] * 16
+        # int8 cosine vs float cosine on a joined pair
+        a = q.selectExpr("vec_id as a_id", "codes as a_codes",
+                         "scale as a_scale").where("a_id = 0")
+        b = q.selectExpr("vec_id as b_id", "codes as b_codes",
+                         "scale as b_scale").where("b_id = 1")
+        got = a.crossJoin(b).select(
+            int8_cosine(F.col("a_codes"), F.col("a_scale"),
+                        F.col("b_codes"), F.col("b_scale")).alias("c")
+        ).first()["c"]
+        va, vb = orig[0], orig[1]
+        dot = sum(x * y for x, y in zip(va, vb))
+        want = dot / math.sqrt(sum(x * x for x in va)
+                               * sum(y * y for y in vb))
+        assert abs(got - want) < 0.02
+
     def test_ivf_pq_topk_probes_route_the_search(self, spark):
         """IVF-PQ composition: with nprobe=1 the query at +1 searches
         ONLY its nearest inverted list (the -1 cluster is never
