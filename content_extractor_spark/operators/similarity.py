@@ -642,3 +642,52 @@ def int8_cosine(a_codes: Column, a_scale: Column,
     return ab.cast("double") / F.sqrt(
         aa.cast("double") * bb.cast("double")
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+    weight_col: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Pool per-chunk embeddings into one vector per document:
+    component-wise (optionally weighted) mean — the standard way to
+    get document vectors from chunk encoders, and the missing link
+    between ``chunk_documents`` and the similarity family.
+
+    Plan shape: posexplode -> partial-aggregated (group, pos) AVG ->
+    one collect_list per group re-ordered by position (array_sort on
+    (pos, value) structs, so the result never depends on shuffle
+    arrival order). Two keyed shuffles, both with map-side combine;
+    no Python. ``weight_col`` (e.g. a chunk's token count) switches to
+    sum(w*x)/sum(w).
+    """
+    cols = [F.col(group_col)]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    ex = df.select(
+        *cols,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "_pos", "_x"
+        ),
+    )
+    if weight_col is None:
+        per = ex.groupBy(group_col, "_pos").agg(F.avg("_x").alias("_m"))
+    else:
+        per = ex.groupBy(group_col, "_pos").agg(
+            (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m")
+        )
+    return (
+        per.groupBy(group_col)
+        .agg(F.collect_list(F.struct("_pos", "_m")).alias("_ps"))
+        .select(
+            group_col,
+            F.transform(
+                F.array_sort("_ps"), lambda s: (
+                    F.round(s["_m"], round_to)
+                    if round_to is not None else s["_m"]
+                )
+            ).alias(vec_col),
+        )
+    )

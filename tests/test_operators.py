@@ -295,6 +295,32 @@ class TestSimilarity:
         dists = [r["adc_dist"] for r in top]
         assert dists == sorted(dists)
 
+    def test_mean_pool_embeddings(self, spark):
+        """Chunk -> document pooling: unweighted mean, token-weighted
+        mean, and positional order independent of shuffle arrival."""
+        from content_extractor_spark.operators.similarity import (
+            mean_pool_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [("d1", [1.0, 10.0], 1), ("d1", [3.0, 30.0], 3),
+             ("d2", [5.0, 7.0], 2)],
+            "doc_id string, embedding array<float>, n_tokens int",
+        )
+        got = {
+            r["doc_id"]: r["embedding"]
+            for r in mean_pool_embeddings(df).collect()
+        }
+        assert got == {"d1": [2.0, 20.0], "d2": [5.0, 7.0]}
+        w = {
+            r["doc_id"]: r["embedding"]
+            for r in mean_pool_embeddings(
+                df, weight_col="n_tokens"
+            ).collect()
+        }
+        # d1 weighted: (1*1 + 3*3)/4 = 2.5 ; (1*10 + 3*30)/4 = 25
+        assert w["d1"] == [2.5, 25.0] and w["d2"] == [5.0, 7.0]
+
     def test_int8_quantization_roundtrip_and_cosine(self, spark):
         """Storage quantization: per-component reconstruction error is
         bounded by scale/2; int8 cosine (pure code arithmetic, scales
