@@ -1074,7 +1074,45 @@ def q_link_graph(spark, sf_dir):
         F.concat_ws("|", "title", "link_text").alias("anchor_text"),
         F.lit(0).cast("bigint").alias("n"),
     )
-    return edges.unionByName(anchors).unionByName(sm).unionByName(wat)
+    # fifth product: RSS/Atom feed discovery (r5) — even docs get an
+    # RSS item (CDATA title), odd docs an Atom entry; the real parser
+    # runs, the oracle rebuilds its output arithmetically
+    from content_extractor_spark.operators.scans import feed_urls
+
+    fhost = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example"))
+    floc = F.concat(F.lit("https://"), fhost, F.lit("/r"), d.cast("string"))
+    fdate = F.concat(F.lit("2021-07-0"), (d % 9 + 1).cast("string"))
+    ftitle = F.concat(F.lit("F"), d.cast("string"))
+    feed_xml = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("<rss><channel><item><title><![CDATA["), ftitle,
+            F.lit("]]></title><link>"), floc,
+            F.lit("</link><pubDate>"), fdate,
+            F.lit("</pubDate></item></channel></rss>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+                  "<title>"), ftitle,
+            F.lit('</title><link href="'), floc,
+            F.lit('"/><updated>'), fdate,
+            F.lit("</updated></entry></feed>"),
+        )
+    )
+    fd = feed_urls(
+        docs.select(fhost.alias("host"), feed_xml.alias("xml"))
+    ).select(
+        F.concat(F.lit("feed_"), F.col("kind")).alias("kind"),
+        F.col("host").alias("src"),
+        F.col("loc").alias("dst"),
+        F.concat_ws("|", "published", "title").alias("anchor_text"),
+        F.lit(0).cast("bigint").alias("n"),
+    )
+    return (
+        edges.unionByName(anchors).unionByName(sm)
+        .unionByName(wat).unionByName(fd)
+    )
 
 
 def q_pagerank_hosts(spark, sf_dir):
@@ -2559,6 +2597,18 @@ def oracle_sql() -> dict[str, str]:
                    '/rel/x' AS dst,
                    'T' || doc_id::varchar || '|r' || doc_id::varchar
                      AS anchor_text,
+                   0::BIGINT AS n
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            -- feed rows: arithmetic image of the synthesized RSS item
+            -- (even docs, CDATA title unwrapped) / Atom entry (odd)
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'feed_rss'
+                        ELSE 'feed_atom' END AS kind,
+                   'h' || (doc_id % 5)::varchar || '.example' AS src,
+                   'https://h' || (doc_id % 5)::varchar || '.example/r'
+                     || doc_id::varchar AS dst,
+                   '2021-07-0' || (doc_id % 9 + 1)::varchar || '|F'
+                     || doc_id::varchar AS anchor_text,
                    0::BIGINT AS n
             FROM documents WHERE doc_id < 200
         """,

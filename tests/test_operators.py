@@ -1808,6 +1808,53 @@ class TestChunking:
 
 
 class TestDiscoveryAndBanding:
+    def test_feed_urls_rss_and_atom(self, spark):
+        """RSS items and Atom entries parse to (loc, published, title)
+        rows: CDATA titles unwrap, entities decode, Atom falls back
+        published->updated, itemless feeds yield nothing."""
+        from content_extractor_spark.operators.scans import feed_urls
+
+        rss = (
+            "<rss><channel><title>Chan</title>"
+            "<item><title><![CDATA[A &amp; B]]></title>"
+            "<link>https://h0.example/a?x=1&amp;y=2</link>"
+            "<pubDate>Mon, 05 Jul 2021 08:00:00 GMT</pubDate></item>"
+            "<item><link>https://h0.example/b</link></item>"
+            "</channel></rss>"
+        )
+        atom = (
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            "<title>F</title>"
+            '<entry><title>E1</title><link href="https://h1.example/e1"/>'
+            "<updated>2021-07-05T08:00:00Z</updated></entry>"
+            '<entry><title>E2</title>'
+            '<link rel="alternate" href="https://h1.example/e2"/>'
+            "<published>2021-07-06T09:00:00Z</published></entry>"
+            "</feed>"
+        )
+        df = spark.createDataFrame(
+            [("h0.example", rss), ("h1.example", atom),
+             ("h2.example", "<rss><channel></channel></rss>")],
+            "host string, xml string",
+        )
+        rows = {
+            (r["host"], r["loc"]): (r["kind"], r["published"], r["title"])
+            for r in feed_urls(df).collect()
+        }
+        assert rows[("h0.example", "https://h0.example/a?x=1&y=2")] == (
+            "rss", "Mon, 05 Jul 2021 08:00:00 GMT", "A & B"
+        )
+        assert rows[("h0.example", "https://h0.example/b")] == (
+            "rss", None, None
+        )
+        assert rows[("h1.example", "https://h1.example/e1")] == (
+            "atom", "2021-07-05T08:00:00Z", "E1"
+        )
+        assert rows[("h1.example", "https://h1.example/e2")] == (
+            "atom", "2021-07-06T09:00:00Z", "E2"
+        )
+        assert len(rows) == 4
+
     def test_sitemap_urls_urlset_and_index(self, spark):
         from content_extractor_spark.operators.scans import sitemap_urls
 
