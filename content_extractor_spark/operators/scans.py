@@ -389,6 +389,36 @@ def sitemap_urls(
     )
 
 
+# <meta name=robots content="... noindex ..."> — attribute ORDER-FREE
+# (name before content or content before name), quotes optional,
+# directive list comma/space separated, case-insensitive
+_META_NOINDEX_RE = (
+    r'(?is)<meta\b(?=[^>]*\bname\s*=\s*["\']?robots\b)'
+    r'[^>]*\bcontent\s*=\s*["\']?[^"\'>]*\bnoindex\b[^>]*>'
+    r'|(?is)<meta\b(?=[^>]*\bcontent\s*=\s*["\']?[^"\'>]*\bnoindex\b)'
+    r'[^>]*\bname\s*=\s*["\']?robots\b[^>]*>'
+)
+
+
+def meta_noindex(html: Column) -> Column:
+    """True when the page carries a robots-meta noindex directive —
+    such pages may be fetched but must not become indexed entries
+    (the on-page counterpart of robots.txt Disallow). One regex scan,
+    attribute order and quoting variations handled."""
+    return html.rlike(_META_NOINDEX_RE)
+
+
+def noindex_filter(
+    docs: DataFrame, html_col: str = "html", keep_flag: bool = False
+) -> DataFrame:
+    """Drop (or, with ``keep_flag``, mark with a ``noindex`` column)
+    documents whose HTML declares robots-meta noindex. Map-only."""
+    flag = meta_noindex(F.col(html_col))
+    if keep_flag:
+        return docs.withColumn("noindex", flag)
+    return docs.where(~flag)
+
+
 def feed_urls(
     feeds: DataFrame,
     xml_col: str = "xml",

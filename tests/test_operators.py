@@ -1808,6 +1808,32 @@ class TestChunking:
 
 
 class TestDiscoveryAndBanding:
+    def test_meta_noindex_filter(self, spark):
+        """robots-meta noindex: both attribute orders, optional
+        quotes, directive lists, case-insensitivity; 'noindex' inside
+        another word or a non-robots meta never matches."""
+        from content_extractor_spark.operators.scans import (
+            noindex_filter,
+        )
+
+        rows = [
+            (1, '<meta name="robots" content="noindex, nofollow">'),
+            (2, "<meta content='NOINDEX' name=robots>"),
+            (3, '<meta name=ROBOTS content="nofollow,noindex">'),
+            (4, '<meta name="robots" content="index, follow">'),
+            (5, '<meta name="description" content="noindex tips">'),
+            (6, '<meta name="robots" content="nonoindexing">'),
+            (7, "<p>no meta at all</p>"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, html string")
+        kept = sorted(r["doc_id"] for r in noindex_filter(df).collect())
+        assert kept == [4, 5, 6, 7]
+        flags = {
+            r["doc_id"]: r["noindex"]
+            for r in noindex_filter(df, keep_flag=True).collect()
+        }
+        assert [i for i, v in sorted(flags.items()) if v] == [1, 2, 3]
+
     def test_feed_urls_rss_and_atom(self, spark):
         """RSS items and Atom entries parse to (loc, published, title)
         rows: CDATA titles unwrap, entities decode, Atom falls back
