@@ -389,6 +389,52 @@ def sitemap_urls(
     )
 
 
+# <link rel=canonical href=...> — attribute order-free, quotes optional
+_CANONICAL_RE = (
+    r'(?is)<link\b(?=[^>]*\brel\s*=\s*["\']?canonical\b)'
+    r'[^>]*\bhref\s*=\s*["\']?([^"\'\s>]+)'
+)
+_CANONICAL_RE_REV = (
+    r'(?is)<link\b[^>]*\bhref\s*=\s*["\']?([^"\'\s>]+)'
+    r'["\']?[^>]*\brel\s*=\s*["\']?canonical\b'
+)
+
+
+def canonical_link(html: Column) -> Column:
+    """The page's declared canonical url ('' when absent) — the
+    publisher's own duplicate-collapse key: syndicated/paginated/AMP
+    copies point at one canonical, so grouping on it dedups what
+    content hashing alone cannot (same story, different boilerplate).
+    Handles both attribute orders in one pass each."""
+    fwd = F.regexp_extract(html, _CANONICAL_RE, 1)
+    rev = F.regexp_extract(html, _CANONICAL_RE_REV, 1)
+    return F.when(fwd != "", fwd).otherwise(rev)
+
+
+def canonical_dedup(
+    docs: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """First-writer-wins dedup on the canonical url: rows gain
+    ``canonical`` (the declared canonical, falling back to the row's
+    own url) and ``is_canonical_dup`` (a later row pointing at an
+    already-kept canonical). One window over the canonical key —
+    the same single-shuffle shape as the content-hash dedup (A2),
+    keyed on the publisher's signal instead of ours."""
+    from pyspark.sql import Window
+
+    canon = canonical_link(F.col(html_col))
+    keyed = docs.withColumn(
+        "canonical",
+        F.when(canon != "", canon).otherwise(F.col(url_col)),
+    )
+    w = Window.partitionBy("canonical").orderBy(F.col(url_col).asc())
+    return keyed.withColumn(
+        "is_canonical_dup", F.row_number().over(w) > 1
+    )
+
+
 # <meta name=robots content="... noindex ..."> — attribute ORDER-FREE
 # (name before content or content before name), quotes optional,
 # directive list comma/space separated, case-insensitive

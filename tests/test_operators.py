@@ -1808,6 +1808,33 @@ class TestChunking:
 
 
 class TestDiscoveryAndBanding:
+    def test_canonical_dedup(self, spark):
+        """Canonical-link dedup: AMP/syndicated copies pointing at one
+        canonical collapse (first url wins); pages without a canonical
+        fall back to their own url; both attribute orders parse."""
+        from content_extractor_spark.operators.scans import (
+            canonical_dedup,
+        )
+
+        rows = [
+            (1, "https://a.example/story",
+             '<link rel="canonical" href="https://a.example/story">'),
+            (2, "https://a.example/story.amp",
+             "<link href='https://a.example/story' rel=canonical>"),
+            (3, "https://b.example/copy",
+             '<link rel=canonical href=https://a.example/story>'),
+            (4, "https://c.example/other", "<p>no canonical</p>"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, url string, html string")
+        got = {
+            r["doc_id"]: (r["canonical"], r["is_canonical_dup"])
+            for r in canonical_dedup(df).collect()
+        }
+        assert got[1] == ("https://a.example/story", False)
+        assert got[2] == ("https://a.example/story", True)
+        assert got[3] == ("https://a.example/story", True)
+        assert got[4] == ("https://c.example/other", False)
+
     def test_meta_noindex_filter(self, spark):
         """robots-meta noindex: both attribute orders, optional
         quotes, directive lists, case-insensitivity; 'noindex' inside
