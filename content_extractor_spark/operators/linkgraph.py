@@ -159,3 +159,55 @@ def extract_anchor_texts(
         .select("src", dst.alias("dst"), text.alias("anchor_text"))
         .where((F.col("dst") != "") & (F.col("anchor_text") != ""))
     )
+
+
+def _meta_content(html: Column, prop: str) -> Column:
+    """content= of a <meta property=...> / <meta name=...> tag, both
+    attribute orders, quotes optional ('' when absent)."""
+    fwd = F.regexp_extract(
+        html,
+        r'(?is)<meta\b(?=[^>]*\b(?:property|name)\s*=\s*["\']?'
+        + prop
+        + r'["\'\s])[^>]*\bcontent\s*=\s*["\']([^"\']*)["\']',
+        1,
+    )
+    rev = F.regexp_extract(
+        html,
+        r'(?is)<meta\b[^>]*\bcontent\s*=\s*["\']([^"\']*)["\']'
+        r'[^>]*\b(?:property|name)\s*=\s*["\']?' + prop + r'["\'\s]',
+        1,
+    )
+    return F.when(fwd != "", fwd).otherwise(rev)
+
+
+def og_extract(
+    docs: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Open Graph / meta fallback extraction: og:title, og:description
+    (falling back to <meta name=description>), og:image, og:site_name,
+    og:type, plus the <title> element — the salvage path for pages no
+    extraction profile covers (virtually every modern page ships OG
+    tags for link previews). Columns append to the input; '' means
+    absent. Map-only regex scans, no DOM build — this is the CHEAP
+    tier below profile extraction, not a replacement for it (profiles
+    give span-exact main content; OG gives preview metadata).
+    """
+    h = F.col(html_col)
+    title_el = F.regexp_extract(
+        h, r"(?is)<title[^>]*>\s*(.*?)\s*</title>", 1
+    )
+    og_title = _meta_content(h, "og:title")
+    desc = F.when(
+        _meta_content(h, "og:description") != "",
+        _meta_content(h, "og:description"),
+    ).otherwise(_meta_content(h, "description"))
+    return docs.select(
+        "*",
+        F.when(og_title != "", og_title).otherwise(title_el).alias(
+            "og_title"
+        ),
+        desc.alias("og_description"),
+        _meta_content(h, "og:image").alias("og_image"),
+        _meta_content(h, "og:site_name").alias("og_site_name"),
+        _meta_content(h, "og:type").alias("og_type"),
+    )

@@ -1808,6 +1808,34 @@ class TestChunking:
 
 
 class TestDiscoveryAndBanding:
+    def test_og_extract_fallbacks(self, spark):
+        """OG salvage extraction: og:* wins, <title>/description fall
+        back when og tags are absent, both attribute orders parse,
+        missing everything yields empty strings."""
+        from content_extractor_spark.operators.linkgraph import og_extract
+
+        rows = [
+            (1, '<head><title>T1</title>'
+                '<meta property="og:title" content="OG One">'
+                '<meta content="D1" property="og:description">'
+                '<meta property=og:image content="https://i.example/1.jpg">'
+                '<meta property="og:site_name" content="Site">'
+                '<meta property="og:type" content="article"></head>'),
+            (2, "<head><title> Plain Two </title>"
+                '<meta name="description" content="meta desc"></head>'),
+            (3, "<p>nothing</p>"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, html string")
+        got = {
+            r["doc_id"]: (r["og_title"], r["og_description"],
+                          r["og_image"], r["og_site_name"], r["og_type"])
+            for r in og_extract(df).collect()
+        }
+        assert got[1] == ("OG One", "D1", "https://i.example/1.jpg",
+                          "Site", "article")
+        assert got[2] == ("Plain Two", "meta desc", "", "", "")
+        assert got[3] == ("", "", "", "", "")
+
     def test_canonical_dedup(self, spark):
         """Canonical-link dedup: AMP/syndicated copies pointing at one
         canonical collapse (first url wins); pages without a canonical
