@@ -211,3 +211,42 @@ def og_extract(
         _meta_content(h, "og:site_name").alias("og_site_name"),
         _meta_content(h, "og:type").alias("og_type"),
     )
+
+
+def hreflang_alternates(
+    docs: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, hreflang, alt_url) rows from ``<link rel=alternate
+    hreflang=...>`` tags — the publisher's own multilingual clustering:
+    translations of one page reference each other, giving training
+    pipelines aligned-document candidates and letting corpus balancing
+    count a translated story once per language, not once per copy.
+    Pairs with ``detect_language`` (declared vs detected language is a
+    cheap quality check). Pure Catalyst: one extract-all over the link
+    tags, per-tag attribute extraction after the explode; x-default
+    rows carry hreflang='x-default'.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r"(?is)(<link\b[^>]*\bhreflang\s*=[^>]*>)"),
+        F.lit(1),
+    )
+    exploded = docs.select(
+        F.col(url_col).alias("url"), F.explode(tags).alias("_tag")
+    )
+    lang = F.regexp_extract(
+        F.col("_tag"), r'(?i)\bhreflang\s*=\s*["\']?([A-Za-z0-9-]+)', 1
+    )
+    href = F.regexp_extract(
+        F.col("_tag"), r'(?i)\bhref\s*=\s*["\']?([^"\'\s>]+)', 1
+    )
+    return (
+        exploded.select(
+            "url",
+            F.lower(lang).alias("hreflang"),
+            href.alias("alt_url"),
+        )
+        .where((F.col("hreflang") != "") & (F.col("alt_url") != ""))
+    )

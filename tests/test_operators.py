@@ -1808,6 +1808,37 @@ class TestChunking:
 
 
 class TestDiscoveryAndBanding:
+    def test_hreflang_alternates(self, spark):
+        """Translation clusters from rel=alternate hreflang tags:
+        region subtags keep their form (lowercased), x-default rows
+        surface, non-hreflang links never match."""
+        from content_extractor_spark.operators.linkgraph import (
+            hreflang_alternates,
+        )
+
+        html = (
+            '<link rel="alternate" hreflang="de" '
+            'href="https://ex.example/de/s">'
+            "<link hreflang='en-US' rel=alternate "
+            "href=https://ex.example/en/s>"
+            '<link rel="alternate" hreflang="x-default" '
+            'href="https://ex.example/s">'
+            '<link rel="stylesheet" href="/s.css">'
+        )
+        df = spark.createDataFrame(
+            [("https://ex.example/de/s", html), ("https://p.example", "")],
+            "url string, html string",
+        )
+        got = {
+            (r["hreflang"], r["alt_url"])
+            for r in hreflang_alternates(df).collect()
+        }
+        assert got == {
+            ("de", "https://ex.example/de/s"),
+            ("en-us", "https://ex.example/en/s"),
+            ("x-default", "https://ex.example/s"),
+        }
+
     def test_og_extract_fallbacks(self, spark):
         """OG salvage extraction: og:* wins, <title>/description fall
         back when og tags are absent, both attribute orders parse,
