@@ -1716,8 +1716,14 @@ def _pq_oracle_sql() -> str:
               GROUP BY a.cluster, d.i
             ),
             sc1_{s} AS (
-              SELECT cluster, list(cv ORDER BY i) AS v FROM sd_{s}
-              GROUP BY cluster
+              -- empty clusters keep their INIT centroid (engine:
+              -- got.get(j, books[s][j])) — averages exist only for
+              -- clusters that received members, so left-join+coalesce
+              SELECT c0.cluster, coalesce(m.v, c0.v) AS v
+              FROM sc0_{s} c0 LEFT JOIN (
+                SELECT cluster, list(cv ORDER BY i) AS v FROM sd_{s}
+                GROUP BY cluster
+              ) m USING (cluster)
             ),
             scode_{s} AS (
               SELECT vec_id, cluster AS code FROM (
@@ -2808,8 +2814,13 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a1.cluster, d.i
             ),
             c1 AS (
-              SELECT cluster, list(cv ORDER BY i) AS v FROM dims
-              GROUP BY cluster
+              -- empty clusters keep their INIT centroid (engine:
+              -- got.get(j, cents[j])), mirrored via left-join+coalesce
+              SELECT c0.cluster, coalesce(m.v, c0.v) AS v
+              FROM c0 LEFT JOIN (
+                SELECT cluster, list(cv ORDER BY i) AS v FROM dims
+                GROUP BY cluster
+              ) m USING (cluster)
             ),
             {_pq_oracle_sql()}
             SELECT 'kmeans' AS kind, vec_id, cluster, dist FROM (

@@ -148,7 +148,21 @@ def decode_jpeg_pixels(data: bytes):
         return None
 
 
-def _decode(data: bytes):
+def decode_jpeg_gray(data: bytes):
+    """(fmt, width, height, row-major luma raster 0..255) for a
+    baseline JPEG, or None — the perceptual-hash feed. Color pixels
+    round to integer RGB exactly as the means path does
+    (floor(x+0.5), clip), then reduce by the SAME integer BT.601 luma
+    the PNG/BMP raster paths use ((299r+587g+114b)//1000), so a JPEG
+    and a lossless twin of the same image land on the same aHash/dHash
+    blocks."""
+    try:
+        return _decode(data, raster=True)
+    except Exception:
+        return None
+
+
+def _decode(data: bytes, raster: bool = False):
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     qt = {}
@@ -229,13 +243,14 @@ def _decode(data: bytes):
                 scan.append((comp, td_ta >> 4, td_ta & 0x0F))
             return _decode_scan(
                 data, i + 2 + seg_len, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+                restart_interval, raster,
             )
         i += 2 + seg_len
     return None
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri,
+                 raster=False):
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
@@ -297,11 +312,23 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
         full.append(plane[:h, :w])
     if len(full) == 1:
         gray = np.clip(np.floor(full[0] + 0.5), 0, 255)
+        if raster:
+            return ("jpeg", w, h,
+                    gray.astype(np.int64).reshape(-1).tolist())
         return ("jpeg", w, h, 1, [float(gray.mean())])
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
+    if raster:
+        ri, gi, bi = (
+            np.clip(np.floor(ch + 0.5), 0, 255).astype(np.int64)
+            for ch in (r, g, b)
+        )
+        # integer BT.601 luma — the same formula as multimodal._luma so
+        # cross-format hash comparisons are exact
+        luma = (299 * ri + 587 * gi + 114 * bi) // 1000
+        return ("jpeg", w, h, luma.reshape(-1).tolist())
     means = [
         float(np.clip(np.floor(ch + 0.5), 0, 255).mean()) for ch in (r, g, b)
     ]

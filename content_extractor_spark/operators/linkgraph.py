@@ -163,7 +163,9 @@ def extract_anchor_texts(
 
 def _meta_content(html: Column, prop: str) -> Column:
     """content= of a <meta property=...> / <meta name=...> tag, both
-    attribute orders, quotes optional ('' when absent)."""
+    attribute orders, quotes optional on BOTH attributes ('' when
+    absent) — an unquoted ``content=value`` (valid HTML) yields the
+    value via the fallback branches, not ''."""
     fwd = F.regexp_extract(
         html,
         r'(?is)<meta\b(?=[^>]*\b(?:property|name)\s*=\s*["\']?'
@@ -177,7 +179,25 @@ def _meta_content(html: Column, prop: str) -> Column:
         r'[^>]*\b(?:property|name)\s*=\s*["\']?' + prop + r'["\'\s]',
         1,
     )
-    return F.when(fwd != "", fwd).otherwise(rev)
+    fwd_uq = F.regexp_extract(
+        html,
+        r'(?is)<meta\b(?=[^>]*\b(?:property|name)\s*=\s*["\']?'
+        + prop
+        + r'["\'\s])[^>]*\bcontent\s*=\s*([^"\'\s>]+)',
+        1,
+    )
+    rev_uq = F.regexp_extract(
+        html,
+        r'(?is)<meta\b[^>]*\bcontent\s*=\s*([^"\'\s>]+)'
+        r'[^>]*\b(?:property|name)\s*=\s*["\']?' + prop + r'["\'\s]',
+        1,
+    )
+    return (
+        F.when(fwd != "", fwd)
+        .when(rev != "", rev)
+        .when(fwd_uq != "", fwd_uq)
+        .otherwise(rev_uq)
+    )
 
 
 def og_extract(

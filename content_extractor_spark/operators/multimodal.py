@@ -570,21 +570,13 @@ def _gif_lzw(data: bytes, min_code: int, max_pixels: int):
     return out
 
 
-def decode_gif_pixels(data: bytes):
-    """REAL GIF pixel decode — pure Python (variable-width LZW per the
-    GIF89a spec), first image frame only.
-
-    Returns (fmt, width, height, channels=3, [mean_r, mean_g, mean_b])
-    over the frame's palette-resolved RGB values, or None. Channel
-    means are pixel-ORDER independent, so interlaced frames need no
-    deinterlacing; transparency is ignored (the transparent index still
-    contributes its palette color — documented, deterministic). Local
-    color tables override the global one for the frame.
-    """
+def _gif_first_frame(data: bytes):
+    """First image frame of a GIF: (width, height, palette indices,
+    palette bytes, interlaced) or None. Local color tables override
+    the global one; indices are in STORAGE order (deinterlacing is the
+    caller's concern — channel means don't need it, rasters do)."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         return None
-    sw = int.from_bytes(data[6:8], "little")
-    sh = int.from_bytes(data[8:10], "little")
     packed = data[10]
     i = 13
     gct = None
@@ -635,17 +627,66 @@ def decode_gif_pixels(data: bytes):
         if idx is None or len(idx) < w * h:
             return None
         npal = len(pal) // 3
-        sums = [0, 0, 0]
-        for px in idx[: w * h]:
-            if px >= npal:
-                return None
-            p = px * 3
-            sums[0] += pal[p]
-            sums[1] += pal[p + 1]
-            sums[2] += pal[p + 2]
-        cnt = w * h
-        return ("gif", w, h, 3, [s / cnt for s in sums])
+        if any(px >= npal for px in idx[: w * h]):
+            return None
+        return (w, h, idx[: w * h], pal, bool(ipacked & 0x40))
     return None
+
+
+def decode_gif_pixels(data: bytes):
+    """REAL GIF pixel decode — pure Python (variable-width LZW per the
+    GIF89a spec), first image frame only.
+
+    Returns (fmt, width, height, channels=3, [mean_r, mean_g, mean_b])
+    over the frame's palette-resolved RGB values, or None. Channel
+    means are pixel-ORDER independent, so interlaced frames need no
+    deinterlacing; transparency is ignored (the transparent index still
+    contributes its palette color — documented, deterministic). Local
+    color tables override the global one for the frame.
+    """
+    frame = _gif_first_frame(data)
+    if frame is None:
+        return None
+    w, h, idx, pal, _interlaced = frame
+    sums = [0, 0, 0]
+    for px in idx:
+        p = px * 3
+        sums[0] += pal[p]
+        sums[1] += pal[p + 1]
+        sums[2] += pal[p + 2]
+    cnt = w * h
+    return ("gif", w, h, 3, [s / cnt for s in sums])
+
+
+# GIF interlace passes: (first row, row step) per the GIF89a spec
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_gray(data: bytes):
+    """(fmt, width, height, row-major luma raster) for a GIF first
+    frame — the perceptual-hash feed. Interlaced frames ARE
+    deinterlaced here (a raster, unlike channel means, is
+    order-sensitive); palette RGB reduces by the shared integer BT.601
+    :func:`_luma`."""
+    frame = _gif_first_frame(data)
+    if frame is None:
+        return None
+    w, h, idx, pal, interlaced = frame
+    lum_pal = [
+        _luma(pal[p * 3], pal[p * 3 + 1], pal[p * 3 + 2])
+        for p in range(len(pal) // 3)
+    ]
+    if not interlaced:
+        return ("gif", w, h, [lum_pal[px] for px in idx])
+    gray = [0] * (w * h)
+    src_row = 0
+    for first, step in _GIF_INTERLACE_PASSES:
+        for y in range(first, h, step):
+            base_s, base_t = src_row * w, y * w
+            for x in range(w):
+                gray[base_t + x] = lum_pal[idx[base_s + x]]
+            src_row += 1
+    return ("gif", w, h, gray)
 
 
 def decode_bmp_pixels(data: bytes):
@@ -694,12 +735,15 @@ def _luma(r: int, g: int, b: int) -> int:
 
 
 def decode_gray_raster(data: bytes):
-    """(fmt, width, height, gray row-major list 0..255) for the formats
-    whose decoders expose raw samples cheaply: binary Netpbm (P5/P6),
-    8-bit non-interlaced PNG, uncompressed 24/32-bit BMP. GIF/JPEG
-    return None here — their decoders stream channel statistics without
-    retaining pixels; a real pipeline transcodes to P6 (the canonical
-    raster intermediate) before hashing.
+    """(fmt, width, height, gray row-major list 0..255) for every
+    container with a real pixel decoder: binary Netpbm (P5/P6), 8-bit
+    non-interlaced PNG, uncompressed 24/32-bit BMP, GIF first frame
+    (:func:`decode_gif_gray`, deinterlaced), and baseline JPEG
+    (``kernel.jpeg.decode_jpeg_gray``). All color paths reduce through
+    the SAME integer BT.601 :func:`_luma`, so one image stored in two
+    containers lands on identical rasters (lossless formats) or
+    IDCT-tolerance-close ones (JPEG) — the property the perceptual
+    hashes bank on.
     """
     # Netpbm
     if data[:2] in (b"P5", b"P6"):
@@ -835,6 +879,14 @@ def decode_gray_raster(data: bytes):
                 gray.extend(line[0::channels])
             prev = line
         return ("png", w, h, gray)
+    # baseline JPEG: full IDCT raster -> integer luma
+    if data[:2] == b"\xff\xd8":
+        from ..kernel.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(data)
+    # GIF first frame (deinterlaced palette raster -> luma)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_gray(data)
     return None
 
 
@@ -903,9 +955,10 @@ def image_hashes(
 ) -> DataFrame:
     """Perceptual 64-bit image hashes (aHash + dHash) per media row —
     the multimodal arm of the dedup families. One mapInPandas batch
-    stage over the binary payloads (real decode for Netpbm/PNG/BMP;
-    other formats surface status='unsupported', never task failures);
-    near-dup pairing happens downstream in
+    stage over the binary payloads (real decode for
+    Netpbm/PNG/BMP/GIF/baseline-JPEG — the formats that dominate a web
+    crawl; anything else surfaces status='unsupported', never task
+    failures); near-dup pairing happens downstream in
     :func:`image_near_duplicates` via the shared Hamming banding.
     """
 
@@ -933,7 +986,8 @@ def image_hashes(
                     out["dhash"].append(None)
                     out["status"].append("unsupported")
                     out["error"].append(
-                        "not netpbm/png/bmp (transcode to P6 first)"
+                        "not netpbm/png/bmp/gif/baseline-jpeg "
+                        "(transcode to P6 first)"
                     )
                     continue
                 fmt, w, h, gray = dec

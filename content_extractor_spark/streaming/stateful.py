@@ -33,15 +33,20 @@ def _dedup_fn(
     (content_hash,) = key
     seen = state.get[0] if state.exists else 0
     out = {"content_hash": [], "doc_id": [], "title": [], "dup_rank": []}
-    for pdf in pdfs:
+    # applyInPandasWithState delivers large groups as MULTIPLE Arrow
+    # chunks; concatenate before sorting so "first" means min doc_id
+    # over the whole batch, not per chunk. A group is one content hash
+    # — its batch rows are few, so materializing them is safe.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf):
         pdf = pdf.sort_values("doc_id")
-        for _, row in pdf.iterrows():
-            seen += 1
-            if seen == 1:  # first writer wins; later rows are duplicates
-                out["content_hash"].append(content_hash)
-                out["doc_id"].append(row["doc_id"])
-                out["title"].append(row["title"])
-                out["dup_rank"].append(1)
+    for _, row in pdf.iterrows():
+        seen += 1
+        if seen == 1:  # first writer wins; later rows are duplicates
+            out["content_hash"].append(content_hash)
+            out["doc_id"].append(row["doc_id"])
+            out["title"].append(row["title"])
+            out["dup_rank"].append(1)
     state.update((seen,))
     yield pd.DataFrame(out)
 
@@ -92,16 +97,21 @@ def _frontier_fn(
     else:
         next_slot, delay = 0, None
     out = {"host": [], "url": [], "slot": [], "sched_offset_ms": []}
-    for pdf in pdfs:
+    # Large groups arrive as MULTIPLE Arrow chunks — sorting each chunk
+    # independently would make slot order per-chunk, not url-ordered,
+    # exactly when a host's batch is big. Frontier rows are tiny
+    # (host, url, delay), so concatenating one host's batch is safe.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf):
         pdf = pdf.sort_values("url")  # deterministic intra-batch order
-        for _, row in pdf.iterrows():
-            if delay is None:
-                delay = int(row["delay_ms"])
-            out["host"].append(host)
-            out["url"].append(row["url"])
-            out["slot"].append(next_slot)
-            out["sched_offset_ms"].append(next_slot * delay)
-            next_slot += 1
+    for _, row in pdf.iterrows():
+        if delay is None:
+            delay = int(row["delay_ms"])
+        out["host"].append(host)
+        out["url"].append(row["url"])
+        out["slot"].append(next_slot)
+        out["sched_offset_ms"].append(next_slot * delay)
+        next_slot += 1
     state.update((next_slot, delay if delay is not None else 0))
     yield pd.DataFrame(out)
 

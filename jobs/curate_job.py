@@ -245,10 +245,12 @@ def flag_documents(docs, cfg, benchmark=None):
 
 
 def run_curation(spark, docs, cfg, benchmark=None, out_root=None,
-                 write_mode="overwrite"):
+                 write_mode="overwrite", curated_path=None):
     """Flag -> filter -> normalize -> scrub -> split -> write, with the
     funnel counted as observation metrics on the single write action.
-    ``write_mode="append"`` is the streaming micro-batch form."""
+    ``curated_path`` overrides the output directory (the streaming
+    micro-batch form writes each batch to its own
+    ``ingest_batch=<id>`` subdirectory)."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -272,7 +274,7 @@ def run_curation(spark, docs, cfg, benchmark=None, out_root=None,
     out_cols = [
         c for c in docs.columns if c not in ("text",)
     ] + ["lang_detected", "q_score", "text_norm", "scrubbed", "split"]
-    out_path = f"{out_root}/curated"
+    out_path = curated_path or f"{out_root}/curated"
     (
         curated.select(*out_cols)
         .write.mode(write_mode)
@@ -297,45 +299,79 @@ def run_curation_stream(
     ACROSS batches via a persistent digest ledger — a document whose
     md5(text) was processed in ANY earlier batch is dropped before the
     funnel (first writer wins, the streaming analog of the batch
-    first-surviving-row rule). foreachBatch executes serially, so the
-    ledger read-then-append is race-free; the stream checkpoint makes
-    source progress exactly-once and the ledger append idempotent per
-    batch id is not needed (a replayed batch re-drops via the ledger).
+    first-surviving-row rule).
 
-    Per-batch funnel metrics (plus the cross-batch ``drop_seen``
-    count) append to ``{out_root}/metrics`` with the batch id.
+    Exactly-once via the orphan-batch pattern (same contract as
+    ``incremental_warc_ingest``): every per-batch artifact — curated
+    rows, metrics row, seen digests — lands in its own
+    ``ingest_batch=<id>`` subdirectory, and the batch id registers in
+    ``{out_root}/batch_ledger`` LAST. A crash before the ledger append
+    leaves orphan directories that the next start deletes before the
+    checkpoint replays the batch; a replay after the ledger append is
+    skipped by the ledger check. foreachBatch executes serially within
+    a run, so the ledger read-then-append is race-free. A store
+    written by the pre-batch-layout version is folded into
+    ``ingest_batch=legacy`` once at startup.
     """
     from pyspark.sql import functions as F
 
+    from content_extractor_spark.sources.warc import (
+        drop_orphan_batches,
+        migrate_flat_store,
+    )
+
+    curated_path = f"{out_root}/curated"
     seen_path = f"{out_root}/seen_digests"
     metrics_path = f"{out_root}/metrics"
+    ledger_path = f"{out_root}/batch_ledger"
     schema = spark.read.parquet(input_dir).schema
+
+    def committed_batches(s):
+        try:
+            return {r["batch"] for r in s.read.parquet(ledger_path).collect()}
+        except Exception:  # first run: no ledger yet
+            return set()
+
+    done = committed_batches(spark)
+    for p in (curated_path, seen_path, metrics_path):
+        migrate_flat_store(spark, p)
+        drop_orphan_batches(spark, p, done | {"legacy"})
 
     def sink(batch_df, batch_id):
         s = batch_df.sparkSession
+        bid = str(batch_id)
+        if bid in committed_batches(s):
+            return  # checkpoint replay of a fully committed batch
         total_in = batch_df.count()
         if total_in == 0:
             return
         keyed = batch_df.withColumn("_digest", F.md5(F.col("text")))
         try:
-            seen = s.read.parquet(seen_path)
+            seen = s.read.parquet(seen_path).select("_digest")
             fresh = keyed.join(seen, "_digest", "left_anti")
-        except Exception:  # first batch: no ledger yet
+        except Exception:  # first batch: no digests yet
             fresh = keyed
-        fresh = fresh.localCheckpoint(eager=True)  # pin pre-ledger-append state
+        fresh = fresh.localCheckpoint(eager=True)  # pin the anti-join result
         m = run_curation(
             s, fresh.drop("_digest"), cfg, benchmark=benchmark,
-            out_root=out_root, write_mode="append",
+            out_root=out_root, write_mode="overwrite",
+            curated_path=f"{curated_path}/ingest_batch={bid}",
         )
         m["drop_seen"] = total_in - m["total"]
         m["batch_id"] = batch_id
         s.createDataFrame([tuple(m[k] for k in sorted(m))],
                           ", ".join(f"{k} long" for k in sorted(m))
-                          ).write.mode("append").parquet(metrics_path)
-        # commit the batch's digests LAST (ledger = the dedup frontier)
-        fresh.select("_digest").distinct().write.mode("append").parquet(
-            seen_path
+                          ).write.mode("overwrite").parquet(
+            f"{metrics_path}/ingest_batch={bid}"
         )
+        fresh.select("_digest").distinct().write.mode("overwrite").parquet(
+            f"{seen_path}/ingest_batch={bid}"
+        )
+        # register the batch LAST — until this lands, everything above
+        # is an orphan directory the next start deletes and regenerates
+        s.createDataFrame(
+            [(bid, "done")], "batch string, status string"
+        ).write.mode("append").parquet(ledger_path)
 
     q = (
         spark.readStream.schema(schema).format("parquet").load(input_dir)

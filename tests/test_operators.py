@@ -2074,9 +2074,11 @@ class TestImageHashing:
         return f"P6\n{w} {h}\n255\n".encode() + bytes(pix)
 
     def test_hashes_cross_format_and_solid_invariants(self, spark):
+        from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
         from content_extractor_spark.operators.multimodal import image_hashes
         from content_extractor_spark.synth import (
             encode_bmp_solid,
+            encode_gif_solid,
             encode_png_solid,
         )
 
@@ -2085,17 +2087,25 @@ class TestImageHashing:
             [("p6", self._p6(w, h, bytes([128, 64, 32] * (w * h)))),
              ("png", encode_png_solid(w, h, (128, 64, 32))),
              ("bmp", encode_bmp_solid(w, h, (128, 64, 32))),
-             ("junk", b"GIF89a not hashable here")],
+             ("gif", encode_gif_solid(w, h, (128, 64, 32))),
+             ("jpeg", encode_jpeg_solid(w, h, (128, 64, 32))),
+             ("junk", b"GIF89a not hashable here"),
+             ("junk2", b"II*\x00 not an image either")],
             "media_ref string, payload binary",
         )
         rows = {r["media_ref"]: r for r in image_hashes(media).collect()}
-        # solid image: ahash all-ones, dhash 0 — identical in all
-        # three raster formats (same luma path)
-        for ref in ("p6", "png", "bmp"):
-            assert rows[ref]["status"] == "ok"
+        # solid image: ahash all-ones, dhash 0 — identical across ALL
+        # five container formats (same luma path; JPEG's lossy
+        # YCbCr roundtrip cannot move a solid off the solid invariant)
+        for ref in ("p6", "png", "bmp", "gif", "jpeg"):
+            assert rows[ref]["status"] == "ok", rows[ref]["error"]
+            assert rows[ref]["fmt"] == {"p6": "ppm"}.get(ref, ref.rstrip("2"))
             assert rows[ref]["ahash"] == -1  # 0xFFFF... as int64
             assert rows[ref]["dhash"] == 0
+        # GIF89a-prefixed garbage routes through the gif decoder and is
+        # structurally rejected, never garbage-hashed
         assert rows["junk"]["status"] == "unsupported"
+        assert rows["junk2"]["status"] == "unsupported"
 
     def test_near_duplicates_banded(self, spark):
         import random
@@ -2128,6 +2138,75 @@ class TestImageHashing:
         # gradient (hamming 64) never becomes a candidate
         assert ("g1", "g1n") in pairs and pairs[("g1", "g1n")] <= 6
         assert not any("g2" in p for p in pairs)
+
+    def test_jpeg_pairs_with_png_twin(self, spark):
+        """A JPEG and the PNG of the same image land in the same
+        near-dup cluster — the wiring the web-crawl image dedup needs
+        (JPEG dominates real crawls)."""
+        from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
+        from content_extractor_spark.operators.multimodal import (
+            image_near_duplicates,
+        )
+        from content_extractor_spark.synth import encode_png_solid
+
+        w, h = 16, 12
+        media = spark.createDataFrame(
+            [("jpg", encode_jpeg_solid(w, h, (40, 90, 170))),
+             ("png", encode_png_solid(w, h, (40, 90, 170))),
+             ("other", encode_png_solid(w, h, (255, 255, 255)))],
+            "media_ref string, payload binary",
+        )
+        pairs = {(r["a"], r["b"]): r["hamming"]
+                 for r in image_near_duplicates(media, max_hamming=6).collect()}
+        assert pairs[("jpg", "png")] == 0
+        # solid-vs-solid: 'other' also dHash-0 — the point of THIS test
+        # is only that the jpeg/png twin pair exists at hamming 0
+
+    def test_gif_interlaced_deinterlaces(self):
+        """Hand-built interlaced GIF (h=4, one palette index per
+        logical row, storage order 0,2,1,3 per the 4-pass spec) —
+        decode_gif_gray restores LOGICAL row order; the channel-means
+        path stays order-blind."""
+        import struct
+
+        from content_extractor_spark.operators.multimodal import (
+            decode_gif_gray,
+            decode_gif_pixels,
+        )
+
+        w, h = 2, 4
+        hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+        pal = bytes([10, 10, 10, 60, 60, 60, 110, 110, 110,
+                     210, 210, 210])  # 4 gray entries
+        desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+        # storage rows = logical rows [0, 2, 1, 3]; each pixel emitted
+        # as CLEAR+literal so the LZW table never grows (3-bit codes)
+        codes = []
+        for row in (0, 2, 1, 3):
+            codes += [4, row, 4, row]
+        codes.append(5)  # EOI
+        acc = nbits = 0
+        payload = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 3
+            while nbits >= 8:
+                payload.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            payload.append(acc & 0xFF)
+        stream = bytes([2, len(payload)]) + bytes(payload) + b"\x00"
+        gif = hdr + pal + desc + stream + b"\x3b"
+        got = decode_gif_gray(gif)
+        assert got is not None
+        fmt, gw, gh, gray = got
+        assert (fmt, gw, gh) == ("gif", w, h)
+        # logical rows come back in order: 10,10 / 60,60 / 110,110 / 210,210
+        assert gray == [10, 10, 60, 60, 110, 110, 210, 210]
+        # means path unchanged (order-blind)
+        m = decode_gif_pixels(gif)
+        assert m[4] == [97.5, 97.5, 97.5]
 
 
 class TestThumbnailsAndVideo:
