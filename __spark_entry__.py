@@ -499,9 +499,9 @@ def q_pixel_stats_all(spark, sf_dir):
     )
     # perceptual-hash arm over the SAME payloads (second decode pass —
     # fine for the correctness harness): solid images hash to exact
-    # constants (aHash all-ones = -1 as int64, dHash 0) on the raster
-    # formats; gif/jpeg are unsupported for hashing (stats-streaming
-    # decoders) and carry the -2 sentinel
+    # constants (aHash all-ones = -1 as int64, dHash 0) on ALL five
+    # formats (r6 wired gif/jpeg gray rasters into the hash path); the
+    # -2 coalesce only guards a future truly-unsupported row
     hashes = image_hashes(media).select(
         "media_ref",
         F.coalesce(F.col("ahash"), F.lit(-2)).alias("ahash"),
@@ -816,12 +816,83 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 # text analysis
 # ---------------------------------------------------------------------------
 
+# one native-text probe per language of the 59-language ladder —
+# unioned into q_language_id so the driver's value gate exercises
+# EVERY script/marker/trigram branch, not just the corpus's en/und
+# mix. The oracle injects the same rows via generated VALUES, so both
+# sides derive from this one table. No single quotes allowed (SQL
+# literal embedding).
+_LANG_PROBES = [
+    "the cat and the dog went to the park in town",
+    "der Hund und die Katze sind nicht da",
+    "le chat et la souris mangent des pommes",
+    "el perro corre por la calle con los gatos",
+    "che bella giornata, anche i ragazzi sono felici della vita",
+    "não sei se você vai, uma coisa é certa, são muitos também",
+    "het is een mooie dag, niet voor iedereen die zijn huis verlaat",
+    "to się dzieje, jest dobrze, oraz wszystko dla ciebie czy nie",
+    "och det var en dag, att se som är fin, ett hus",
+    "og det er godt, til byen af mange grunde, ikke sandt",
+    "これは日本語のテキストです",
+    "이것은 한국어 텍스트입니다",
+    "这是一段中文文本",
+    "Це українська мова і її текст",
+    "Ово је српски језик у писму",
+    "Градът е красив и голям",
+    "Это русский текст для проверки",
+    "Αυτό είναι ελληνικό κείμενο",
+    "זהו טקסט בעברית",
+    "یہ اردو زبان کا متن ہے",
+    "این پژوهش گزارش فارسی است",
+    "هذا نص باللغة العربية",
+    "हे मराठी भाषेतील वाक्य आहे, बाळ",
+    "यह हिंदी भाषा का पाठ है",
+    "এটি বাংলা ভাষার লেখা",
+    "ਇਹ ਪੰਜਾਬੀ ਭਾਸ਼ਾ ਹੈ",
+    "આ ગુજરાતી ભાષા છે",
+    "ଏହା ଓଡ଼ିଆ ଭାଷା",
+    "இது தமிழ் மொழி",
+    "ఇది తెలుగు భాష",
+    "ಇದು ಕನ್ನಡ ಭಾಷೆ",
+    "ഇത് മലയാളം ഭാഷ",
+    "මෙය සිංහල භාෂාවකි",
+    "นี่คือข้อความภาษาไทย",
+    "ນີ້ແມ່ນພາສາລາວ",
+    "ဤသည်မှာ မြန်မာဘာသာ",
+    "ეს ქართული ენაა",
+    "Սա հայերեն տեքստ է",
+    "នេះជាភាសាខ្មែរ",
+    "ይህ የአማርኛ ጽሑፍ ነው",
+    "Käännös on pöydällä kyllä",
+    "Denne boken gjelder norske fjell, sjøen må bli fin",
+    "České předpisy obsahují přílohy, většina ostatních",
+    "Ľudia môžu pracovať, každý môže čokoľvek",
+    "Slovenija je lepa dežela, tudi pozimi, veliko prijaznih ljudi",
+    "Hrvatska povijest je zanimljiva, što se tako dogodilo, bojama",
+    "Magyarország egy szép ország, ahol sok ember áll",
+    "Aceasta este o țară frumoasă, oameni înțelegători, lucruri",
+    "Türkiye çok güzel bir ülke, insanlar yorum yapıyor",
+    "Người Việt Nam thường ăn cơm, cũng như mọi người",
+    "Orang Indonesia makan nasi, mereka menyukai banyak makanan",
+    "Aquest text català parla amb els seus amics, què tal",
+    "Lietuvos vyrai buvo namuose, jie ėjo namo, yra gerai",
+    "Latvija ir skaista valsts, arī cilvēki grāmatas lasa, vēlme",
+    "Eesti keel on ilus, üks õpetaja ütles seda, aasta oli hea",
+    "Gjuha shqipe është e bukur, për një njeri dhe uji",
+    "Hierdie boek is baie groot, dit gee ons nie veel nie, wat oor aan kom",
+    "Watu wanasema kwamba chakula ni kizuri, wanaweza kuamba mambo",
+    "Það var öllum ljóst að hann gekk inn í bæinn, sem sagði maður",
+]
+
+
 def q_language_id(spark, sf_dir):
     from content_extractor_spark.operators.textstats import detect_language
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("text")
+    probes = spark.createDataFrame([(t,) for t in _LANG_PROBES], "text string")
     return (
-        docs.select(detect_language("text").alias("lang_detected"))
+        docs.unionByName(probes)
+        .select(detect_language("text").alias("lang_detected"))
         .groupBy("lang_detected")
         .agg(F.count("*").alias("n"))
     )
@@ -1243,11 +1314,17 @@ def q_normalize_pii_scrub(spark, sf_dir):
               F.lit(" card 4111 1111 1111 1112 no"))
         .otherwise(F.lit(""))
     )
-    # even docs carry a mod-97-VALID compact IBAN (-> <IBAN>); odd
-    # docs an invalid one whose digit tail the phone scrubber eats
+    # IBAN forms cycle mod 4: compact valid -> <IBAN>; SPACED display
+    # form valid (r6: ISO 13616 paper format, groups of 4) -> <IBAN>;
+    # dashed INVALID (checksum fails, digit tail falls to the phone
+    # scrubber); compact invalid
     iban = (
-        F.when(F.col("doc_id") % 2 == 0,
+        F.when(F.col("doc_id") % 4 == 0,
                F.lit(" iban DE89370400440532013000 here"))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit(" iban DE89 3704 0044 0532 0130 00 here"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.lit(" iban DE89-3704-0044-0532-0130-01 here"))
         .otherwise(F.lit(" iban DE89370400440532013001 here"))
     )
     dirty = docs.select(
@@ -1602,11 +1679,12 @@ def _lang_hits_select_sql() -> str:
     return ",\n                ".join(cols)
 
 
-def _lang_id_case_sql() -> str:
+def _lang_id_case_sql(else_sql: str = "'und'") -> str:
     """Mirror of detect_language's argmax-earliest-tie-break: checked
     last-to-first, a language wins iff it has STRICTLY more hits than
     every earlier language (so equal maxima fall through to the
-    earliest one)."""
+    earliest one). ``else_sql`` is the zero-hits fallback — the
+    trigram tier in the full ladder."""
     from content_extractor_spark.operators.textstats import LANG_MARKERS
 
     langs = list(LANG_MARKERS)
@@ -1615,6 +1693,64 @@ def _lang_id_case_sql() -> str:
         earlier = ", ".join(f"h_{l}" for l in langs[:i])
         clauses.append(f"WHEN h_{langs[i]} > greatest({earlier}, 0) THEN '{langs[i]}'")
     clauses.append(f"WHEN h_{langs[0]} > 0 THEN '{langs[0]}'")
+    return (
+        "CASE\n                "
+        + "\n                ".join(clauses)
+        + f"\n                ELSE {else_sql} END"
+    )
+
+
+def _script_case_sql() -> str:
+    """Script-decisive tier generated from the SAME SCRIPT_LADDER the
+    Spark operator walks (literal char-class patterns are valid in
+    both Java regex and RE2, so one table feeds both engines)."""
+    from content_extractor_spark.operators.textstats import SCRIPT_LADDER
+
+    whens = [
+        f"WHEN regexp_matches(text, '{pat}') THEN '{lang}'"
+        for lang, pat in SCRIPT_LADDER
+    ]
+    return (
+        "CASE\n                "
+        + "\n                ".join(whens)
+        + "\n                ELSE 'und' END"
+    )
+
+
+def _trigram_hits_select_sql() -> str:
+    """One char-3-gram presence-count column per tier-2 language
+    (t_fi, t_no, ...) over the lowered TRIGRAM_WINDOW prefix ``w`` —
+    generated from the same LANG_TRIGRAMS profile table the operator
+    scores with."""
+    from content_extractor_spark.operators.textstats import LANG_TRIGRAMS
+
+    cols = []
+    for lang, grams in LANG_TRIGRAMS.items():
+        s = " + ".join(f"contains(w, '{g}')::int" for g in grams)
+        cols.append(f"({s}) AS t_{lang}")
+    return ",\n                ".join(cols)
+
+
+def _trigram_case_sql() -> str:
+    """Tier-2 argmax-earliest-tie with the MIN_HITS threshold: checked
+    last-to-first, a language wins iff it clears the threshold AND has
+    strictly more hits than every earlier language."""
+    from content_extractor_spark.operators.textstats import (
+        LANG_TRIGRAMS,
+        TRIGRAM_MIN_HITS,
+    )
+
+    langs = list(LANG_TRIGRAMS)
+    clauses = []
+    for i in range(len(langs) - 1, 0, -1):
+        earlier = ", ".join(f"t_{l}" for l in langs[:i])
+        clauses.append(
+            f"WHEN t_{langs[i]} >= {TRIGRAM_MIN_HITS} AND "
+            f"t_{langs[i]} > greatest({earlier}) THEN '{langs[i]}'"
+        )
+    clauses.append(
+        f"WHEN t_{langs[0]} >= {TRIGRAM_MIN_HITS} THEN '{langs[0]}'"
+    )
     return (
         "CASE\n                "
         + "\n                ".join(clauses)
@@ -1658,17 +1794,22 @@ def _luhn_filter_sql(list_expr: str) -> str:
 
 
 def _iban_filter_sql(list_expr: str) -> str:
-    """DuckDB mirror of curation._iban_valid: rearrange, map chars to
-    packed (value, multiplier) ints, fold mod 97 — valid iff 1."""
-    rearr = "substr(c,5)||substr(c,1,4)"
+    """DuckDB mirror of curation's IBAN validation: normalize the
+    candidate (strip the display-form space/dash separators), guard
+    the total length, rearrange, map chars to packed (value,
+    multiplier) ints, fold mod 97 — valid iff 1."""
+    norm = "regexp_replace(c, '[ -]', '', 'g')"
+    rearr = f"substr({norm},5)||substr({norm},1,4)"
     a = f"ascii(substr({rearr}, i, 1))"
     packed = (
         f"CASE WHEN {a} >= 65 THEN ({a} - 55) * 1000 + 100 "
         f"ELSE ({a} - 48) * 1000 + 10 END"
     )
     return (
-        f"list_filter({list_expr}, c -> list_reduce(list_prepend(0, "
-        f"[{packed} for i in range(1, len(c)+1)]), "
+        f"list_filter({list_expr}, c -> len({norm}) >= 15 "
+        f"AND len({norm}) <= 34 "
+        f"AND list_reduce(list_prepend(0, "
+        f"[{packed} for i in range(1, len({norm})+1)]), "
         "(acc, x) -> (acc * (x % 1000) + x // 1000) % 97) = 1)"
     )
 
@@ -1765,6 +1906,13 @@ def _pq_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from content_extractor_spark.operators.textstats import (
+        NONLATIN_ANY_RE as _NONLATIN_ANY_RE,
+    )
+    from content_extractor_spark.operators.textstats import (
+        TRIGRAM_WINDOW as _TRIGRAM_WINDOW,
+    )
+
     ph_text = _PH.format(x="{x}")
     return {
         # flagship: the corpus page is synthesized in SQL by
@@ -1927,11 +2075,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id < 300
         """,
         "pixel_stats_all": """
+            -- r6: all five formats now take the real gray-raster path
+            -- (gif deinterlaced LZW, jpeg full IDCT), so every solid
+            -- payload hashes to the solid-image constants: aHash
+            -- all-ones (-1 as int64), dHash 0 — no -2 sentinel left
             SELECT *,
-                   (CASE WHEN fmt IN ('ppm','png','bmp') THEN -1
-                         ELSE -2 END)::BIGINT AS ahash,
-                   (CASE WHEN fmt IN ('ppm','png','bmp') THEN 0
-                         ELSE -2 END)::BIGINT AS dhash
+                   (-1)::BIGINT AS ahash,
+                   (0)::BIGINT AS dhash
             FROM (
             WITH jbase AS (
               SELECT doc_id,
@@ -2265,21 +2415,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
         """,
         "language_id": rf"""
-            WITH tok AS (
-              SELECT text, string_split_regex(lower(text), '\s+') AS toks
-              FROM documents
+            WITH probes(text) AS (
+              VALUES {", ".join(f"('{t}')" for t in _LANG_PROBES)}
+            ),
+            corpus AS (
+              SELECT text FROM documents
+              UNION ALL SELECT text FROM probes
+            ),
+            tok AS (
+              SELECT text, string_split_regex(lower(text), '\s+') AS toks,
+                     lower(substr(text, 1, {_TRIGRAM_WINDOW})) AS w
+              FROM corpus
             ),
             hits AS (
               SELECT text,
-                {_lang_hits_select_sql()}
+                {_lang_hits_select_sql()},
+                {_trigram_hits_select_sql()}
               FROM tok
             ),
             lid AS (
-              -- mirror of detect_language: CJK scripts decisive first,
-              -- else the language with STRICTLY more hits than every
-              -- earlier one in marker-table order wins
-              SELECT CASE{_CJK_CASE_SQL}
-                ELSE {_lang_id_case_sql()} END AS lang_detected
+              -- mirror of detect_language's three tiers: the non-Latin
+              -- guard routes to the script ladder; Latin documents take
+              -- the marker argmax, falling to the char-3-gram profile
+              -- argmax at zero marker hits (all generated from the same
+              -- SCRIPT_LADDER / LANG_MARKERS / LANG_TRIGRAMS tables)
+              SELECT CASE
+                WHEN regexp_matches(text, '{_NONLATIN_ANY_RE}')
+                THEN {_script_case_sql()}
+                ELSE {_lang_id_case_sql(else_sql=_trigram_case_sql())}
+                END AS lang_detected
               FROM hits
             )
             SELECT lang_detected, count(*) AS n FROM lid GROUP BY lang_detected
@@ -2706,8 +2870,12 @@ def oracle_sql() -> dict[str, str]:
                                WHEN doc_id % 3 = 1
                                THEN ' card 4111 1111 1111 1112 no'
                                ELSE '' END
-                       || CASE WHEN doc_id % 2 = 0
+                       || CASE WHEN doc_id % 4 = 0
                                THEN ' iban DE89370400440532013000 here'
+                               WHEN doc_id % 4 = 1
+                               THEN ' iban DE89 3704 0044 0532 0130 00 here'
+                               WHEN doc_id % 4 = 2
+                               THEN ' iban DE89-3704-0044-0532-0130-01 here'
                                ELSE ' iban DE89370400440532013001 here'
                                END
                        || '  ‘x’' || chr(160) || 'y' || chr(9) AS t
@@ -2782,7 +2950,8 @@ def oracle_sql() -> dict[str, str]:
             "__IBAN_LIST__",
             _iban_filter_sql(
                 r"regexp_extract_all(t, "
-                r"'\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b')"
+                r"'\b[A-Z]{2}[0-9]{2}(?:[ -]?[A-Z0-9]{4}){2,7}"
+                r"(?:[ -]?[A-Z0-9]{1,3})?\b')"
             ),
         ),
         "kmeans_assign": f"""

@@ -33,10 +33,16 @@ PHONE_RE = r"\+?[0-9][0-9 ()/-]{6,}[0-9]"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 # 13-19 digits, optionally space/dash separated (ISO/IEC 7812 PANs)
 CARD_RE = r"\b(?:\d[ -]?){12,18}\d\b"
-# compact-form IBAN (ISO 13616): country code + 2 check digits + BBAN.
-# The spaced display form is out of scope (documented) — raw dumps and
-# form posts carry the compact form.
+# compact-form IBAN (ISO 13616): country code + 2 check digits + BBAN
 IBAN_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+# display-form IBAN: the same number written in groups of 4 separated
+# by spaces or dashes (the ISO 13616 paper format, how real pages
+# print them) — matches the compact form too (separators optional).
+# Candidates are NORMALIZED (separators stripped) before the length
+# guard + mod-97 fold, so both forms validate identically.
+IBAN_SPACED_RE = (
+    r"\b[A-Z]{2}[0-9]{2}(?:[ -]?[A-Z0-9]{4}){2,7}(?:[ -]?[A-Z0-9]{1,3})?\b"
+)
 
 
 def _iban_valid(cand: Column) -> Column:
@@ -86,15 +92,27 @@ def pii_scrub(
     by their real checksums (ISO 13616 mod-97, ISO/IEC 7812 Luhn) so a
     valid number becomes <IBAN>/<CC> while a random digit run falls
     through to the phone scrubber — only checksum-valid numbers are
-    the high-severity leak. Counts are taken BEFORE each redaction.
+    the high-severity leak. IBAN and card candidates match BOTH the
+    compact and the grouped display form (spaces/dashes), normalized
+    before their checksums. Counts are taken BEFORE each redaction.
     All steps are Catalyst expressions — both checksums run as
     per-candidate transform/aggregate folds, not UDFs.
     """
     t = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
     step1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+
+    def _iban_ok(cand):
+        norm = F.regexp_replace(cand, r"[ -]", "")
+        return (
+            (F.length(norm) >= 15)
+            & (F.length(norm) <= 34)
+            & _iban_valid(norm)
+        )
+
     ibans = F.filter(
-        F.regexp_extract_all(step1, F.lit(IBAN_RE), F.lit(0)), _iban_valid
+        F.regexp_extract_all(step1, F.lit(IBAN_SPACED_RE), F.lit(0)),
+        _iban_ok,
     )
     n_ibans = F.size(ibans)
     step1b = F.aggregate(

@@ -40,6 +40,98 @@ HAN_RE = "[一-鿿]"  # CJK unified ideographs
 # regex pass instead of three before falling to the marker ladder
 CJK_ANY_RE = "[぀-ヿ가-힣一-鿿]"
 
+# ---------------------------------------------------------------------------
+# Script-decisive tier: (lang, pattern), checked IN ORDER inside the
+# non-Latin branch. Patterns are plain character classes of literal
+# chars — valid in BOTH Java regex (Spark rlike) and RE2 (the DuckDB
+# oracle), so one table generates both sides and they cannot drift.
+# Within a script family the language-specific letters come first and
+# the family block is the default (ur's retroflex set before fa's
+# Persian additions before generic Arabic; uk/sr/bg letters before the
+# Cyrillic default ru; Marathi's retroflex ḷa before the Devanagari
+# default hi). Presence is decisive (same contract as the CJK tier):
+# a stray script char flips the call — fastText-style full scoring
+# would soften this but costs a model; documented trade.
+# ---------------------------------------------------------------------------
+SCRIPT_LADDER = [
+    ("ja", KANA_RE),
+    ("ko", HANGUL_RE),
+    ("zh", HAN_RE),
+    ("uk", "[іїєґІЇЄҐ]"),
+    ("sr", "[јђћџљњ"
+           "ЈЂЋЏЉЊ]"),
+    ("bg", "[ъЪ][тТ]"),  # -ът suffix; not Russian
+    ("ru", "[Ѐ-ӿ]"),
+    ("el", "[Ͱ-Ͽἀ-῿]"),
+    ("he", "[֐-׿]"),
+    ("ur", "[ٹڈڑےں]"),
+    ("fa", "[گچپژ]"),
+    ("ar", "[؀-ۿ]"),
+    ("mr", "[ळ]"),  # retroflex ḷa — Marathi-distinctive
+    ("hi", "[ऀ-ॿ]"),
+    ("bn", "[ঀ-৿]"),
+    ("pa", "[਀-੿]"),
+    ("gu", "[઀-૿]"),
+    ("or", "[଀-୿]"),
+    ("ta", "[஀-௿]"),
+    ("te", "[ఀ-౿]"),
+    ("kn", "[ಀ-೿]"),
+    ("ml", "[ഀ-ൿ]"),
+    ("si", "[඀-෿]"),
+    ("th", "[฀-๿]"),
+    ("lo", "[຀-໿]"),
+    ("my", "[က-႟]"),
+    ("ka", "[Ⴀ-ჿ]"),
+    ("hy", "[԰-֏]"),
+    ("km", "[ក-៿]"),
+    ("am", "[ሀ-፿]"),
+]
+
+# one guard scan: union of every script block above — a Latin document
+# pays exactly ONE regex pass before the marker/trigram tiers
+NONLATIN_ANY_RE = (
+    "[぀-ヿ가-힣一-鿿"
+    "Ѐ-ӿͰ-Ͽἀ-῿֐-׿"
+    "؀-ۿऀ-ॿঀ-৿਀-੿"
+    "઀-૿଀-୿஀-௿ఀ-౿"
+    "ಀ-೿ഀ-ൿ඀-෿฀-๿"
+    "຀-໿က-႟Ⴀ-ჿ԰-֏"
+    "ក-៿ሀ-፿]"
+)
+
+# ---------------------------------------------------------------------------
+# Latin tier 2: hand-rolled char-3-gram profiles (the fastText-style
+# char-n-gram feature idea with EXPLICIT literal profiles instead of a
+# hashed learned table — deterministic, no model download, and the
+# DuckDB oracle regenerates the exact scorer from this dict). Scored
+# only when the tier-1 marker ladder finds zero hits; presence counts
+# of DISTINCT profile grams in the first TRIGRAM_WINDOW chars, argmax
+# with earliest-dict-order tie-break, below TRIGRAM_MIN_HITS -> 'und'.
+# ---------------------------------------------------------------------------
+TRIGRAM_WINDOW = 400
+TRIGRAM_MIN_HITS = 2
+LANG_TRIGRAMS = {
+    "fi": ["ssä", "llä", "ään", "kin", "ttä", "uom", "ksi", "yvä"],
+    "no": ["ikk", "sjø", "øye", "noe", "måt", "bli", "gje", "nor"],
+    "cs": ["ění", "čes", "řed", "ých", "pří", "ště", "ost", "ová"],
+    "sk": ["vať", "ľud", "slo", "ení", "ách", "dze", "ôže", "kto"],
+    "sl": ["nje", "lja", "čil", "ovo", "tud", "jše", "ven", "pri"],
+    "hr": ["ije", "ovi", "ski", "što", "tak", "oje", "aju", "vat"],
+    "hu": ["egy", "szá", "ész", "ött", "áll", "nak", "gye", "ság"],
+    "ro": ["ște", "ție", "ulu", "țar", "oar", "ilo", "înț", "ând"],
+    "tr": ["lar", "bir", "yor", "ığı", "ştı", "ünü", "çok", "ğin"],
+    "vi": ["ông", "ười", "iệt", "ành", "ược", "ũng", "như", "ngh"],
+    "id": ["ang", "kan", "ber", "men", "nya", "ora", "dan", "yan"],
+    "ca": ["ció", "els", "amb", "què", "tat", "seu", "aqu", "eny"],
+    "lt": ["ius", "iai", "uvo", "ėjo", "aus", "ško", "yra", "ien"],
+    "lv": ["ija", "iem", "arī", "ība", "ais", "grā", "vēl", "tāj"],
+    "et": ["ine", "sed", "oli", "aas", "õpe", "üks", "ees", "ndu"],
+    "sq": ["për", "një", "shq", "ësh", "jet", "ëri", "dhe", "uar"],
+    "af": ["nie", "wat", "bai", "gro", "oor", "aan", "dit", "vir"],
+    "sw": ["kwa", "ana", "ili", "cha", "amb", "uwa", "eza", "mba"],
+    "is": ["það", "aði", "ður", "inn", "egi", "vík", "öll", "sem"],
+}
+
 TOKEN_SPLIT_RE = r"\s+"
 # BPE-ish word/punct segmentation: word chars | single non-space non-word
 BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
@@ -69,21 +161,45 @@ def _marker_hits(text: Column, words) -> Column:
     return _marker_hits_tokens(_distinct_tokens(text), words)
 
 
+def _trigram_hits(win: Column, grams) -> Column:
+    """Presence count of DISTINCT profile trigrams in a pre-lowered
+    text window — plain ``contains`` calls (no regex, no higher-order
+    functions, so the projection stays inside whole-stage codegen)."""
+    h = None
+    for g in grams:
+        c = F.contains(win, F.lit(g)).cast("int")
+        h = c if h is None else h + c
+    return h
+
+
 def detect_language(text_col: str = "text") -> Column:
-    """Script + stopword-marker language ID over 14 languages -> code
-    or 'und'.
+    """Three-tier language ID over 59 languages -> code or 'und'.
 
-    Ladder: CJK scripts are decisive and checked first (kana -> 'ja',
-    hangul -> 'ko', han ideographs without kana -> 'zh'); otherwise the
-    language whose marker set has the most whole-token hits wins
-    (en/de/fr/es/it/pt/nl/ru/pl/sv/da), ties broken by fixed language
-    order; zero hits -> 'und' (undetermined).
+    Ladder (first decisive tier wins):
+      1. SCRIPT tier — one union-class guard scan decides
+         non-Latin-vs-Latin, then :data:`SCRIPT_LADDER` order decides
+         within it (30 script-identified languages: CJK, Cyrillic with
+         uk/sr/bg letter disambiguation, Greek, Hebrew, Arabic with
+         ur/fa letter disambiguation, the Indic family, Thai/Lao,
+         Myanmar, Georgian, Armenian, Khmer, Amharic).
+      2. MARKER tier (Latin fast path) — the language whose stopword
+         marker set has the most whole-token hits wins
+         (:data:`LANG_MARKERS`: en/de/fr/es/it/pt/nl/ru/pl/sv/da),
+         ties broken by fixed language order.
+      3. TRIGRAM tier — zero marker hits fall to the char-3-gram
+         profile argmax (:data:`LANG_TRIGRAMS`: 19 more Latin-script
+         languages, fastText-style char-n-gram features with explicit
+         hand-rolled profiles) over the first :data:`TRIGRAM_WINDOW`
+         chars; fewer than :data:`TRIGRAM_MIN_HITS` distinct profile
+         grams -> 'und'.
 
-    Codegen-friendly formulation: the document is tokenized ONCE
+    Codegen-friendly formulation: tier 2 tokenizes ONCE
     (``array_distinct(split(...))`` — Catalyst CSE emits it a single
-    time), each language scores via one ``array_intersect``, and the
-    argmax-with-earliest-tie-break is a single ``array_max`` over
-    (hits, -index, lang) structs, not an O(langs²) when-chain.
+    time) and scores each language via one ``array_intersect``; tier 3
+    is plain ``contains`` arithmetic over a 400-char window; both
+    argmaxes are a single ``array_max`` over (hits, -index, lang)
+    structs, not an O(langs²) when-chain. Tier 3 sits in the lazy
+    ELSE branch, so documents identified earlier never pay for it.
     """
     text = F.col(text_col)
     toks = _distinct_tokens(text)
@@ -98,16 +214,45 @@ def detect_language(text_col: str = "text") -> Column:
         ]
     )
     best = F.array_max(pairs)
-    marker_lang = F.when(best["h"] >= 1, best["lang"]).otherwise(F.lit("und"))
-    # guarded ladder: the union class decides CJK-vs-Latin in one scan;
-    # only CJK documents pay the kana/hangul disambiguation scans (the
-    # final 'zh' needs no scan — any-CJK minus kana minus hangul IS han)
-    cjk = (
-        F.when(text.rlike(KANA_RE), F.lit("ja"))
-        .when(text.rlike(HANGUL_RE), F.lit("ko"))
-        .otherwise(F.lit("zh"))
+    win = F.lower(F.substring(text, 1, TRIGRAM_WINDOW))
+    # the MIN_HITS threshold is folded into a sentinel struct
+    # (h = MIN_HITS-1, prio above every real language) so the trigram
+    # argmax appears exactly ONCE in the expression tree — inlining it
+    # twice (condition + value) grew the generated code past janino's
+    # 64 KB method limit and dropped the scan out of codegen (the r4
+    # language_id failure mode). A real language wins only with
+    # h >= MIN_HITS; at h < MIN_HITS the sentinel's higher prio takes
+    # the tie or the win and yields 'und'.
+    sentinel = F.struct(
+        F.lit(TRIGRAM_MIN_HITS - 1).alias("h"),
+        F.lit(1).alias("prio"),
+        F.lit("und").alias("lang"),
     )
-    return F.when(text.rlike(CJK_ANY_RE), cjk).otherwise(marker_lang)
+    pairs2 = F.array(
+        *[
+            F.struct(
+                _trigram_hits(win, grams).alias("h"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, grams) in enumerate(LANG_TRIGRAMS.items())
+        ],
+        sentinel,
+    )
+    trigram_lang = F.array_max(pairs2)["lang"]
+    marker_lang = F.when(best["h"] >= 1, best["lang"]).otherwise(trigram_lang)
+    script_lang = None
+    for lang, pat in SCRIPT_LADDER:
+        cond = text.rlike(pat)
+        script_lang = (
+            F.when(cond, F.lit(lang))
+            if script_lang is None
+            else script_lang.when(cond, F.lit(lang))
+        )
+    script_lang = script_lang.otherwise(F.lit("und"))
+    return F.when(text.rlike(NONLATIN_ANY_RE), script_lang).otherwise(
+        marker_lang
+    )
 
 
 def token_count_ws(text_col: str = "text") -> Column:

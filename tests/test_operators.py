@@ -698,6 +698,29 @@ class TestCuration:
         assert "<IBAN>" not in out[2]["scrubbed"]
         assert out[3]["scrubbed"] == "<IBAN> works too"
 
+    def test_pii_scrub_iban_display_forms(self, spark):
+        """r6: the ISO 13616 paper format (groups of 4, space or dash
+        separated) validates through the same mod-97 fold after
+        separator normalization — a VALID spaced/dashed IBAN redacts
+        whole; an INVALID spaced one fails the checksum and only its
+        digit tail reaches the phone scrubber."""
+        from content_extractor_spark.operators.curation import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "pay DE89 3704 0044 0532 0130 00 now"),
+             (2, "pay DE89-3704-0044-0532-0130-00 now"),
+             (3, "pay DE89 3704 0044 0532 0130 01 now"),
+             (4, "pay GB82 WEST 1234 5698 7654 32 now")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert out[1]["scrubbed"] == "pay <IBAN> now"
+        assert out[1]["n_ibans"] == 1
+        assert out[2]["scrubbed"] == "pay <IBAN> now"
+        assert out[3]["n_ibans"] == 0
+        assert "<IBAN>" not in out[3]["scrubbed"]
+        assert out[4]["scrubbed"] == "pay <IBAN> now"
+
     def test_decontaminate(self, spark):
         from content_extractor_spark.operators.curation import decontaminate
 
@@ -2465,6 +2488,130 @@ class TestBpe:
             5: "ja", 6: "ko", 7: "zh", 8: "ja", 9: "ko",
             10: "sv",
         }
+
+    # one pinned sample per language of the r6 59-language ladder:
+    # script tier (30), marker tier (11), char-trigram tier (19 more
+    # Latin-script languages), plus an 'und' control. Trigram-tier
+    # samples deliberately avoid tier-1 marker tokens so they exercise
+    # the profile argmax, and each carries >= TRIGRAM_MIN_HITS
+    # distinct profile grams.
+    LADDER_SAMPLES = {
+        "en": "the cat and the dog went to the park in town",
+        "de": "der Hund und die Katze sind nicht da",
+        "fr": "le chat et la souris mangent des pommes",
+        "es": "el perro corre por la calle con los gatos",
+        "it": "che bella giornata, anche i ragazzi sono felici della vita",
+        "pt": "não sei se você vai, uma coisa é certa, são muitos também",
+        "nl": "het is een mooie dag, niet voor iedereen die zijn huis verlaat",
+        "pl": "to się dzieje, jest dobrze, oraz wszystko dla ciebie czy nie",
+        "sv": "och det var en dag, att se som är fin, ett hus",
+        "da": "og det er godt, til byen af mange grunde, ikke sandt",
+        "ja": "これは日本語のテキストです",
+        "ko": "이것은 한국어 텍스트입니다",
+        "zh": "这是一段中文文本",
+        "uk": "Це українська мова і її текст",
+        "sr": "Ово је српски језик у писму",
+        "bg": "Градът е красив и голям",
+        "ru": "Это русский текст для проверки",
+        "el": "Αυτό είναι ελληνικό κείμενο",
+        "he": "זהו טקסט בעברית",
+        "ur": "یہ اردو زبان کا متن ہے",
+        "fa": "این پژوهش گزارش فارسی است",
+        "ar": "هذا نص باللغة العربية",
+        "mr": "हे मराठी भाषेतील वाक्य आहे, बाळ",
+        "hi": "यह हिंदी भाषा का पाठ है",
+        "bn": "এটি বাংলা ভাষার লেখা",
+        "pa": "ਇਹ ਪੰਜਾਬੀ ਭਾਸ਼ਾ ਹੈ",
+        "gu": "આ ગુજરાતી ભાષા છે",
+        "or": "ଏହା ଓଡ଼ିଆ ଭାଷା",
+        "ta": "இது தமிழ் மொழி",
+        "te": "ఇది తెలుగు భాష",
+        "kn": "ಇದು ಕನ್ನಡ ಭಾಷೆ",
+        "ml": "ഇത് മലയാളം ഭാഷ",
+        "si": "මෙය සිංහල භාෂාවකි",
+        "th": "นี่คือข้อความภาษาไทย",
+        "lo": "ນີ້ແມ່ນພາສາລາວ",
+        "my": "ဤသည်မှာ မြန်မာဘာသာ",
+        "ka": "ეს ქართული ენაა",
+        "hy": "Սա հայերեն տեքստ է",
+        "km": "នេះជាភាសាខ្មែរ",
+        "am": "ይህ የአማርኛ ጽሑፍ ነው",
+        "fi": "Käännös on pöydällä kyllä",
+        "no": "Denne boken gjelder norske fjell, sjøen må bli fin",
+        "cs": "České předpisy obsahují přílohy, většina ostatních",
+        "sk": "Ľudia môžu pracovať, každý môže čokoľvek",
+        "sl": "Slovenija je lepa dežela, tudi pozimi, veliko prijaznih ljudi",
+        "hr": "Hrvatska povijest je zanimljiva, što se tako dogodilo, bojama",
+        "hu": "Magyarország egy szép ország, ahol sok ember áll",
+        "ro": "Aceasta este o țară frumoasă, oameni înțelegători, lucruri",
+        "tr": "Türkiye çok güzel bir ülke, insanlar yorum yapıyor",
+        "vi": "Người Việt Nam thường ăn cơm, cũng như mọi người",
+        "id": "Orang Indonesia makan nasi, mereka menyukai banyak makanan",
+        "ca": "Aquest text català parla amb els seus amics, què tal",
+        "lt": "Lietuvos vyrai buvo namuose, jie ėjo namo, yra gerai",
+        "lv": "Latvija ir skaista valsts, arī cilvēki grāmatas lasa, vēlme",
+        "et": "Eesti keel on ilus, üks õpetaja ütles seda, aasta oli hea",
+        "sq": "Gjuha shqipe është e bukur, për një njeri dhe uji",
+        "af": "Hierdie boek is baie groot, dit gee ons nie veel nie, wat oor aan kom",
+        "sw": "Watu wanasema kwamba chakula ni kizuri, wanaweza kuamba mambo",
+        "is": "Það var öllum ljóst að hann gekk inn í bæinn, sem sagði maður",
+        "und": "zxqv qqq zzz 12345",
+    }
+
+    def test_language_id_59_language_ladder(self, spark):
+        """r6 widening: every language of the 3-tier ladder pinned.
+
+        Also asserts the inventory counts so a profile-table edit that
+        drops a language fails loudly here, not in the field.
+        """
+        from content_extractor_spark.operators.textstats import (
+            LANG_MARKERS,
+            LANG_TRIGRAMS,
+            SCRIPT_LADDER,
+            detect_language,
+        )
+
+        script_langs = {lang for lang, _ in SCRIPT_LADDER}
+        all_langs = script_langs | set(LANG_MARKERS) | set(LANG_TRIGRAMS)
+        assert len(all_langs) == 59  # ru is both script- and marker-tier
+        assert set(self.LADDER_SAMPLES) == all_langs | {"und"}
+
+        df = spark.createDataFrame(
+            list(self.LADDER_SAMPLES.items()), "expected string, text string"
+        )
+        got = {
+            r["expected"]: r["l"]
+            for r in df.select(
+                "expected", detect_language("text").alias("l")
+            ).collect()
+        }
+        bad = {k: v for k, v in got.items() if k != v}
+        assert not bad, bad
+
+    def test_language_id_trigram_tier_rules(self, spark):
+        """Tier-3 contract: a single tier-1 marker hit beats any trigram
+        score; one profile gram is below TRIGRAM_MIN_HITS -> 'und'; a
+        stray script char routes to the script tier (decisive-presence
+        contract, same as CJK)."""
+        from content_extractor_spark.operators.textstats import (
+            detect_language,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # Finnish trigrams + ONE English marker token -> en
+                (1, "the Käännös on pöydällä kyllä"),
+                # exactly one profile gram ('ssä') -> below threshold
+                (2, "ssä zzz qqq"),
+                # Latin text with one Greek char -> script tier -> el
+                (3, "mostly latin words with π inside"),
+            ],
+            "doc_id int, text string",
+        )
+        got = dict(
+            df.select("doc_id", detect_language("text").alias("l")).collect()
+        )
+        assert got == {1: "en", 2: "und", 3: "el"}
 
     def test_bpe_collect_is_bounded(self, spark):
         """min_count prunes the web-garbage tail inside the aggregation
