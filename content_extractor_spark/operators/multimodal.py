@@ -1186,7 +1186,9 @@ def extract_video_features(
     a codec (no av library in this container): decode_stub_mode
     'plan' emits the schedule only; 'raise' surfaces
     NotImplementedError as status='unsupported' rows — the honest
-    boundary, same policy as the learned image-feature stub.
+    boundary, same policy as the learned image-feature stub. The one
+    codec-free exception is motion JPEG: route .mjpeg payloads to
+    :func:`extract_mjpeg_frames` for REAL sampled-frame pixel decode.
     """
 
     def schedule(duration_ms: int):
@@ -1237,3 +1239,104 @@ def extract_video_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=VIDEO_FEATURES_DDL)
+
+
+# -- MJPEG: the codec-free real-decode lane ---------------------------------
+
+
+def split_mjpeg_frames(data: bytes):
+    """Split a motion-JPEG stream (concatenated SOI..EOI baseline
+    JPEGs — the .mjpeg / multipart-camera convention) into its frame
+    payloads, or None if the payload is not an MJPEG stream. Inside
+    entropy-coded data 0xFF is always stuffed (0xFF00) or a marker, so
+    a raw FFD9 is a real end-of-image. Trailing bytes after the last
+    complete frame are ignored (truncated tail frame)."""
+    if not data.startswith(b"\xff\xd8"):
+        return None
+    frames, pos, n = [], 0, len(data)
+    while pos < n and data[pos : pos + 2] == b"\xff\xd8":
+        end = data.find(b"\xff\xd9", pos + 2)
+        if end < 0:
+            break
+        frames.append(data[pos : end + 2])
+        pos = end + 2
+    return frames or None
+
+
+MJPEG_FRAMES_DDL = (
+    "media_ref string, fmt string, n_frames int, frame_idx int, "
+    "t_ms bigint, width int, height int, mean_luma double, "
+    "status string, error string"
+)
+
+
+def extract_mjpeg_frames(
+    df: DataFrame,
+    frame_every_ms: int = 1000,
+    max_frames: int = 32,
+    fps: float = 25.0,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """REAL video-frame pixel decode for the one codec this container
+    can do without a library: motion JPEG. One row per SAMPLED frame —
+    the same every-`frame_every_ms`, `max_frames`-capped,
+    evenly-thinned schedule as :func:`extract_video_features`, applied
+    to the stream's `fps`-derived timeline — with the frame decoded
+    through ``kernel.jpeg.decode_jpeg_gray`` (full huffman + IDCT
+    raster, the perceptual-hash luma path) and reduced to its mean
+    luma. Non-MJPEG payloads surface one status='unsupported' row
+    (MP4 et al. stay honestly stubbed in extract_video_features — a
+    real codec is still a codec)."""
+    from ..kernel.jpeg import decode_jpeg_gray
+
+    frame_ms = 1000.0 / fps
+
+    def schedule(duration_ms: int):
+        times = list(range(0, max(duration_ms, 1), frame_every_ms))
+        if len(times) > max_frames:
+            step = len(times) / max_frames
+            times = [times[int(i * step)] for i in range(max_frames)]
+        return times
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.split(" ")[0]: [] for k in MJPEG_FRAMES_DDL.split(", ")}
+
+            def row(ref, fmt=None, nf=None, idx=None, t=None, w=None,
+                    h=None, luma=None, status="ok", error=None):
+                out["media_ref"].append(ref)
+                out["fmt"].append(fmt)
+                out["n_frames"].append(nf)
+                out["frame_idx"].append(idx)
+                out["t_ms"].append(t)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma"].append(luma)
+                out["status"].append(status)
+                out["error"].append(error)
+
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                if payload is None:
+                    row(ref, status="error", error="null payload")
+                    continue
+                frames = split_mjpeg_frames(bytes(payload))
+                if frames is None:
+                    row(ref, status="unsupported",
+                        error="not an MJPEG stream")
+                    continue
+                duration_ms = int(len(frames) * frame_ms)
+                for t in schedule(duration_ms):
+                    idx = min(int(t / frame_ms), len(frames) - 1)
+                    dec = decode_jpeg_gray(frames[idx])
+                    if dec is None:
+                        row(ref, "mjpeg", len(frames), idx, t,
+                            status="error",
+                            error=f"frame {idx} not baseline JPEG")
+                        continue
+                    _, w, h, gray = dec
+                    row(ref, "mjpeg", len(frames), idx, t, w, h,
+                        sum(gray) / len(gray))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=MJPEG_FRAMES_DDL)

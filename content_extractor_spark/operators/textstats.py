@@ -308,6 +308,52 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def linear_quality_score(
+    df: DataFrame,
+    weights,
+    bias: float = 0.0,
+    text_col: str = "text",
+    out_col: str = "ml_q_score",
+) -> DataFrame:
+    """Trained-filter plumbing exemplar: a deterministic linear scorer
+    over HASHED bag-of-words features — the standard shape for
+    plugging a learned quality classifier (fastText-style logistic
+    regression) into the curation funnel without shipping a model
+    runtime.
+
+    ``weights`` is the hashed feature table (length D) embedded as an
+    array LITERAL; a token lands in bucket ``crc32(token) % D`` (the
+    hashing trick), and
+
+        score = sigmoid(bias + sum over tokens of weights[bucket])
+
+    — every occurrence counts, so this is the dot product of the
+    hashed count vector with the weight table without ever
+    materializing the vector. MAP-ONLY: the fold runs as a Catalyst
+    aggregate over the token split, no shuffle, no Python, weights
+    broadcast as part of the plan (a 2^18-bucket float table is ~2 MB
+    of literals — model-sized). Swap in real trained weights by
+    loading them driver-side and passing them here; training itself
+    happens offline (this repo ships the SCORING path, which is the
+    part that must scale).
+    """
+    d = len(weights)
+    if d == 0:
+        raise ValueError("weights must be non-empty")
+    toks = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+    warr = F.array(*[F.lit(float(x)) for x in weights])
+    z = F.aggregate(
+        toks,
+        F.lit(float(bias)),
+        lambda acc, t: acc
+        + F.element_at(
+            warr, (F.crc32(F.encode(t, "utf-8")) % d).cast("int") + 1
+        ),
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.withColumn(out_col, score)
+
+
 def _word_ngrams(text: Column, n: int) -> Column:
     """Full word n-grams (lowercased, whitespace tokens); [] if < n words."""
     toks = F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)

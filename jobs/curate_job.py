@@ -3,7 +3,8 @@
 Composes the library's curation operators into the standard
 pretraining-corpus pipeline, one deployable job:
 
-    language ID -> quality score -> repetition filter -> Gopher
+    language ID -> quality score -> [trained linear quality filter,
+    behind --ml-quality-weights] -> repetition filter -> Gopher
     format caps (bullet/ellipsis lines) -> exact dedup -> MinHash-LSH
     near-dup clustering -> eval-set decontamination -> normalization
     -> PII scrub -> train/val split -> parquet
@@ -22,8 +23,8 @@ CURATE_BENCHMARK / CURATE_LANGS / ...), mirroring jobs/extract_job.py.
 
 Design for 10^12 documents:
   * ONE pass assigns every row a priority-ordered `drop_reason`
-    (lang > quality > repetition > format > exact_dup > near_dup >
-    contaminated); the funnel metrics ride the write action as
+    (lang > quality > ml_quality > repetition > format > exact_dup >
+    near_dup > contaminated); the funnel metrics ride the write action as
     OBSERVATION metrics (`DataFrame.observe`) — zero extra jobs, no
     per-stage count() actions.
   * the map-only stages (language ID, quality, repetition inputs,
@@ -75,6 +76,11 @@ def resolve_config(argv=None, env=None):
         p.add_argument("--langs", default=None,
                        help="comma-separated allow-list; empty = keep all")
         p.add_argument("--min-quality", type=float, default=0.5)
+        p.add_argument("--ml-quality-weights", default=None,
+                       help="JSON file {weights: [...], bias: x} enabling "
+                            "the trained (hashed bag-of-words linear) "
+                            "quality filter stage")
+        p.add_argument("--ml-min-score", type=float, default=0.5)
         p.add_argument("--max-dup-frac", type=float, default=0.3,
                        help="max duplicated-3-gram character fraction")
         p.add_argument("--max-bullet-frac", type=float, default=0.9,
@@ -102,6 +108,8 @@ def resolve_config(argv=None, env=None):
         take("benchmark", "CURATE_BENCHMARK")
         take("langs", "CURATE_LANGS")
         take("min_quality", "CURATE_MIN_QUALITY", float)
+        take("ml_quality_weights", "CURATE_ML_QUALITY_WEIGHTS")
+        take("ml_min_score", "CURATE_ML_MIN_SCORE", float)
         take("max_dup_frac", "CURATE_MAX_DUP_FRAC", float)
         take("max_bullet_frac", "CURATE_MAX_BULLET_FRAC", float)
         take("max_ellipsis_frac", "CURATE_MAX_ELLIPSIS_FRAC", float)
@@ -123,8 +131,8 @@ def resolve_config(argv=None, env=None):
 
 
 DROP_REASONS = (
-    "lang", "quality", "repetition", "format", "exact_dup", "near_dup",
-    "contaminated",
+    "lang", "quality", "ml_quality", "repetition", "format", "exact_dup",
+    "near_dup", "contaminated",
 )
 
 
@@ -149,6 +157,7 @@ def flag_documents(docs, cfg, benchmark=None):
     from content_extractor_spark.operators.textstats import (
         detect_language,
         line_features,
+        linear_quality_score,
         quality_features,
         repetition_features,
     )
@@ -157,9 +166,19 @@ def flag_documents(docs, cfg, benchmark=None):
         [s.strip() for s in cfg.langs.split(",") if s.strip()]
         if cfg.langs else []
     )
+    # optional trained-filter stage: hashed bag-of-words linear scorer
+    # with driver-loaded literal weights (map-only; see
+    # textstats.linear_quality_score)
+    ml = None
+    if getattr(cfg, "ml_quality_weights", None):
+        with open(cfg.ml_quality_weights) as fh:
+            m = json.load(fh)
+        ml = (m["weights"], float(m.get("bias", 0.0)))
 
     df = docs.withColumn("lang_detected", detect_language("text"))
     df = line_features(quality_features(df))
+    if ml is not None:
+        df = linear_quality_score(df, ml[0], ml[1])
     rep = repetition_features(
         docs.select("doc_id", "text")
     ).select("doc_id", "dup_ngram_char_frac")
@@ -170,7 +189,12 @@ def flag_documents(docs, cfg, benchmark=None):
         F.lit("lang"),
     ).when(
         F.col("q_score") < cfg.min_quality, F.lit("quality")
-    ).when(
+    )
+    if ml is not None:
+        early = early.when(
+            F.col("ml_q_score") < cfg.ml_min_score, F.lit("ml_quality")
+        )
+    early = early.when(
         F.col("dup_ngram_char_frac") > cfg.max_dup_frac, F.lit("repetition")
     ).when(
         # Gopher format caps: mostly-bulleted or ellipsis-heavy pages

@@ -2316,6 +2316,88 @@ class TestThumbnailsAndVideo:
                     media, decode_stub_mode="raise").collect()}
         assert stub["v0"] == "unsupported"
 
+    # IPython's 2x2.jpg — verbatim bytes from an independent encoder
+    # (libjpeg): 2x2 grayscale, all pixels 128
+    EXT_JPG = bytes.fromhex(
+        "ffd8ffe000104a46494600010100000100010000ffdb0043000806060705"
+        "05080707070909080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c"
+        "20242e2720222c231c1c2837292c30313434341f27393d38323c2e333432"
+        "ffc0000b080002000201011100ffc4001f00000105010101010101000000"
+        "00000000000102030405060708090a0bffc400b51000020103030204030505"
+        "04040000017d01020300041105122131410613516107227114328191a108"
+        "2342b1c11552d1f02433627282090a161718191a25262728292a34353637"
+        "38393a434445464748494a535455565758595a636465666768696a737475"
+        "767778797a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9"
+        "aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+        "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffda0008010100003f002bff"
+        "d9"
+    )
+
+    def test_mjpeg_sampled_frames_real_decode(self, spark):
+        """r6: motion JPEG closes part of the video stub codec-free —
+        sampled frames of a concatenated-JPEG stream return REAL pixel
+        stats through the full huffman+IDCT raster path. Frame 0 is an
+        independently-encoded (libjpeg) fixture; later frames come
+        from our own encoder; non-MJPEG payloads stay honestly
+        unsupported."""
+        from content_extractor_spark.kernel.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg_solid,
+        )
+        from content_extractor_spark.operators.multimodal import (
+            extract_mjpeg_frames,
+        )
+
+        s1 = encode_jpeg_solid(8, 8, (200, 30, 90))
+        s2 = encode_jpeg_solid(8, 8, (10, 250, 40))
+        mjpeg = self.EXT_JPG + s1 + s2
+        media = spark.createDataFrame(
+            [("m0", mjpeg), ("v0", self._mp4()), ("junk", b"RIFF xx")],
+            "media_ref string, payload binary",
+        )
+        # fps=25 -> 40 ms/frame; sample every 40 ms -> all 3 frames
+        rows = [r for r in extract_mjpeg_frames(
+            media, frame_every_ms=40, max_frames=32, fps=25.0,
+        ).collect()]
+        byref = {}
+        for r in rows:
+            byref.setdefault(r["media_ref"], []).append(r)
+        m = sorted(byref["m0"], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in m] == [0, 1, 2]
+        assert [r["t_ms"] for r in m] == [0, 40, 80]
+        assert all(r["status"] == "ok" and r["n_frames"] == 3 for r in m)
+        # frame 0: the external libjpeg fixture — 2x2, all-128 gray
+        assert (m[0]["width"], m[0]["height"], m[0]["mean_luma"]) == (2, 2, 128.0)
+        # frames 1/2: differential vs the direct decoder on the same bytes
+        for r, payload in ((m[1], s1), (m[2], s2)):
+            _, w, h, gray = decode_jpeg_gray(payload)
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["mean_luma"] == sum(gray) / len(gray)
+        assert m[1]["mean_luma"] != m[2]["mean_luma"]
+        # other containers: one unsupported row each, never a failure
+        assert byref["v0"][0]["status"] == "unsupported"
+        assert byref["junk"][0]["status"] == "unsupported"
+
+    def test_mjpeg_schedule_thins_long_streams(self, spark):
+        """A 100-frame stream sampled per-frame thins evenly to
+        max_frames and still covers the tail."""
+        from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
+        from content_extractor_spark.operators.multimodal import (
+            extract_mjpeg_frames,
+        )
+
+        frame = encode_jpeg_solid(4, 4, (128, 128, 128))
+        media = spark.createDataFrame(
+            [("long", frame * 100)], "media_ref string, payload binary"
+        )
+        rows = extract_mjpeg_frames(
+            media, frame_every_ms=40, max_frames=8, fps=25.0
+        ).collect()
+        assert len(rows) == 8
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs[0] == 0 and idxs[-1] >= 80  # tail covered
+        assert all(r["status"] == "ok" for r in rows)
+
 
 class TestSimhash64:
     def test_production_bits64_works_and_agrees(self, spark):
@@ -2612,6 +2694,100 @@ class TestBpe:
             df.select("doc_id", detect_language("text").alias("l")).collect()
         )
         assert got == {1: "en", 2: "und", 3: "el"}
+
+    def test_linear_quality_score_parity(self, spark):
+        """Trained-filter exemplar: the Catalyst hashed bag-of-words
+        linear scorer agrees bit-for-bit with a pure-Python mirror
+        (same crc32 hashing trick, same sigmoid) on every document —
+        the contract that lets real offline-trained weights plug in."""
+        import math
+        import re
+        import zlib
+
+        from content_extractor_spark.operators.textstats import (
+            linear_quality_score,
+        )
+
+        weights = [0.7, -1.3, 0.05, 2.0, -0.4, 0.9, -2.2, 0.15]
+        bias = -0.25
+
+        def py_score(text):
+            toks = re.split(r"\s+", text.lower())
+            z = bias + sum(
+                weights[zlib.crc32(t.encode("utf-8")) % len(weights)]
+                for t in toks
+            )
+            return 1.0 / (1.0 + math.exp(-z))
+
+        rows = [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "spam spam spam spam spam buy now"),
+            (3, "a"),
+            (4, ""),
+            (5, "  leading and   irregular   spacing  "),
+            (6, "Ünïcödé tökens über alles"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = dict(
+            linear_quality_score(df, weights, bias)
+            .select("doc_id", "ml_q_score").collect()
+        )
+        for did, text in rows:
+            assert got[did] == py_score(text), (did, text)
+        # scores actually vary across documents
+        assert len(set(got.values())) > 1
+
+    def test_curate_funnel_ml_quality_stage(self, spark, tmp_path):
+        """The --ml-quality-weights flag inserts the trained filter
+        after the heuristic quality stage: with weights crafted to
+        sink one specific document, that document drops as
+        ml_quality; with the flag off the stage never fires."""
+        import json as _json
+        import math
+        import re
+        import zlib
+
+        from jobs.curate_job import flag_documents, resolve_config
+
+        weights = [0.0] * 16
+        bias = 3.0  # everyone passes by default
+        spam_tok = "zzzspamzzz"
+        weights[zlib.crc32(spam_tok.encode()) % 16] = -2.0
+
+        def py_score(text):
+            toks = re.split(r"\s+", text.lower())
+            z = bias + sum(
+                weights[zlib.crc32(t.encode()) % 16] for t in toks
+            )
+            return 1.0 / (1.0 + math.exp(-z))
+
+        base = "the and of to in " + " ".join(f"w{j}" for j in range(20))
+        spammy = base + (" " + spam_tok) * 8
+        assert py_score(spammy) < 0.5 < py_score(base)
+
+        wpath = tmp_path / "w.json"
+        wpath.write_text(_json.dumps({"weights": weights, "bias": bias}))
+        docs = spark.createDataFrame(
+            [(1, base, "s0"), (2, spammy, "s0")],
+            "doc_id long, text string, source string",
+        )
+        cfg = resolve_config(
+            ["--input", "-", "--output", "-",
+             "--ml-quality-weights", str(wpath)]
+        )
+        flagged, cached = flag_documents(docs, cfg)
+        got = dict(flagged.select("doc_id", "drop_reason").collect())
+        cached.unpersist()
+        assert got == {1: None, 2: "ml_quality"}
+
+        cfg_off = resolve_config(["--input", "-", "--output", "-"])
+        flagged, cached = flag_documents(docs, cfg_off)
+        got = dict(flagged.select("doc_id", "drop_reason").collect())
+        cached.unpersist()
+        # flag off: the stage never fires — the spammy doc still falls
+        # to the LOWER-priority heuristic repetition filter, proving
+        # ml_quality sits between quality and repetition when enabled
+        assert got == {1: None, 2: "repetition"}
 
     def test_bpe_collect_is_bounded(self, spark):
         """min_count prunes the web-garbage tail inside the aggregation
