@@ -882,6 +882,19 @@ _LANG_PROBES = [
     "Hierdie boek is baie groot, dit gee ons nie veel nie, wat oor aan kom",
     "Watu wanasema kwamba chakula ni kizuri, wanaweza kuamba mambo",
     "Það var öllum ljóst að hann gekk inn í bæinn, sem sagði maður",
+    "Гэта беларуская мова і ў ёй тэкст",
+    "Ова е македонски јазик, ќе одиме",
+    "Бұл қазақ тілі мәтіні",
+    "Энэ бол монгол хэл дээрх текст юм, өдөр",
+    "Azərbaycan dili çox gözəl dildir, əsrlər boyu",
+    "Il-belt għandha ħafna toroq sbieħ, żmien twil",
+    "Mae mynyddoedd yn hardd iawn, roedd gwlad dda",
+    "Tá an teanga Gaeilge go hálainn, bhfuil sé anseo",
+    "Euskara hizkuntza ederra da, mendiak eta itsasoa",
+    "A cidade galega ten unha praia fermosa, rúas e xente",
+    "Ang mga bata ay naglalaro sa parke, ito ang kanilang lugar",
+    "Waxaan rabaa inaan barto luuqadda soomaaliga, waa luuqad qurux badan",
+    "Abantu abaningi bathanda ukudla okumnandi, izingane ziyajabula",
 ]
 
 

@@ -270,16 +270,23 @@ def main():
             pass
     n_docs = max(2000, int(2_000_000 * sf))
 
-    # -- headline: extraction throughput at local[cpus] ----------------------
+    # -- representative query set at sf_dir ----------------------------------
+    # The query table gets its OWN session, timed FIRST: r5 showed
+    # queries at the tail of a loop run AFTER the 200k-doc extraction
+    # job inflate 2-4x from accumulated session pressure (GC, code
+    # cache, shuffle dirs) — recorded numbers must match what a fresh
+    # session reproduces.
+    spark = _session(cpus)
+    query_times = time_queries(spark, sf_dir)
+    curation = run_curate_bench(spark, sf_dir)
+    warc = run_warc_bench(spark)
+    spark.stop()
+
+    # -- headline: extraction throughput at local[cpus], fresh session -------
     spark = _session(cpus)
     corpus = ensure_corpus(spark, n_docs)
     wall_main, summary = run_extraction_job(spark, corpus, "/tmp/ce_bench_out_main")
     docs_per_sec = summary["docs_parsed"] / wall_main if wall_main > 0 else 0.0
-
-    # -- representative query set at sf_dir ----------------------------------
-    query_times = time_queries(spark, sf_dir)
-    curation = run_curate_bench(spark, sf_dir)
-    warc = run_warc_bench(spark)
     spark.stop()
 
     # -- scaling: the extraction stage at N vs 4N cores ------------------------
@@ -349,11 +356,11 @@ def main():
 # best clean-run times observed so far (quiet box, min-of-k); the
 # VM's noisy neighbors make single runs swing up to 3x, so the file
 # below always reports the latest run AND this best-known reference.
-# local[2] 59.64 is an r5 clean-window run (ambient 1.4); 14.88/5.45
-# are r3/r4 minima — the r2 advice fix let the columnar Arrow decode
-# path handle null-span rows instead of silently falling back to
-# to_pylist, which shows up at every parallelism level
-_BEST_KNOWN = {2: 59.64, 8: 14.88, 32: 5.45}
+# local[2] 59.64 is an r5 clean-window run (ambient 1.4); 14.81/5.25
+# are r6 minima from the restructured bench (each stage in its own
+# fresh session, ambient 0.5) — the old 14.88/5.45 r3/r4 points fell
+# once session pressure stopped leaking between stages
+_BEST_KNOWN = {2: 59.64, 8: 14.81, 32: 5.25}
 
 
 def _write_baseline_md(n_docs, summary, scaling, load1=-1.0, load5=-1.0):

@@ -1,9 +1,10 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 All pure Catalyst expressions (JVM-side, whole-stage codegen, no
-Python in the hot path): language ID (stopword-hit heuristic),
-quality scoring (length/punct/stopword ratios), token counting
-(whitespace + BPE-ish regex), and rolling-hash document fingerprints.
+Python in the hot path): language ID (72 languages — script ladder +
+stopword markers + char-3-gram profiles), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + BPE-ish
+regex), and rolling-hash document fingerprints.
 
 Each operator is deliberately expressible in ANSI SQL too, so the
 DuckDB oracle can check it value-for-value (driver contract).
@@ -57,9 +58,16 @@ SCRIPT_LADDER = [
     ("ja", KANA_RE),
     ("ko", HANGUL_RE),
     ("zh", HAN_RE),
+    # kk first among Cyrillic: Kazakh also writes і (Ukrainian's
+    # letter), so its own қ/ғ/ң/ұ/ә/һ must win before the uk check
+    ("kk", "[қғңұәһ"
+           "ҚҒҢҰӘҺ]"),
+    ("be", "[ўЎ]"),  # short u — Belarusian-only in Cyrillic
     ("uk", "[іїєґІЇЄҐ]"),
+    ("mk", "[ѓќѕЃЌЅ]"),  # gje/kje/dze — Macedonian-only
     ("sr", "[јђћџљњ"
            "ЈЂЋЏЉЊ]"),
+    ("mn", "[өүӨҮ]"),  # after kk, which also uses ө/ү
     ("bg", "[ъЪ][тТ]"),  # -ът suffix; not Russian
     ("ru", "[Ѐ-ӿ]"),
     ("el", "[Ͱ-Ͽἀ-῿]"),
@@ -130,6 +138,15 @@ LANG_TRIGRAMS = {
     "af": ["nie", "wat", "bai", "gro", "oor", "aan", "dit", "vir"],
     "sw": ["kwa", "ana", "ili", "cha", "amb", "uwa", "eza", "mba"],
     "is": ["það", "aði", "ður", "inn", "egi", "vík", "öll", "sem"],
+    "az": ["lər", "zər", "dır", "əsi", "ayc", "ğlu", "dən", "ılı"],
+    "mt": ["għa", "ħaf", "żmi", "jie", "agħ", "ieħ", "lil", "bil"],
+    "cy": ["ydd", "eth", "wyr", "gwl", "iaw", "cym", "ddi", "oed"],
+    "ga": ["gae", "bhf", "idh", "agh", "éir", "aío", "mha", "ann"],
+    "eu": ["tza", "eta", "zko", "ako", "iza", "rik", "tik", "egi"],
+    "gl": ["gal", "nha", "xen", "eir", "ade", "lle", "rúa", "mos"],
+    "tl": ["mga", "pag", "ako", "ito", "nag", "kas", "ala", "ngi"],
+    "so": ["waa", "aan", "sha", "dha", "soo", "qur", "xaa", "aha"],
+    "zu": ["uku", "nge", "tho", "izi", "aba", "and", "hle", "ban"],
 }
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -173,13 +190,13 @@ def _trigram_hits(win: Column, grams) -> Column:
 
 
 def detect_language(text_col: str = "text") -> Column:
-    """Three-tier language ID over 59 languages -> code or 'und'.
+    """Three-tier language ID over 72 languages -> code or 'und'.
 
     Ladder (first decisive tier wins):
       1. SCRIPT tier — one union-class guard scan decides
          non-Latin-vs-Latin, then :data:`SCRIPT_LADDER` order decides
-         within it (30 script-identified languages: CJK, Cyrillic with
-         uk/sr/bg letter disambiguation, Greek, Hebrew, Arabic with
+         within it (34 script-identified languages: CJK, Cyrillic with
+         be/uk/mk/sr/kk/mn/bg letter disambiguation, Greek, Hebrew, Arabic with
          ur/fa letter disambiguation, the Indic family, Thai/Lao,
          Myanmar, Georgian, Armenian, Khmer, Amharic).
       2. MARKER tier (Latin fast path) — the language whose stopword
@@ -187,7 +204,7 @@ def detect_language(text_col: str = "text") -> Column:
          (:data:`LANG_MARKERS`: en/de/fr/es/it/pt/nl/ru/pl/sv/da),
          ties broken by fixed language order.
       3. TRIGRAM tier — zero marker hits fall to the char-3-gram
-         profile argmax (:data:`LANG_TRIGRAMS`: 19 more Latin-script
+         profile argmax (:data:`LANG_TRIGRAMS`: 28 more Latin-script
          languages, fastText-style char-n-gram features with explicit
          hand-rolled profiles) over the first :data:`TRIGRAM_WINDOW`
          chars; fewer than :data:`TRIGRAM_MIN_HITS` distinct profile

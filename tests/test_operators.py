@@ -2571,8 +2571,8 @@ class TestBpe:
             10: "sv",
         }
 
-    # one pinned sample per language of the r6 59-language ladder:
-    # script tier (30), marker tier (11), char-trigram tier (19 more
+    # one pinned sample per language of the r6 72-language ladder:
+    # script tier (34), marker tier (11), char-trigram tier (28 more
     # Latin-script languages), plus an 'und' control. Trigram-tier
     # samples deliberately avoid tier-1 marker tokens so they exercise
     # the profile argmax, and each carries >= TRIGRAM_MIN_HITS
@@ -2637,10 +2637,23 @@ class TestBpe:
         "af": "Hierdie boek is baie groot, dit gee ons nie veel nie, wat oor aan kom",
         "sw": "Watu wanasema kwamba chakula ni kizuri, wanaweza kuamba mambo",
         "is": "Það var öllum ljóst að hann gekk inn í bæinn, sem sagði maður",
+        "be": "Гэта беларуская мова і ў ёй тэкст",
+        "mk": "Ова е македонски јазик, ќе одиме",
+        "kk": "Бұл қазақ тілі мәтіні",
+        "mn": "Энэ бол монгол хэл дээрх текст юм, өдөр",
+        "az": "Azərbaycan dili çox gözəl dildir, əsrlər boyu",
+        "mt": "Il-belt għandha ħafna toroq sbieħ, żmien twil",
+        "cy": "Mae mynyddoedd yn hardd iawn, roedd gwlad dda",
+        "ga": "Tá an teanga Gaeilge go hálainn, bhfuil sé anseo",
+        "eu": "Euskara hizkuntza ederra da, mendiak eta itsasoa",
+        "gl": "A cidade galega ten unha praia fermosa, rúas e xente",
+        "tl": "Ang mga bata ay naglalaro sa parke, ito ang kanilang lugar",
+        "so": "Waxaan rabaa inaan barto luuqadda soomaaliga, waa luuqad qurux badan",
+        "zu": "Abantu abaningi bathanda ukudla okumnandi, izingane ziyajabula",
         "und": "zxqv qqq zzz 12345",
     }
 
-    def test_language_id_59_language_ladder(self, spark):
+    def test_language_id_72_language_ladder(self, spark):
         """r6 widening: every language of the 3-tier ladder pinned.
 
         Also asserts the inventory counts so a profile-table edit that
@@ -2655,7 +2668,7 @@ class TestBpe:
 
         script_langs = {lang for lang, _ in SCRIPT_LADDER}
         all_langs = script_langs | set(LANG_MARKERS) | set(LANG_TRIGRAMS)
-        assert len(all_langs) == 59  # ru is both script- and marker-tier
+        assert len(all_langs) == 72  # ru is both script- and marker-tier
         assert set(self.LADDER_SAMPLES) == all_langs | {"und"}
 
         df = spark.createDataFrame(
