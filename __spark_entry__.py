@@ -1923,6 +1923,9 @@ def oracle_sql() -> dict[str, str]:
         NONLATIN_ANY_RE as _NONLATIN_ANY_RE,
     )
     from content_extractor_spark.operators.textstats import (
+        SCRIPT_MIN_CHARS as _SCRIPT_MIN_CHARS,
+    )
+    from content_extractor_spark.operators.textstats import (
         TRIGRAM_WINDOW as _TRIGRAM_WINDOW,
     )
 
@@ -2453,7 +2456,9 @@ def oracle_sql() -> dict[str, str]:
               -- argmax at zero marker hits (all generated from the same
               -- SCRIPT_LADDER / LANG_MARKERS / LANG_TRIGRAMS tables)
               SELECT CASE
-                WHEN regexp_matches(text, '{_NONLATIN_ANY_RE}')
+                WHEN len(regexp_extract_all(substr(text, 1,
+                       {_TRIGRAM_WINDOW}), '{_NONLATIN_ANY_RE}'))
+                     >= {_SCRIPT_MIN_CHARS}
                 THEN {_script_case_sql()}
                 ELSE {_lang_id_case_sql(else_sql=_trigram_case_sql())}
                 END AS lang_detected

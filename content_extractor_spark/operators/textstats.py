@@ -50,10 +50,15 @@ CJK_ANY_RE = "[぀-ヿ가-힣一-鿿]"
 # the family block is the default (ur's retroflex set before fa's
 # Persian additions before generic Arabic; uk/sr/bg letters before the
 # Cyrillic default ru; Marathi's retroflex ḷa before the Devanagari
-# default hi). Presence is decisive (same contract as the CJK tier):
-# a stray script char flips the call — fastText-style full scoring
-# would soften this but costs a model; documented trade.
+# default hi). The tier engages only when the ID window carries at
+# least SCRIPT_MIN_CHARS non-Latin script chars (r6) — a stray symbol
+# (Greek π in an English page, one emoji-adjacent kana) no longer
+# flips the call, while any real script text clears the bar; within
+# the tier, presence per ladder pattern is decisive and the fixed
+# order breaks mixed-script ties. fastText-style weighted scoring
+# would soften this further but costs a model; documented trade.
 # ---------------------------------------------------------------------------
+SCRIPT_MIN_CHARS = 2
 SCRIPT_LADDER = [
     ("ja", KANA_RE),
     ("ko", HANGUL_RE),
@@ -193,9 +198,11 @@ def detect_language(text_col: str = "text") -> Column:
     """Three-tier language ID over 72 languages -> code or 'und'.
 
     Ladder (first decisive tier wins):
-      1. SCRIPT tier — one union-class guard scan decides
-         non-Latin-vs-Latin, then :data:`SCRIPT_LADDER` order decides
-         within it (34 script-identified languages: CJK, Cyrillic with
+      1. SCRIPT tier — a bounded union-class count over the ID window
+         decides non-Latin-vs-Latin (engages at
+         :data:`SCRIPT_MIN_CHARS`+ script chars, so one stray symbol
+         never flips the call), then :data:`SCRIPT_LADDER` order
+         decides within it (34 script-identified languages: CJK, Cyrillic with
          be/uk/mk/sr/kk/mn/bg letter disambiguation, Greek, Hebrew, Arabic with
          ur/fa letter disambiguation, the Indic family, Thai/Lao,
          Myanmar, Georgian, Armenian, Khmer, Amharic).
@@ -267,7 +274,18 @@ def detect_language(text_col: str = "text") -> Column:
             else script_lang.when(cond, F.lit(lang))
         )
     script_lang = script_lang.otherwise(F.lit("und"))
-    return F.when(text.rlike(NONLATIN_ANY_RE), script_lang).otherwise(
+    # threshold guard over the ID window: counting matches of the
+    # union class in the first TRIGRAM_WINDOW chars is BOUNDED work
+    # (the old full-text rlike made every Latin document scan to its
+    # end just to conclude "no script chars")
+    n_script = F.size(
+        F.regexp_extract_all(
+            F.substring(text, 1, TRIGRAM_WINDOW),
+            F.lit(NONLATIN_ANY_RE),
+            F.lit(0),
+        )
+    )
+    return F.when(n_script >= SCRIPT_MIN_CHARS, script_lang).otherwise(
         marker_lang
     )
 

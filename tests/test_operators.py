@@ -2685,9 +2685,10 @@ class TestBpe:
 
     def test_language_id_trigram_tier_rules(self, spark):
         """Tier-3 contract: a single tier-1 marker hit beats any trigram
-        score; one profile gram is below TRIGRAM_MIN_HITS -> 'und'; a
-        stray script char routes to the script tier (decisive-presence
-        contract, same as CJK)."""
+        score; one profile gram is below TRIGRAM_MIN_HITS -> 'und'; and
+        the SCRIPT_MIN_CHARS guard keeps a stray script symbol from
+        flipping the call while two script chars still engage the
+        script tier."""
         from content_extractor_spark.operators.textstats import (
             detect_language,
         )
@@ -2698,15 +2699,18 @@ class TestBpe:
                 (1, "the Käännös on pöydällä kyllä"),
                 # exactly one profile gram ('ssä') -> below threshold
                 (2, "ssä zzz qqq"),
-                # Latin text with one Greek char -> script tier -> el
+                # ONE stray Greek char: below SCRIPT_MIN_CHARS — stays
+                # in the Latin tiers (no markers, <2 trigrams -> und)
                 (3, "mostly latin words with π inside"),
+                # two Greek chars clear the guard -> script tier -> el
+                (4, "the formula uses π and φ constants"),
             ],
             "doc_id int, text string",
         )
         got = dict(
             df.select("doc_id", detect_language("text").alias("l")).collect()
         )
-        assert got == {1: "en", 2: "und", 3: "el"}
+        assert got == {1: "en", 2: "und", 3: "und", 4: "el"}
 
     def test_linear_quality_score_parity(self, spark):
         """Trained-filter exemplar: the Catalyst hashed bag-of-words
