@@ -1257,7 +1257,36 @@ def q_robots_filter(spark, sf_dir):
         ],
         "host string, robots_txt string",
     )
-    return robots_disallow_filter(urls, robots).select("doc_id", "host", "url")
+    allowed = robots_disallow_filter(urls, robots).select(
+        F.lit("robots").alias("gate"), "doc_id", "host", "url"
+    )
+    # blocklist arm (r6): subdomain-structured hosts against a blocked
+    # domain list — SUFFIX semantics (s3.bad1.example blocked by
+    # bad1.example; notbad9.example survives its substring cousin)
+    from content_extractor_spark.operators.scans import (
+        domain_blocklist_filter,
+    )
+
+    tld = F.when(d % 4 == 0, F.lit("bad")).otherwise(F.lit("ok"))
+    dom = F.concat(tld, (d % 3).cast("string"), F.lit(".example"))
+    host2 = F.when(d % 5 == 0, dom).otherwise(
+        F.concat(F.lit("s"), (d % 7).cast("string"), F.lit("."), dom)
+    )
+    urls2 = docs.select(
+        "doc_id",
+        host2.alias("host"),
+        F.concat(F.lit("https://"), host2, F.lit("/x"),
+                 d.cast("string")).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("bad0.example",), ("bad1.example",), ("bad2.example",),
+         ("ad9.example",)],
+        "domain string",
+    )
+    surv = domain_blocklist_filter(urls2, blocked).select(
+        F.lit("blocklist").alias("gate"), "doc_id", "host", "url"
+    )
+    return allowed.unionByName(surv)
 
 
 def q_weighted_source_sample(spark, sf_dir):
@@ -2859,7 +2888,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, round(rank, 6) AS rank FROM r3
         """,
         "robots_filter": """
-            SELECT doc_id,
+            SELECT 'robots' AS gate, doc_id,
                    'h' || (doc_id % 5)::varchar || '.example' AS host,
                    'https://h' || (doc_id % 5)::varchar || '.example'
                      || (CASE doc_id % 4 WHEN 0 THEN '/a'
@@ -2875,6 +2904,26 @@ def oracle_sql() -> dict[str, str]:
                 OR (doc_id % 5 = 4 AND doc_id % 4 = 1
                     AND doc_id::varchar NOT LIKE '1%')
               )
+            UNION ALL
+            -- blocklist arm: hosts on a 'bad*' domain (doc_id % 4 = 0)
+            -- are blocked whether exact (doc_id % 5 = 0) or subdomain;
+            -- 'ok*' domains all survive ('ad9.example' in the list is
+            -- a substring of nothing's suffix here)
+            SELECT 'blocklist' AS gate, doc_id, host,
+                   'https://' || host || '/x' || doc_id::varchar AS url
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN dom
+                          ELSE 's' || (doc_id % 7)::varchar || '.' || dom
+                     END AS host
+              FROM (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 4 = 0 THEN 'bad' ELSE 'ok' END)
+                         || (doc_id % 3)::varchar || '.example' AS dom
+                FROM documents WHERE doc_id < 400
+              )
+            )
+            WHERE doc_id % 4 <> 0
         """,
         "normalize_pii_scrub": r"""
             WITH dirty AS (

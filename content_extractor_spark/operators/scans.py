@@ -543,6 +543,49 @@ def feed_urls(
     )
 
 
+def domain_blocklist_filter(
+    urls: DataFrame,
+    blocked: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop urls whose host IS a blocked domain or is a SUBDOMAIN of
+    one — the UT1-blocklist / RefinedWeb-style URL filtering step of a
+    pretraining pipeline. Suffix semantics, not substring:
+    ``ads.bad.example`` is blocked by ``bad.example``;
+    ``notbad.example`` is not.
+
+    Shape for a multi-million-domain list (UT1 adult is ~4M rows):
+    each host explodes into its label suffixes of >= 2 labels (a
+    bounded ~3-5 rows per url), one equi semi join keyed on the suffix
+    marks blocked urls, one anti join removes them. Both joins are
+    PLAIN equi-joins — AQE broadcasts the blocklist when it is small
+    and shuffles when it is not (an unconditional broadcast hint would
+    OOM on the real lists). No per-row iteration over the list, no
+    regex, no cartesian.
+    """
+    parts = F.split(F.col(host_col), r"\.")
+    n = F.size(parts)
+    sufs = F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.array_join(F.slice(parts, i + F.lit(1), n - i), "."),
+    )
+    # single-label hosts have no >=2-label suffix; match them exactly
+    sufs = F.when(n >= 2, sufs).otherwise(F.array(F.col(host_col)))
+    hits = (
+        urls.select(F.col(url_col), F.explode(sufs).alias("_suf"))
+        .join(
+            blocked.select(F.col(domain_col).alias("_suf")),
+            "_suf",
+            "left_semi",
+        )
+        .select(url_col)
+        .distinct()
+    )
+    return urls.join(hits, url_col, "left_anti")
+
+
 def crawl_schedule(
     urls: DataFrame,
     directives: DataFrame = None,

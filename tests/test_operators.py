@@ -1450,6 +1450,56 @@ class TestJpegPixelDecode:
 
 
 class TestRobotsAndAnchors:
+    def test_domain_blocklist_suffix_semantics(self, spark):
+        """r6 UT1-style URL filter: exact-host and subdomain matches
+        drop; a host whose name merely CONTAINS a blocked domain
+        survives (suffix, not substring); single-label hosts match
+        exactly; unrelated hosts pass."""
+        from content_extractor_spark.operators.scans import (
+            domain_blocklist_filter,
+        )
+
+        urls = spark.createDataFrame(
+            [
+                ("bad.example", "https://bad.example/1"),        # exact
+                ("ads.bad.example", "https://ads.bad.example/2"),  # subdomain
+                ("a.b.bad.example", "https://a.b.bad.example/3"),  # deep sub
+                ("notbad.example", "https://notbad.example/4"),  # substring!
+                ("good.example", "https://good.example/5"),
+                ("localhost", "https://localhost/6"),            # 1 label
+                ("bad.example.org", "https://bad.example.org/7"),  # other tld
+            ],
+            "host string, url string",
+        )
+        blocked = spark.createDataFrame(
+            [("bad.example",), ("localhost",)], "domain string"
+        )
+        got = sorted(
+            r["url"] for r in domain_blocklist_filter(urls, blocked).collect()
+        )
+        assert got == [
+            "https://bad.example.org/7",
+            "https://good.example/5",
+            "https://notbad.example/4",
+        ]
+
+    def test_domain_blocklist_plan_is_equi_joined(self, spark):
+        """Scale shape: two plain equi-joins (semi + anti), no
+        cartesian, no Python stage — the blocklist side is free to be
+        millions of rows."""
+        from content_extractor_spark.operators.scans import (
+            domain_blocklist_filter,
+        )
+
+        urls = spark.createDataFrame(
+            [("h.example", "https://h.example/1")], "host string, url string"
+        )
+        blocked = spark.createDataFrame([("x.example",)], "domain string")
+        plan = domain_blocklist_filter(urls, blocked)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "PythonUDF" not in plan and "EvalPython" not in plan
+
     def test_robots_group_aware(self, spark):
         from content_extractor_spark.operators.scans import (
             robots_disallow_rules,
