@@ -537,7 +537,11 @@ def q_media_manifest(spark, sf_dir):
 
 def q_paragraph_dedup(spark, sf_dir):
     # paragraph-granularity exact dedup (training-data op): explode
-    # sentence-ish chunks of 12 tokens, keep first (doc_id, idx) per digest
+    # sentence-ish chunks of 12 tokens, keep first (doc_id, idx) per
+    # digest; unioned (r6) with the SUBSTRING-dedup family —
+    # repeated_window_spans flags 12-token sliding windows (stride 6)
+    # occurring >= 2 times across a doubled corpus, aggregated to the
+    # same (digest, keep_doc, keep_idx, occurrences) shape
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     paras = F.transform(
@@ -547,19 +551,42 @@ def q_paragraph_dedup(spark, sf_dir):
     exploded = docs.select(
         "doc_id", F.posexplode(paras).alias("idx", "para")
     ).where(F.col("para") != "")
-    return (
+    paragraphs = (
         exploded.groupBy(F.md5("para").alias("digest"))
         .agg(
             F.min(F.struct("doc_id", "idx")).alias("first"),
             F.count("*").alias("occurrences"),
         )
         .select(
+            F.lit("paragraph").alias("kind"),
             "digest",
             F.col("first.doc_id").alias("keep_doc"),
             F.col("first.idx").alias("keep_idx"),
             "occurrences",
         )
     )
+    from content_extractor_spark.operators.dedup_families import (
+        repeated_window_spans,
+    )
+
+    flagged = repeated_window_spans(
+        _doubled_docs(spark, sf_dir, limit=80), window=12, stride=6
+    )
+    windows = (
+        flagged.groupBy("digest")
+        .agg(
+            F.min(F.struct("doc_id", "start")).alias("first"),
+            F.count("*").alias("occurrences"),
+        )
+        .select(
+            F.lit("window").alias("kind"),
+            "digest",
+            F.col("first.doc_id").alias("keep_doc"),
+            F.col("first.start").alias("keep_idx"),
+            "occurrences",
+        )
+    )
+    return paragraphs.unionByName(windows)
 
 
 def q_clean_urls(spark, sf_dir):
@@ -2217,12 +2244,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest([x*12 for x in range(0, (len(toks)-1)//12 + 1)]) AS i
               )
               WHERE array_to_string(toks[i+1:i+12], ' ') != ''
+            ),
+            -- substring-dedup arm: 12-token sliding windows (stride 6)
+            -- over a doubled corpus, spans occurring >= 2 times
+            wtok AS (
+              SELECT doc_id, toks FROM tok WHERE doc_id < 80
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, toks
+              FROM tok WHERE doc_id < 80
+            ),
+            wspans AS (
+              SELECT doc_id, s AS start,
+                     md5(array_to_string(toks[s:s+11], ' ')) AS digest
+              FROM wtok, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks)-12+2, 1), 6)) AS s
+              )
+              WHERE len(toks) >= 12
+            ),
+            wflag AS (
+              SELECT digest, doc_id, start,
+                     count(*) OVER (PARTITION BY digest) AS occ
+              FROM wspans
             )
-            SELECT md5(para) AS digest,
+            SELECT 'paragraph' AS kind, md5(para) AS digest,
                    min(struct_pack(doc_id := doc_id, idx := idx)).doc_id AS keep_doc,
                    min(struct_pack(doc_id := doc_id, idx := idx)).idx AS keep_idx,
                    count(*) AS occurrences
             FROM paras GROUP BY md5(para)
+            UNION ALL
+            SELECT 'window' AS kind, digest,
+                   min(struct_pack(doc_id := doc_id, start := start)).doc_id AS keep_doc,
+                   min(struct_pack(doc_id := doc_id, start := start)).start AS keep_idx,
+                   count(*) AS occurrences
+            FROM wflag WHERE occ >= 2 GROUP BY digest
         """,
         "clean_urls": """
             SELECT doc_id,

@@ -62,6 +62,59 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     )
 
 
+def repeated_window_spans(
+    df: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact SUBSTRING-dedup candidates, the Spark shape of the
+    suffix-array approach in Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"): flag every ``window``-token
+    span whose exact content occurs at least ``min_count`` times
+    anywhere in the corpus (cross-document or repeated within one).
+    Returns ``(doc_id, start, digest, occurrences)`` — start is the
+    1-based token position; callers mask or cut the flagged spans.
+
+    Scale shape: token positions explode at ``stride`` spacing (the
+    Lee et al. default stride 1 costs ~n_tokens rows per doc — at
+    10^12 tokens set stride ~ window/2 for the standard 2x-overlap
+    approximation), the span digest is computed per exploded row
+    (map-side), and ONE count window keyed on the digest does the
+    corpus-wide matching. No suffix array, no sort of the whole
+    corpus — the digest shuffle is the only wide stage.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    spans = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(F.col("_toks")) >= window,
+                F.sequence(
+                    F.lit(1),
+                    F.size(F.col("_toks")) - window + 1,
+                    F.lit(stride),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("start"),
+        F.col("_toks"),
+    ).select(
+        id_col,
+        "start",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("start"), window))
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("digest")
+    return (
+        spans.withColumn("occurrences", F.count("*").over(w))
+        .where(F.col("occurrences") >= min_count)
+    )
+
+
 # -- shingling -------------------------------------------------------------------
 
 

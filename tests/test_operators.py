@@ -2212,6 +2212,40 @@ class TestImageHashing:
         assert ("g1", "g1n") in pairs and pairs[("g1", "g1n")] <= 6
         assert not any("g2" in p for p in pairs)
 
+    def test_repeated_window_spans(self, spark):
+        """r6 substring-dedup family (Lee et al. 2022 shape): an exact
+        window-length token span shared by two documents is flagged in
+        BOTH (with its position); a span repeated inside one document
+        is flagged too; unique text and too-short documents produce no
+        rows."""
+        from content_extractor_spark.operators.dedup_families import (
+            repeated_window_spans,
+        )
+
+        shared = "alpha beta gamma delta"  # 4 tokens = one window
+        rows = [
+            (1, f"{shared} unique one two"),
+            (2, f"intro words here {shared}"),
+            (3, "totally different text with no repeats at all"),
+            (4, f"{shared} pad {shared}"),  # internal repetition
+            (5, "short doc"),               # < window tokens
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = sorted(
+            (r["doc_id"], r["start"], r["occurrences"])
+            for r in repeated_window_spans(df, window=4, stride=1).collect()
+        )
+        # the shared 4-token window occurs at: doc1 pos1, doc2 pos4,
+        # doc4 pos1 and pos6 -> 4 occurrences each row
+        assert got == [(1, 1, 4), (2, 4, 4), (4, 1, 4), (4, 6, 4)]
+        # stride > 1 samples start positions 1, 3, 5, ... — doc2's
+        # match at position 4 is skipped, doc4 keeps 1 but loses 6
+        got2 = sorted(
+            (r["doc_id"], r["start"], r["occurrences"])
+            for r in repeated_window_spans(df, window=4, stride=2).collect()
+        )
+        assert got2 == [(1, 1, 2), (4, 1, 2)]
+
     def test_jpeg_pairs_with_png_twin(self, spark):
         """A JPEG and the PNG of the same image land in the same
         near-dup cluster — the wiring the web-crawl image dedup needs
