@@ -451,3 +451,88 @@ class TestIncrementalIngest:
             b"\xff\xfe" + "ab".encode("utf-16-le"), None) == "ab"
         assert decode_html_bytes(
             b"\xfe\xff" + "ab".encode("utf-16-be"), None) == "ab"
+
+
+class TestCdxIndex:
+    """CDXJ crawl-index connector: parse -> select -> fetch plan."""
+
+    @staticmethod
+    def _lines():
+        import json
+
+        def line(key, ts, **kw):
+            return f"{key} {ts} {json.dumps(kw)}"
+
+        return [
+            line("org,example)/a", "20240101000000",
+                 url="https://example.org/a", mime="text/html",
+                 status="200", digest="sha1:AAA", length="100",
+                 offset="0", filename="f1.warc.gz"),
+            # same digest, LATER capture of the same content -> deduped
+            line("org,example)/a-copy", "20240102000000",
+                 url="https://example.org/a-copy", mime="text/html",
+                 status="200", digest="sha1:AAA", length="110",
+                 offset="500", filename="f2.warc.gz"),
+            line("org,example)/b", "20240101000000",
+                 url="https://example.org/b", mime="text/html",
+                 status="200", digest="sha1:BBB", length="200",
+                 offset="100", filename="f1.warc.gz"),
+            # 404 and a PDF: filtered by the standard selection
+            line("org,example)/miss", "20240101000000",
+                 url="https://example.org/miss", mime="text/html",
+                 status="404", digest="sha1:CCC", length="50",
+                 offset="300", filename="f1.warc.gz"),
+            line("org,example)/doc", "20240101000000",
+                 url="https://example.org/doc", mime="application/pdf",
+                 status="200", digest="sha1:DDD", length="999",
+                 offset="400", filename="f1.warc.gz"),
+            # mime only in mime-detected (coalesce path)
+            line("org,example)/c", "20240103000000",
+                 url="https://example.org/c", status="200",
+                 digest="sha1:EEE", length="10", offset="50",
+                 filename="f2.warc.gz", **{"mime-detected": "text/html"}),
+            "garbage line-without-json",
+        ]
+
+    def test_parse_select_and_plan(self, spark, tmp_path):
+        from content_extractor_spark.sources.cdx import (
+            cdx_fetch_plan,
+            cdx_select,
+            read_cdx,
+        )
+
+        p = tmp_path / "idx"
+        p.mkdir()
+        (p / "part1.cdx").write_text("\n".join(self._lines()) + "\n")
+        caps = read_cdx(spark, str(p))
+        rows = {r["urlkey"]: r for r in caps.collect()}
+        assert len(rows) == 7
+        assert rows["org,example)/a"]["offset"] == 0
+        assert rows["org,example)/a"]["length"] == 100
+        assert rows["org,example)/a"]["status"] == 200
+        assert rows["org,example)/c"]["mime"] == "text/html"
+        assert rows["garbage"]["error"] == "malformed cdx line"
+
+        sel = cdx_select(caps)
+        keys = sorted(r["urlkey"] for r in sel.collect())
+        # digest AAA keeps the EARLIEST capture; 404/pdf/garbage drop
+        assert keys == ["org,example)/a", "org,example)/b",
+                        "org,example)/c"]
+
+        plan = {r["filename"]: r for r in cdx_fetch_plan(sel).collect()}
+        f1 = plan["f1.warc.gz"]
+        assert f1["n_records"] == 2 and f1["total_bytes"] == 300
+        # ranges sorted by offset for a sequential walk
+        assert [(x["offset"], x["length"]) for x in f1["ranges"]] == [
+            (0, 100), (100, 200)
+        ]
+        assert plan["f2.warc.gz"]["n_records"] == 1
+
+    def test_select_without_digest_dedup_keeps_all(self, spark, tmp_path):
+        from content_extractor_spark.sources.cdx import cdx_select, read_cdx
+
+        p = tmp_path / "idx2"
+        p.mkdir()
+        (p / "x.cdx").write_text("\n".join(self._lines()) + "\n")
+        sel = cdx_select(read_cdx(spark, str(p)), dedup_digest=False)
+        assert sel.count() == 4  # both AAA captures survive
