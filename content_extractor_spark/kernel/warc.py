@@ -263,6 +263,57 @@ def build_warc(
     return out.getvalue()
 
 
+def surt_key(url: str) -> str:
+    """Minimal SURT-style sort key for a url (host labels reversed,
+    comma-joined, then the path) — the CDX urlkey convention."""
+    m = re.match(r"^https?://([^/?#]+)([^?#]*)", url or "")
+    if not m:
+        return url or ""
+    host, path = m.group(1).lower(), m.group(2) or "/"
+    return ",".join(reversed(host.split("."))) + ")" + path
+
+
+def build_warc_indexed(
+    pages,
+    filename: str = "archive.warc.gz",
+    warc_date: str = "2021-07-01T00:00:00Z",
+):
+    """Synthesize a per-record-gzip ``.warc.gz`` TOGETHER with its
+    CDXJ index lines — ``(warc_bytes, cdx_lines)``. Each page becomes
+    one gzip member whose (offset, length) the index records, exactly
+    the Common Crawl pairing that lets a reader fetch single records
+    by byte range. Digest is the response-payload sha1 (hex form).
+    """
+    import hashlib
+    import json as _json
+
+    out = bytearray()
+    lines = []
+    ts = re.sub(r"[^0-9]", "", warc_date)[:14]
+    for page in pages:
+        rid, url, body = page[:3]
+        ctype = page[3] if len(page) > 3 else "text/html; charset=utf-8"
+        member = build_warc([page], gzip_members=True, warc_date=warc_date)
+        offset = len(out)
+        out += member
+        lines.append(
+            f"{surt_key(url)} {ts} "
+            + _json.dumps(
+                {
+                    "url": url,
+                    "mime": ctype.split(";")[0].strip(),
+                    "status": "200",
+                    "digest": "sha1:" + hashlib.sha1(body).hexdigest(),
+                    "length": str(len(member)),
+                    "offset": str(offset),
+                    "filename": filename,
+                },
+                sort_keys=True,
+            )
+        )
+    return bytes(out), lines
+
+
 def build_wat(
     entries,
     gzip_members: bool = True,

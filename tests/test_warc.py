@@ -536,3 +536,69 @@ class TestCdxIndex:
         (p / "x.cdx").write_text("\n".join(self._lines()) + "\n")
         sel = cdx_select(read_cdx(spark, str(p)), dedup_digest=False)
         assert sel.count() == 4  # both AAA captures survive
+
+    def test_index_to_ranged_read_end_to_end(self, spark, tmp_path):
+        """The full selective-consumption loop with no network:
+        build_warc_indexed writes a per-member archive + its CDXJ
+        lines; read_cdx -> cdx_select -> cdx_fetch_plan chooses byte
+        ranges; read_warc_ranges fetches ONLY those members and the
+        parsed records match the full-file reader's output for the
+        selected subset."""
+        from content_extractor_spark.kernel.warc import build_warc_indexed
+        from content_extractor_spark.sources.cdx import (
+            cdx_fetch_plan,
+            cdx_select,
+            read_cdx,
+        )
+        from content_extractor_spark.sources.warc import (
+            read_warc,
+            read_warc_ranges,
+        )
+
+        pages = [
+            (f"r{i}", f"https://h{i % 3}.example/p{i}",
+             f"<html><body><p>doc {i} body</p></body></html>".encode())
+            for i in range(8)
+        ]
+        # page 7 duplicates page 0's content -> digest dedup drops it
+        pages[7] = ("r7", "https://h0.example/copy", pages[0][2])
+        warc_path = str(tmp_path / "a.warc.gz")
+        data, lines = build_warc_indexed(pages, filename=warc_path)
+        with open(warc_path, "wb") as f:
+            f.write(data)
+        idx = tmp_path / "idx"
+        idx.mkdir()
+        (idx / "a.cdx").write_text("\n".join(lines) + "\n")
+
+        plan = cdx_fetch_plan(cdx_select(read_cdx(spark, str(idx))))
+        rows = plan.collect()
+        assert len(rows) == 1 and rows[0]["n_records"] == 7  # dup dropped
+
+        got = read_warc_ranges(spark, plan)
+        parsed = {r["record_id"]: r for r in got.collect()}
+        assert all(r["error"] is None for r in parsed.values())
+        # the digest tie between r0 and its copy r7 breaks on the
+        # urlkey ('.../copy' < '.../p0'), so r7 represents the content
+        assert sorted(parsed) == [f"<urn:uuid:r{i}>" for i in range(1, 8)]
+        # parity with the whole-file reader on the selected subset
+        full = {r["record_id"]: r
+                for r in read_warc(spark, warc_path).collect()}
+        for rid, r in parsed.items():
+            f = full[rid]
+            assert bytes(r["payload"]) == bytes(f["payload"])
+            assert r["url"] == f["url"]
+            assert r["http_status"] == f["http_status"] == 200
+
+    def test_ranged_read_error_rows(self, spark, tmp_path):
+        """A missing archive file or a range that decodes nothing
+        becomes an error ROW, never a task failure."""
+        from content_extractor_spark.sources.warc import read_warc_ranges
+
+        plan = spark.createDataFrame(
+            [(str(tmp_path / "missing.warc.gz"),
+              [{"offset": 0, "length": 10, "url": "u"}])],
+            "filename string, "
+            "ranges array<struct<offset: long, length: long, url: string>>",
+        )
+        rows = read_warc_ranges(spark, plan).collect()
+        assert len(rows) == 1 and "open failed" in rows[0]["error"]
