@@ -1220,9 +1220,51 @@ def q_link_graph(spark, sf_dir):
         F.concat_ws("|", "published", "title").alias("anchor_text"),
         F.lit(0).cast("bigint").alias("n"),
     )
+    # sixth product: CDXJ crawl-index parse + capture selection (r6) —
+    # index lines are synthesized from doc_id arithmetic, parsed by the
+    # REAL parser (sources.cdx.parse_cdx_lines: split + from_json), and
+    # run through the REAL selection (status/mime filters + one capture
+    # per digest, earliest ts / lowest urlkey); the oracle rebuilds the
+    # surviving rows arithmetically with the same window
+    from content_extractor_spark.sources.cdx import (
+        cdx_select,
+        parse_cdx_lines,
+    )
+
+    ckey = F.concat(
+        F.lit("example,h"), (d % 5).cast("string"), F.lit(")/p"),
+        d.cast("string"),
+    )
+    curl = F.concat(
+        F.lit("https://h"), (d % 5).cast("string"), F.lit(".example/p"),
+        d.cast("string"),
+    )
+    cstatus = F.when(d % 7 == 0, F.lit("404")).otherwise(F.lit("200"))
+    cmime = F.when(
+        d % 11 == 0, F.lit("application/pdf")
+    ).otherwise(F.lit("text/html"))
+    cline = F.concat(
+        ckey, F.lit(" 20240101000000 "),
+        F.lit('{"url": "'), curl,
+        F.lit('", "mime": "'), cmime,
+        F.lit('", "status": "'), cstatus,
+        F.lit('", "digest": "sha1:'), (d % 67).cast("string"),
+        F.lit('", "length": "100", "offset": "'), (d * 100).cast("string"),
+        F.lit('", "filename": "f'), (d % 5).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    cdx = cdx_select(
+        parse_cdx_lines(docs.select(cline.alias("value")))
+    ).select(
+        F.lit("cdx").alias("kind"),
+        F.col("urlkey").alias("src"),
+        F.col("url").alias("dst"),
+        F.col("filename").alias("anchor_text"),
+        F.col("offset").alias("n"),
+    )
     return (
         edges.unionByName(anchors).unionByName(sm)
-        .unionByName(wat).unionByName(fd)
+        .unionByName(wat).unionByName(fd).unionByName(cdx)
     )
 
 
@@ -2882,6 +2924,31 @@ def oracle_sql() -> dict[str, str]:
                      || doc_id::varchar AS anchor_text,
                    0::BIGINT AS n
             FROM documents WHERE doc_id < 200
+            UNION ALL
+            -- cdx rows: arithmetic image of the synthesized index —
+            -- status/mime filters FIRST (the selection's pushed
+            -- predicates), then one capture per digest (earliest ts,
+            -- lowest urlkey)
+            SELECT 'cdx' AS kind, urlkey AS src, url AS dst,
+                   filename AS anchor_text, "offset" AS n
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY digest ORDER BY ts, urlkey) AS rn
+              FROM (
+                SELECT 'example,h' || (doc_id % 5)::varchar || ')/p'
+                         || doc_id::varchar AS urlkey,
+                       '20240101000000' AS ts,
+                       'https://h' || (doc_id % 5)::varchar
+                         || '.example/p' || doc_id::varchar AS url,
+                       'sha1:' || (doc_id % 67)::varchar AS digest,
+                       'f' || (doc_id % 5)::varchar || '.warc.gz'
+                         AS filename,
+                       (doc_id * 100)::BIGINT AS "offset"
+                FROM documents
+                WHERE doc_id < 200 AND doc_id % 7 <> 0
+                  AND doc_id % 11 <> 0
+              )
+            ) WHERE rn = 1
         """,
         "pagerank_hosts": """
             WITH links AS (

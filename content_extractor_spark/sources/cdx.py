@@ -33,14 +33,13 @@ CDX_JSON_DDL = (
 )
 
 
-def read_cdx(spark: SparkSession, path: str) -> DataFrame:
-    """Parse CDXJ index lines into typed capture rows:
-    (urlkey, ts, url, mime, status, digest, length, offset, filename,
-    languages, error). Malformed lines become ``error`` rows, never
-    task failures (the same status-column policy as the WARC parser).
-    """
-    lines = spark.read.text(path).where(F.trim(F.col("value")) != "")
-    parts = F.split(F.col("value"), " ", 3)
+def parse_cdx_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse CDXJ lines (``<urlkey> <ts> <json>``) from a string
+    column into typed capture rows: (urlkey, ts, url, mime, status,
+    digest, length, offset, filename, languages, error). Malformed
+    lines become ``error`` rows, never task failures (the same
+    status-column policy as the WARC parser). Pure Catalyst."""
+    parts = F.split(F.col(col), " ", 3)
     # F.get tolerates short splits (a malformed line must become an
     # error ROW, not an ArrayIndexOutOfBounds task failure)
     env = F.from_json(F.get(parts, 2), CDX_JSON_DDL)
@@ -59,6 +58,15 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
         F.when(ok, F.lit(None).cast("string")).otherwise(
             F.lit("malformed cdx line")
         ).alias("error"),
+    )
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ index files -> typed capture rows (see
+    :func:`parse_cdx_lines`); ``spark.read.text`` gives per-shard
+    parallelism over the index directory."""
+    return parse_cdx_lines(
+        spark.read.text(path).where(F.trim(F.col("value")) != "")
     )
 
 
