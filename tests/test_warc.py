@@ -420,6 +420,50 @@ class TestIncrementalIngest:
         assert recs.count() == 4
         assert recs.select("record_id").distinct().count() == 4
 
+    def test_legacy_flat_store_migrates_once(self, spark, tmp_path):
+        """r6 (advice): a store written by the pre-batch-layout version
+        has flat parquet appends in records/ — one new-style run folds
+        them into ingest_batch=legacy so the mixed layout never reaches
+        spark.read, old rows survive, and the legacy batch is never
+        orphan-dropped."""
+        import os
+
+        from content_extractor_spark.sources.warc import (
+            commit_file_ledger,
+            incremental_warc_ingest,
+            read_warc,
+        )
+
+        in_dir = tmp_path / "in"
+        out = tmp_path / "out"
+        in_dir.mkdir()
+        (in_dir / "a.warc.gz").write_bytes(build_warc(_pages(4)))
+        # simulate the OLD layout: flat append under records/ plus a
+        # pre-batch-column... ledger entry for the already-done file
+        old_file = str(in_dir / "a.warc.gz")
+        read_warc(spark, [old_file]).write.parquet(str(out / "records"))
+        commit_file_ledger(
+            spark, str(out / "warc_ledger"), [f"file:{old_file}"], ""
+        )
+        assert any(
+            f.startswith("part-") for f in os.listdir(out / "records")
+        )
+        # new file arrives; the new-style run must migrate THEN append
+        (in_dir / "b.warc.gz").write_bytes(build_warc(_pages(2)))
+        s = incremental_warc_ingest(spark, str(in_dir), str(out))
+        assert s["files_processed"] == 1 and s["records"] == 2
+        children = sorted(
+            f for f in os.listdir(out / "records") if not f.startswith(".")
+        )
+        assert "ingest_batch=legacy" in children
+        assert not any(c.startswith("part-") for c in children)
+        recs = spark.read.parquet(str(out / "records"))
+        assert recs.count() == 6  # 4 legacy + 2 new, none lost
+        # a THIRD run leaves everything alone (legacy never orphaned)
+        s2 = incremental_warc_ingest(spark, str(in_dir), str(out))
+        assert s2["files_processed"] == 0
+        assert spark.read.parquet(str(out / "records")).count() == 6
+
     def test_max_files_bounds_a_run(self, spark, tmp_path):
         from content_extractor_spark.sources.warc import (
             incremental_warc_ingest,
