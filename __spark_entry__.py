@@ -922,6 +922,14 @@ _LANG_PROBES = [
     "Ang mga bata ay naglalaro sa parke, ito ang kanilang lugar",
     "Waxaan rabaa inaan barto luuqadda soomaaliga, waa luuqad qurux badan",
     "Abantu abaningi bathanda ukudla okumnandi, izingane ziyajabula",
+    "Mutanen suka zo wannan gari, ƙasar Hausa tana da kyau",
+    "Àwọn ọmọ wọ́nyí fẹ́ràn láti kàwé, ẹni tí ó dára ni",
+    "Ndị mmadụ chọrọ ka ụlọ ha dị mma, nke a bụ ezi okwu",
+    "Ĉiuj homoj naskiĝas liberaj kaj egalaj, ĉi tiu lingvo estas bela kaj ĝoja",
+    "Gallia est omnis divisa, quarum unam incolunt Belgae, altera pars erat",
+    "An dud a gomz brezhoneg hag an avel a c'hwezh dre ar vro",
+    "Ech si frou datt d'Sonn haut esou schéi schéngt, de Wee ass gutt",
+    "Ny olona rehetra dia te-hahalala zavatra maro, fanahy tsara",
 ]
 
 
@@ -1837,7 +1845,10 @@ def _trigram_hits_select_sql() -> str:
 
     cols = []
     for lang, grams in LANG_TRIGRAMS.items():
-        s = " + ".join(f"contains(w, '{g}')::int" for g in grams)
+        s = " + ".join(
+            "contains(w, '{}')::int".format(g.replace("'", "''"))
+            for g in grams
+        )
         cols.append(f"({s}) AS t_{lang}")
     return ",\n                ".join(cols)
 
@@ -2557,7 +2568,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id": rf"""
             WITH probes(text) AS (
-              VALUES {", ".join(f"('{t}')" for t in _LANG_PROBES)}
+              VALUES {", ".join(
+                  "('{}')".format(t.replace("'", "''"))
+                  for t in _LANG_PROBES
+              )}
             ),
             corpus AS (
               SELECT text FROM documents

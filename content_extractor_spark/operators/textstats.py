@@ -1,7 +1,7 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 All pure Catalyst expressions (JVM-side, whole-stage codegen, no
-Python in the hot path): language ID (72 languages — script ladder +
+Python in the hot path): language ID (80 languages — script ladder +
 stopword markers + char-3-gram profiles), quality scoring
 (length/punct/stopword ratios), token counting (whitespace + BPE-ish
 regex), and rolling-hash document fingerprints.
@@ -152,6 +152,14 @@ LANG_TRIGRAMS = {
     "tl": ["mga", "pag", "ako", "ito", "nag", "kas", "ala", "ngi"],
     "so": ["waa", "aan", "sha", "dha", "soo", "qur", "xaa", "aha"],
     "zu": ["uku", "nge", "tho", "izi", "aba", "and", "hle", "ban"],
+    "ha": ["ƙas", "wan", "suk", "yan", "hau", "nan", "ƙar", "mut"],
+    "yo": ["ẹni", "ọmọ", "àwọ", "ṣiṣ", "wọn", "jẹ́", "ní ", "kan"],
+    "ig": ["nke", "ndị", "ọtụ", "nyị", "chọ", "ịhụ", "ụlọ", "gba"],
+    "eo": ["kaj", "ĉiu", "iĝa", "aŭd", "ojn", "ulo", "ŝat", "ĝoj"],
+    "la": ["rum", "ibu", "tur", "qua", "ere", "est", "imu", "oru"],
+    "br": ["c'h", "eur", "zho", "ael", "ema", "hag", "eil", "enn"],
+    "lb": ["ech", "eso", "héi", "utt", "ass", "dat", "éng", "wee"],
+    "mg": ["aha", "tra", "fan", "olo", "ndr", "itr", "any", "iza"],
 }
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -195,7 +203,7 @@ def _trigram_hits(win: Column, grams) -> Column:
 
 
 def detect_language(text_col: str = "text") -> Column:
-    """Three-tier language ID over 72 languages -> code or 'und'.
+    """Three-tier language ID over 80 languages -> code or 'und'.
 
     Ladder (first decisive tier wins):
       1. SCRIPT tier — a bounded union-class count over the ID window
@@ -211,7 +219,7 @@ def detect_language(text_col: str = "text") -> Column:
          (:data:`LANG_MARKERS`: en/de/fr/es/it/pt/nl/ru/pl/sv/da),
          ties broken by fixed language order.
       3. TRIGRAM tier — zero marker hits fall to the char-3-gram
-         profile argmax (:data:`LANG_TRIGRAMS`: 28 more Latin-script
+         profile argmax (:data:`LANG_TRIGRAMS`: 36 more Latin-script
          languages, fastText-style char-n-gram features with explicit
          hand-rolled profiles) over the first :data:`TRIGRAM_WINDOW`
          chars; fewer than :data:`TRIGRAM_MIN_HITS` distinct profile

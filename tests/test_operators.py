@@ -2655,8 +2655,8 @@ class TestBpe:
             10: "sv",
         }
 
-    # one pinned sample per language of the r6 72-language ladder:
-    # script tier (34), marker tier (11), char-trigram tier (28 more
+    # one pinned sample per language of the r6 80-language ladder:
+    # script tier (34), marker tier (11), char-trigram tier (36 more
     # Latin-script languages), plus an 'und' control. Trigram-tier
     # samples deliberately avoid tier-1 marker tokens so they exercise
     # the profile argmax, and each carries >= TRIGRAM_MIN_HITS
@@ -2734,10 +2734,18 @@ class TestBpe:
         "tl": "Ang mga bata ay naglalaro sa parke, ito ang kanilang lugar",
         "so": "Waxaan rabaa inaan barto luuqadda soomaaliga, waa luuqad qurux badan",
         "zu": "Abantu abaningi bathanda ukudla okumnandi, izingane ziyajabula",
+        "ha": "Mutanen suka zo wannan gari, ƙasar Hausa tana da kyau",
+        "yo": "Àwọn ọmọ wọ́nyí fẹ́ràn láti kàwé, ẹni tí ó dára ni",
+        "ig": "Ndị mmadụ chọrọ ka ụlọ ha dị mma, nke a bụ ezi okwu",
+        "eo": "Ĉiuj homoj naskiĝas liberaj kaj egalaj, ĉi tiu lingvo estas bela kaj ĝoja",
+        "la": "Gallia est omnis divisa, quarum unam incolunt Belgae, altera pars erat",
+        "br": "An dud a gomz brezhoneg hag an avel a c'hwezh dre ar vro",
+        "lb": "Ech si frou datt d'Sonn haut esou schéi schéngt, de Wee ass gutt",
+        "mg": "Ny olona rehetra dia te-hahalala zavatra maro, fanahy tsara",
         "und": "zxqv qqq zzz 12345",
     }
 
-    def test_language_id_72_language_ladder(self, spark):
+    def test_language_id_80_language_ladder(self, spark):
         """r6 widening: every language of the 3-tier ladder pinned.
 
         Also asserts the inventory counts so a profile-table edit that
@@ -2752,7 +2760,7 @@ class TestBpe:
 
         script_langs = {lang for lang, _ in SCRIPT_LADDER}
         all_langs = script_langs | set(LANG_MARKERS) | set(LANG_TRIGRAMS)
-        assert len(all_langs) == 72  # ru is both script- and marker-tier
+        assert len(all_langs) == 80  # ru is both script- and marker-tier
         assert set(self.LADDER_SAMPLES) == all_langs | {"und"}
 
         df = spark.createDataFrame(
