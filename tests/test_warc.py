@@ -646,3 +646,99 @@ class TestCdxIndex:
         )
         rows = read_warc_ranges(spark, plan).collect()
         assert len(rows) == 1 and "open failed" in rows[0]["error"]
+
+
+class TestBlocklistDifferential:
+    def test_blocklist_vs_python_mirror_fuzz(self, spark):
+        """Deterministic fuzz: the Spark suffix-join blocklist agrees
+        with an obvious pure-Python suffix check on 300 random hosts x
+        random blocklists (seeded)."""
+        import random
+
+        from content_extractor_spark.operators.scans import (
+            domain_blocklist_filter,
+        )
+
+        rng = random.Random(1234)
+        labels = ["a", "bb", "ccc", "bad", "ok", "x9", "notbad"]
+        tlds = ["example", "test", "org"]
+
+        def host():
+            n = rng.randint(1, 4)
+            return ".".join(
+                [rng.choice(labels) for _ in range(n - 1)]
+                + [rng.choice(tlds)]
+            )
+
+        hosts = [host() for _ in range(300)]
+        blocked = sorted({host() for _ in range(25)})
+
+        def py_blocked(h):
+            parts = h.split(".")
+            sufs = (
+                {".".join(parts[i:]) for i in range(len(parts) - 1)}
+                if len(parts) >= 2 else {h}
+            )
+            return any(b in sufs for b in blocked)
+
+        urls = spark.createDataFrame(
+            [(h, f"https://{h}/{i}") for i, h in enumerate(hosts)],
+            "host string, url string",
+        )
+        bdf = spark.createDataFrame([(b,) for b in blocked], "domain string")
+        kept = {r["url"] for r in domain_blocklist_filter(urls, bdf).collect()}
+        expect = {
+            f"https://{h}/{i}" for i, h in enumerate(hosts)
+            if not py_blocked(h)
+        }
+        assert kept == expect
+
+    def test_window_spans_vs_python_mirror_fuzz(self, spark):
+        """Deterministic fuzz: repeated_window_spans agrees with a
+        brute-force Python mirror on 60 random small documents built
+        from a tiny vocabulary (lots of genuine repeats)."""
+        import hashlib
+        import random
+        import re
+        from collections import Counter
+
+        from content_extractor_spark.operators.dedup_families import (
+            repeated_window_spans,
+        )
+
+        rng = random.Random(77)
+        vocab = [f"w{i}" for i in range(9)]
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(60)
+        ]
+        window, stride = 3, 2
+
+        def py_spans():
+            spans = []
+            for did, text in docs:
+                toks = [t for t in re.split(r"\s+", text.lower())]
+                if text.strip() == "":
+                    toks = [""]  # split('') semantics: one empty token
+                if len(toks) < window:
+                    continue
+                for s in range(1, len(toks) - window + 2, stride):
+                    gram = " ".join(toks[s - 1 : s - 1 + window])
+                    spans.append(
+                        (did, s, hashlib.md5(gram.encode()).hexdigest())
+                    )
+            counts = Counter(d for _, _, d in spans)
+            return sorted(
+                (did, s, d, counts[d]) for did, s, d in spans
+                if counts[d] >= 2
+            )
+
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = sorted(
+            (r["doc_id"], r["start"], r["digest"], r["occurrences"])
+            for r in repeated_window_spans(
+                df, window=window, stride=stride
+            ).collect()
+        )
+        assert got == py_spans()
