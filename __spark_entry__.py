@@ -934,13 +934,18 @@ _LANG_PROBES = [
 
 
 def q_language_id(spark, sf_dir):
-    from content_extractor_spark.operators.textstats import detect_language
+    # r7: stacked-projection form — identical values to the old
+    # detect_language Column, but shared subexpressions (tokenize,
+    # trigram window) evaluate once per row instead of per branch
+    from content_extractor_spark.operators.textstats import (
+        with_detected_language,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("text")
     probes = spark.createDataFrame([(t,) for t in _LANG_PROBES], "text string")
     return (
-        docs.unionByName(probes)
-        .select(detect_language("text").alias("lang_detected"))
+        with_detected_language(docs.unionByName(probes))
+        .select("lang_detected")
         .groupBy("lang_detected")
         .agg(F.count("*").alias("n"))
     )

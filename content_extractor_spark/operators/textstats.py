@@ -202,6 +202,82 @@ def _trigram_hits(win: Column, grams) -> Column:
     return h
 
 
+def _marker_best_expr(toks: Column) -> Column:
+    """Marker-tier argmax struct (h, prio, lang) over a token array."""
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _marker_hits_tokens(toks, words).alias("h"),
+                    F.lit(-i).alias("prio"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, (lang, words) in enumerate(LANG_MARKERS.items())
+            ]
+        )
+    )
+
+
+def _trigram_lang_expr(win: Column) -> Column:
+    """Trigram-tier argmax over a pre-lowered ID window -> lang code.
+
+    The MIN_HITS threshold is folded into a sentinel struct
+    (h = MIN_HITS-1, prio above every real language) so the trigram
+    argmax appears exactly ONCE in the expression tree — inlining it
+    twice (condition + value) grew the generated code past janino's
+    64 KB method limit and dropped the scan out of codegen (the r4
+    language_id failure mode). A real language wins only with
+    h >= MIN_HITS; at h < MIN_HITS the sentinel's higher prio takes
+    the tie or the win and yields 'und'.
+    """
+    sentinel = F.struct(
+        F.lit(TRIGRAM_MIN_HITS - 1).alias("h"),
+        F.lit(1).alias("prio"),
+        F.lit("und").alias("lang"),
+    )
+    pairs2 = F.array(
+        *[
+            F.struct(
+                _trigram_hits(win, grams).alias("h"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, grams) in enumerate(LANG_TRIGRAMS.items())
+        ],
+        sentinel,
+    )
+    return F.array_max(pairs2)["lang"]
+
+
+def _script_lang_expr(text: Column) -> Column:
+    """Script-tier when-chain in SCRIPT_LADDER order -> lang code."""
+    script_lang = None
+    for lang, pat in SCRIPT_LADDER:
+        cond = text.rlike(pat)
+        script_lang = (
+            F.when(cond, F.lit(lang))
+            if script_lang is None
+            else script_lang.when(cond, F.lit(lang))
+        )
+    return script_lang.otherwise(F.lit("und"))
+
+
+def _n_script_expr(text: Column) -> Column:
+    """Bounded count of non-Latin script chars in the ID window.
+
+    Counting matches of the union class in the first TRIGRAM_WINDOW
+    chars is BOUNDED work (the old full-text rlike made every Latin
+    document scan to its end just to conclude "no script chars").
+    """
+    return F.size(
+        F.regexp_extract_all(
+            F.substring(text, 1, TRIGRAM_WINDOW),
+            F.lit(NONLATIN_ANY_RE),
+            F.lit(0),
+        )
+    )
+
+
 def detect_language(text_col: str = "text") -> Column:
     """Three-tier language ID over 80 languages -> code or 'und'.
 
@@ -225,77 +301,62 @@ def detect_language(text_col: str = "text") -> Column:
          chars; fewer than :data:`TRIGRAM_MIN_HITS` distinct profile
          grams -> 'und'.
 
-    Codegen-friendly formulation: tier 2 tokenizes ONCE
-    (``array_distinct(split(...))`` — Catalyst CSE emits it a single
-    time) and scores each language via one ``array_intersect``; tier 3
-    is plain ``contains`` arithmetic over a 400-char window; both
-    argmaxes are a single ``array_max`` over (hits, -index, lang)
-    structs, not an O(langs²) when-chain. Tier 3 sits in the lazy
-    ELSE branch, so documents identified earlier never pay for it.
+    NOTE (r7): as a single Column the CASE structure defeats Catalyst
+    subexpression elimination — conditional branches are never CSE'd,
+    so the tokenize ran 22x per row and the window lower() 288x per
+    row. For bulk scans use :func:`with_detected_language`, which
+    stacks projections so every shared subexpression is evaluated once
+    per row; this Column form is kept for expression-position callers
+    and small inputs.
     """
     text = F.col(text_col)
-    toks = _distinct_tokens(text)
-    pairs = F.array(
-        *[
-            F.struct(
-                _marker_hits_tokens(toks, words).alias("h"),
-                F.lit(-i).alias("prio"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, (lang, words) in enumerate(LANG_MARKERS.items())
-        ]
-    )
-    best = F.array_max(pairs)
+    best = _marker_best_expr(_distinct_tokens(text))
     win = F.lower(F.substring(text, 1, TRIGRAM_WINDOW))
-    # the MIN_HITS threshold is folded into a sentinel struct
-    # (h = MIN_HITS-1, prio above every real language) so the trigram
-    # argmax appears exactly ONCE in the expression tree — inlining it
-    # twice (condition + value) grew the generated code past janino's
-    # 64 KB method limit and dropped the scan out of codegen (the r4
-    # language_id failure mode). A real language wins only with
-    # h >= MIN_HITS; at h < MIN_HITS the sentinel's higher prio takes
-    # the tie or the win and yields 'und'.
-    sentinel = F.struct(
-        F.lit(TRIGRAM_MIN_HITS - 1).alias("h"),
-        F.lit(1).alias("prio"),
-        F.lit("und").alias("lang"),
+    marker_lang = F.when(best["h"] >= 1, best["lang"]).otherwise(
+        _trigram_lang_expr(win)
     )
-    pairs2 = F.array(
-        *[
-            F.struct(
-                _trigram_hits(win, grams).alias("h"),
-                F.lit(-i).alias("prio"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, (lang, grams) in enumerate(LANG_TRIGRAMS.items())
-        ],
-        sentinel,
+    return F.when(
+        _n_script_expr(text) >= SCRIPT_MIN_CHARS, _script_lang_expr(text)
+    ).otherwise(marker_lang)
+
+
+def with_detected_language(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_detected"
+) -> DataFrame:
+    """``detect_language`` as a stacked-projection transform — same
+    values, ~10x cheaper per row.
+
+    The single-Column form inlines ``array_distinct(split(lower(text)))``
+    22x (the marker argmax struct is referenced by both the CASE
+    condition and its value) and ``lower(substring(text,1,400))`` 288x
+    (once per trigram ``contains``), because Spark's subexpression
+    elimination skips conditional CASE branches. Materialising the
+    shared subexpressions as real columns in their own Project nodes
+    makes each a bound row field evaluated exactly once;
+    ``CollapseProject`` keeps the layers separate because the produced
+    expressions are non-cheap and multiply referenced. Everything
+    stays inside one WholeStageCodegen span (guide §4.1 — built-ins
+    only; §1.2 — fix per-row work after plan shape).
+    """
+    text = F.col(text_col)
+    tmp = [f"_li_{c}" for c in ("nscript", "toks", "win", "best")]
+    df1 = df.withColumns(
+        {
+            tmp[0]: _n_script_expr(text),
+            tmp[1]: _distinct_tokens(text),
+            tmp[2]: F.lower(F.substring(text, 1, TRIGRAM_WINDOW)),
+        }
     )
-    trigram_lang = F.array_max(pairs2)["lang"]
-    marker_lang = F.when(best["h"] >= 1, best["lang"]).otherwise(trigram_lang)
-    script_lang = None
-    for lang, pat in SCRIPT_LADDER:
-        cond = text.rlike(pat)
-        script_lang = (
-            F.when(cond, F.lit(lang))
-            if script_lang is None
-            else script_lang.when(cond, F.lit(lang))
-        )
-    script_lang = script_lang.otherwise(F.lit("und"))
-    # threshold guard over the ID window: counting matches of the
-    # union class in the first TRIGRAM_WINDOW chars is BOUNDED work
-    # (the old full-text rlike made every Latin document scan to its
-    # end just to conclude "no script chars")
-    n_script = F.size(
-        F.regexp_extract_all(
-            F.substring(text, 1, TRIGRAM_WINDOW),
-            F.lit(NONLATIN_ANY_RE),
-            F.lit(0),
+    df2 = df1.withColumn(tmp[3], _marker_best_expr(F.col(tmp[1])))
+    best = F.col(tmp[3])
+    lang = F.when(
+        F.col(tmp[0]) >= SCRIPT_MIN_CHARS, _script_lang_expr(text)
+    ).otherwise(
+        F.when(best["h"] >= 1, best["lang"]).otherwise(
+            _trigram_lang_expr(F.col(tmp[2]))
         )
     )
-    return F.when(n_script >= SCRIPT_MIN_CHARS, script_lang).otherwise(
-        marker_lang
-    )
+    return df2.withColumn(out_col, lang).drop(*tmp)
 
 
 def token_count_ws(text_col: str = "text") -> Column:

@@ -2804,6 +2804,33 @@ class TestBpe:
         )
         assert got == {1: "en", 2: "und", 3: "und", 4: "el"}
 
+    def test_with_detected_language_matches_column_form(self, spark):
+        """r7 perf refactor guard: the stacked-projection transform
+        must agree with the Column form on every ladder sample
+        (script/marker/trigram tiers, und, tie-breaks) — same values,
+        only the evaluation count per row changes."""
+        from content_extractor_spark.operators.textstats import (
+            detect_language,
+            with_detected_language,
+        )
+
+        rows = list(self.LADDER_SAMPLES.items()) + [
+            ("en", "the Käännös on pöydällä kyllä"),
+            ("und", "ssä zzz qqq"),
+            ("und", "mostly latin words with π inside"),
+            ("el", "the formula uses π and φ constants"),
+            ("sv", "och ikke zzz"),
+            ("und", ""),
+        ]
+        df = spark.createDataFrame(rows, "expected string, text string")
+        got = (
+            with_detected_language(df)
+            .withColumn("col_form", detect_language("text"))
+            .where(F.col("lang_detected") != F.col("col_form"))
+            .collect()
+        )
+        assert not got, got
+
     def test_linear_quality_score_parity(self, spark):
         """Trained-filter exemplar: the Catalyst hashed bag-of-words
         linear scorer agrees bit-for-bit with a pure-Python mirror

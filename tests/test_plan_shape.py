@@ -323,6 +323,32 @@ def test_language_id_stays_codegen(spark):
     assert rep["wholestage_codegen_spans"] >= 1, rep["text"][:1500]
 
 
+def test_language_id_shared_subexprs_evaluated_once(spark):
+    """r7 perf guard: the stacked-projection language ID must keep its
+    shared subexpressions (tokenize, trigram window) as materialised
+    columns — one eval per row — instead of the Column form's 22x/288x
+    inlining (CASE branches defeat Catalyst subexpression
+    elimination), and must stay inside whole-stage codegen."""
+    from content_extractor_spark.operators.textstats import (
+        with_detected_language,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the and of it all")], "doc_id int, text string"
+    )
+    out = with_detected_language(df).select("lang_detected")
+    rep = plan_report(out)
+    assert rep["wholestage_codegen_spans"] >= 1, rep["text"][:1500]
+    # trigram window: once in its own Project, not once per contains
+    assert rep["text"].count("lower(substring") <= 2, (
+        rep["text"].count("lower(substring")
+    )
+    # tokenize: one array_distinct eval feeding the marker argmax
+    assert rep["text"].count("array_distinct") <= 2, (
+        rep["text"].count("array_distinct")
+    )
+
+
 def test_pq_encode_and_adc_map_only(spark):
     """PQ encoding and ADC scoring must be map-only over literal
     codebooks/tables: zero Python stages, zero exchanges — the scan
