@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 from datetime import datetime, timedelta, timezone
+from functools import lru_cache
 from typing import List, Optional, Tuple
 from zoneinfo import ZoneInfo
 
@@ -30,8 +31,14 @@ __all__ = ["reformat_datetime", "parse_java_pattern", "format_java_pattern"]
 _TIME_LETTERS = set("HhKk")
 
 
-def _tokenize(pattern: str) -> List[Tuple[str, str]]:
-    """-> [(kind, value)] where kind is 'field' (letter run) or 'lit'."""
+@lru_cache(maxsize=512)
+def _tokenize(pattern: str) -> Tuple[Tuple[str, str], ...]:
+    """-> ((kind, value), ...) where kind is 'field' (letter run) or 'lit'.
+
+    Cached: a job uses a handful of distinct patterns but parses/
+    formats per document — tokenizing each pattern once removes the
+    per-row pattern walk from the extraction hot path (guide §4.5:
+    heavyweight init once, amortised over rows)."""
     tokens: List[Tuple[str, str]] = []
     i = 0
     n = len(pattern)
@@ -66,7 +73,7 @@ def _tokenize(pattern: str) -> List[Tuple[str, str]]:
         else:
             tokens.append(("lit", c))
             i += 1
-    return tokens
+    return tuple(tokens)
 
 
 _FIELD_REGEX = {
@@ -121,23 +128,29 @@ def _field_to_regex(run: str) -> str:
     raise ValueError(f"unsupported pattern letter '{letter}'")
 
 
-def parse_java_pattern(value: str, pattern: str):
-    """Parse `value` with a Java date pattern.
-
-    Returns (datetime_fields_dict, has_time, offset_or_zone) where
-    offset_or_zone is a tzinfo or None.
-    """
-    tokens = _tokenize(pattern)
+@lru_cache(maxsize=512)
+def _compile_java_pattern(pattern: str):
+    """Java date pattern -> (compiled regex, has_time). Cached: the
+    regex build is pure in the pattern and runs per document otherwise."""
     regex_parts: List[str] = []
     has_time = False
-    for kind, val in tokens:
+    for kind, val in _tokenize(pattern):
         if kind == "lit":
             regex_parts.append(re.escape(val))
         else:
             if val[0] in _TIME_LETTERS:
                 has_time = True
             regex_parts.append(_field_to_regex(val))
-    rx = re.compile("".join(regex_parts) + r"\s*$")
+    return re.compile("".join(regex_parts) + r"\s*$"), has_time
+
+
+def parse_java_pattern(value: str, pattern: str):
+    """Parse `value` with a Java date pattern.
+
+    Returns (datetime_fields_dict, has_time, offset_or_zone) where
+    offset_or_zone is a tzinfo or None.
+    """
+    rx, has_time = _compile_java_pattern(pattern)
     m = rx.match(value.strip())
     if m is None:
         raise ValueError(

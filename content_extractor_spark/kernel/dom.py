@@ -112,7 +112,9 @@ class Element(Node):
         """Hot-path append for trees under construction (parser, clone):
         no selector index can exist yet, so no invalidation walk."""
         node.parent = self
-        if isinstance(node, Element) and self.preserve and not node.preserve:
+        # self.preserve first: False for almost every element, so the
+        # isinstance check is skipped on the hot path
+        if self.preserve and isinstance(node, Element) and not node.preserve:
             node.preserve = True  # inherit (jsoup checks ancestors)
         self.children.append(node)
 
@@ -334,7 +336,15 @@ def _append_normalised(accum: List[str], text: str, preserve: bool) -> None:
         return
     if "\u200b" in text or "\xad" in text:
         text = text.translate(_INVIS_TABLE)
-    s = _WS_RUN_RE.sub(" ", text)
+    # fast path: most text nodes carry only single ASCII spaces — four
+    # C-level scans beat the regex sub for them
+    if (
+        "\n" not in text and "\t" not in text
+        and "  " not in text and "\r" not in text and "\f" not in text
+    ):
+        s = text
+    else:
+        s = _WS_RUN_RE.sub(" ", text)
     if not s:
         return
     if s[0] == " " and (not accum or accum[-1][-1:] == " "):
@@ -377,7 +387,7 @@ class _TreeBuilder(HTMLParser):
             and tag in HEAD_TAGS
         ):
             return self.head
-        return self.cur
+        return self.stack[-1]
 
     def _auto_close(self, tag: str) -> None:
         """Implied end tags per HTML5 tree construction (subset)."""
@@ -457,7 +467,8 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
-        parent = self.cur if self.stack else self.body
+        stack = self.stack
+        parent = stack[-1] if stack else self.body
         # script/style content are data nodes (excluded from text())
         if parent.tag in RAWTEXT_TAGS:
             parent._append_build(DataNode(data))

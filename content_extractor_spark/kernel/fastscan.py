@@ -93,11 +93,16 @@ def scan(html: str, builder) -> None:
         # -- start tag ----------------------------------------------------
         name = m.group(5).lower()
         attrs: list = []
-        seen: set = set()
         i = m.end()
         selfclose = False
-        closed = False
-        while i < n:
+        if i < n and html[i] == ">":
+            # attr-less tag (<p>, <div>, ...): skip the attribute loop
+            closed = True
+            i += 1
+        else:
+            closed = False
+            seen: set = set()
+        while not closed and i < n:
             am = _ATTR_ITEM.match(html, i)
             if am is None or am.end() == i:
                 i += 1

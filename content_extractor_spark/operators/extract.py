@@ -369,6 +369,12 @@ def derive_spans_col():
     )
 
 
+#: input columns the Arrow stage actually reads — everything else is
+#: pruned before mapInArrow (guide §4.1: Spark cannot see inside the
+#: function, so an unpruned opaque stage ships, and reads, every column)
+_INPUT_COLS = ("doc_id", "spans", "host", "url", "url_id", "etag")
+
+
 def extract_entries(
     docs: DataFrame,
     profiles: Dict[str, ProfileConfig],
@@ -377,6 +383,7 @@ def extract_entries(
     target_pattern: str = "yyyy-MM-dd'T'HH:mm:ssXXX",
     target_zone: str = "UTC",
     og_fallback: bool = False,
+    derive_spans: bool = True,
 ) -> DataFrame:
     """documents -> extracted entries via a broadcast + mapInArrow stage.
 
@@ -402,6 +409,10 @@ def extract_entries(
     norm_profiles = {normalize_host(k): v for k, v in profiles.items()}
     if repartition:
         docs = docs.repartition(repartition)
+    # project to the columns the kernel reads: an opaque mapInArrow
+    # otherwise ships (and reads from storage) every input column
+    pruned = [c for c in _INPUT_COLS if c in docs.columns]
+    docs = docs.select(*pruned)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -416,6 +427,12 @@ def extract_entries(
         [f for f in EXTRACT_SCHEMA.fields if f.name != "spans"]
     )
     out = docs.mapInArrow(run, schema=narrow)
+    if not derive_spans:
+        # caller defers span assembly until after its own exchanges so
+        # the shuffles never carry the assembled duplicate of
+        # title/summary/content/tags (guide §2.3: project before the
+        # exchange; §8: move heavy bytes once) — see pipeline.run_extraction
+        return out
     # span sequence assembled JVM-side (the Python stage already carries
     # every field; shipping the assembled sequence too would double the
     # Arrow traffic for the largest column)

@@ -102,9 +102,16 @@ def run_extraction(
         docs = docs.join(F.broadcast(done), "bucket", "left_anti")
 
     # Extraction is map-only over scan splits: no shuffle of raw HTML.
+    # derive_spans=False: the spans array is a full duplicate of
+    # title/summary/content/tags, and the pipeline has two exchanges
+    # ahead (dedup window on content_hash, bucket repartition for the
+    # partitioned write) — assembling it only AFTER the last exchange
+    # roughly halves the bytes both shuffles carry (guide §2.3/§8);
+    # the assembly itself is a pure codegen projection either way.
     extracted = extract_entries(
         docs, profiles,
         target_pattern=cfg.target_date_pattern, target_zone=cfg.target_zone,
+        derive_spans=False,
     )
     # re-derive the bucket on the compact output, shuffle THAT (not the
     # input) for the partitioned write; the dedup window adds its own
@@ -128,15 +135,27 @@ def run_extraction(
         except Exception:
             pass  # ledger existed but no spans written yet
     deduped = mark_duplicates(extracted, dedup_baseline)
-    # n_spans is materialized at write time so the metrics pass never
-    # re-reads the heavy spans array column (column pruning makes the
-    # read-back scan footers + small ints only)
-    deduped = deduped.withColumn(
-        "n_spans", F.size(F.coalesce(F.col("spans"), F.array())).cast("int")
+    # span assembly AFTER the last exchange: the repartition below is
+    # the final shuffle, so the heavy derived column never crosses the
+    # network. n_spans is materialized at write time so the metrics
+    # pass never re-reads the heavy spans array column (column pruning
+    # makes the read-back scan footers + small ints only).
+    from .operators.extract import EXTRACT_SCHEMA, derive_spans_col
+
+    deduped = (
+        deduped.repartition(cfg.num_buckets, "bucket")
+        .withColumn("spans", derive_spans_col())
+        .withColumn(
+            "n_spans", F.size(F.coalesce(F.col("spans"), F.array())).cast("int")
+        )
+        # written column order identical to the pre-r7 layout
+        .select(
+            *[f.name for f in EXTRACT_SCHEMA.fields],
+            "bucket", "disabled", "n_spans",
+        )
     )
     (
-        deduped.repartition(cfg.num_buckets, "bucket")
-        .write.mode("overwrite")
+        deduped.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(spans_path)
