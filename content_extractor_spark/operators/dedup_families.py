@@ -53,12 +53,23 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the first row (min id) per identical text."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    """Keep the first row (min id) per identical text.
+
+    r7 de-skew: formerly a row_number window over md5(text), which
+    ships EVERY raw row of a digest to one task (no map-side partial
+    aggregation; AQE cannot split a window partition — guide §2.5). A
+    boilerplate text occurring 10^8 times put 10^8 rows on one
+    straggler. Now a min_by aggregate: partial aggregation reduces a
+    hot digest to one candidate row per map partition before the
+    shuffle, so the reducer sees at most #map_tasks rows per digest.
+    Same one-row-per-digest result (ties on id were
+    window-nondeterministic before and min_by-nondeterministic now).
+    """
+    cols = df.columns
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+        .select("_row.*")
     )
 
 
@@ -108,10 +119,23 @@ def repeated_window_spans(
             F.concat_ws(" ", F.slice(F.col("_toks"), F.col("start"), window))
         ).alias("digest"),
     )
-    w = Window.partitionBy("digest")
-    return (
-        spans.withColumn("occurrences", F.count("*").over(w))
+    # r7 de-skew (guide §2.5): the old F.count(*).over(partitionBy
+    # digest) window shipped every raw span of a digest to ONE task —
+    # no map-side partial aggregation, and AQE cannot split a window
+    # partition, so one boilerplate 50-token span occurring 10^8 times
+    # (cookie banner, license header) became a single straggler task.
+    # groupBy+count partial-aggregates map-side (a hot digest reduces
+    # to ~1 row per input partition) and the join-back is an equi-join
+    # AQE skew-join can split. The explode+digest projection is
+    # evaluated on both branches — map-side CPU, embarrassingly
+    # parallel, the right trade against a straggler at 100x.
+    counts = (
+        spans.groupBy("digest")
+        .agg(F.count("*").alias("occurrences"))
         .where(F.col("occurrences") >= min_count)
+    )
+    return spans.join(counts, "digest").select(
+        id_col, "start", "digest", "occurrences"
     )
 
 

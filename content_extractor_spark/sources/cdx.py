@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # CDXJ JSON envelope: every field is a STRING in the spec (numbers
@@ -91,13 +91,22 @@ def cdx_select(
         & F.coalesce(mime_ok, F.lit(True))
     )
     if dedup_digest:
-        w = Window.partitionBy("digest").orderBy(
-            F.col("ts").asc(), F.col("urlkey").asc()
-        )
+        # r7 de-skew (guide §2.5): was a row_number window over digest
+        # — every capture of a hot digest (a boilerplate page crawled
+        # from millions of urls) landed on one task with no map-side
+        # reduction. min_by partial-aggregates: each map partition
+        # forwards ONE earliest-(ts, urlkey) candidate per digest, so
+        # the shuffle carries at most #map_tasks rows per digest. Same
+        # earliest-capture-wins result.
+        cols = out.columns
         out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+            out.groupBy("digest")
+            .agg(
+                F.min_by(
+                    F.struct(*cols), F.struct(F.col("ts"), F.col("urlkey"))
+                ).alias("_row")
+            )
+            .select("_row.*")
         )
     return out
 

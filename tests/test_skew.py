@@ -1,6 +1,8 @@
 """Skew-handling operators: salted aggregation/join equal their naive
 counterparts while spreading hot keys."""
 
+import re
+
 from pyspark.sql import functions as F
 
 from content_extractor_spark.operators.skew import hot_keys, salted_agg, salted_join
@@ -88,3 +90,68 @@ def test_connected_components_deep_chain(spark):
     comps = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert set(comps.values()) == {0}
     assert len(comps) == 13
+
+
+def test_digest_dedup_shapes_absorb_hot_keys(spark):
+    """r7 de-skew guard (guide §2.5): the digest-keyed dedup shapes
+    must be partial-aggregating (groupBy/min_by), never a window — a
+    window over a hot digest ships every raw row to one task and AQE
+    cannot split it. One digest carrying ~20k occurrences must come
+    back value-correct, and the plan must carry a HashAggregate with
+    NO Window node."""
+    from content_extractor_spark.operators.dedup_families import (
+        dedup_exact,
+        repeated_window_spans,
+    )
+    from content_extractor_spark.plans import plan_report
+
+    # 20k docs sharing one 12-token text (one hot digest), plus 50
+    # distinct singleton docs
+    hot_text = " ".join(f"w{i}" for i in range(12))
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.lit(hot_text).alias("text")
+    ).unionByName(
+        spark.range(50).select(
+            (F.col("id") + 100000).alias("doc_id"),
+            F.concat(F.lit("unique "), F.col("id").cast("string")).alias("text"),
+        )
+    )
+
+    flagged = repeated_window_spans(docs, window=12, stride=6)
+    rep = plan_report(flagged)
+    assert "Window" not in rep["text"], rep["text"][:2000]
+    assert "HashAggregate" in rep["text"]
+    rows = flagged.collect()
+    assert len(rows) == 20000  # singletons (<12 tokens anyway) drop out
+    assert all(r["occurrences"] == 20000 for r in rows)
+
+    kept = dedup_exact(docs)
+    rep2 = plan_report(kept)
+    assert "Window" not in rep2["text"], rep2["text"][:2000]
+    assert re.search(r"(Hash|Sort)Aggregate", rep2["text"])
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [0] + list(range(100000, 100050))  # min id wins per digest
+
+
+def test_cdx_digest_dedup_is_aggregate_not_window(spark):
+    """Same guard for the crawl-index capture selection: earliest
+    (ts, urlkey) capture per digest via min_by partial aggregation."""
+    from content_extractor_spark.sources.cdx import cdx_select
+    from content_extractor_spark.plans import plan_report
+
+    captures = spark.createDataFrame(
+        [
+            ("k/a", "20240101000000", "sha1:X", "text/html", 200, "f1", 0, 10, None),
+            ("k/b", "20230101000000", "sha1:X", "text/html", 200, "f1", 10, 10, None),
+            ("k/c", "20230101000000", "sha1:X", "text/html", 200, "f2", 0, 10, None),
+            ("k/d", "20250101000000", "sha1:Y", "text/html", 200, "f2", 10, 10, None),
+        ],
+        "urlkey string, ts string, digest string, mime string, "
+        "status int, filename string, offset long, length long, error string",
+    )
+    sel = cdx_select(captures)
+    rep = plan_report(sel)
+    assert "Window" not in rep["text"], rep["text"][:2000]
+    got = {r["digest"]: r["urlkey"] for r in sel.collect()}
+    # sha1:X ties on ts between k/b and k/c -> urlkey ascending wins
+    assert got == {"sha1:X": "k/b", "sha1:Y": "k/d"}
