@@ -542,11 +542,18 @@ def q_paragraph_dedup(spark, sf_dir):
     # repeated_window_spans flags 12-token sliding windows (stride 6)
     # occurring >= 2 times across a doubled corpus, aggregated to the
     # same (digest, keep_doc, keep_idx, occurrences) shape
+    from content_extractor_spark.operators.textstats import let_bound
+
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    paras = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 12).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * 12 + 1, 12)),
+    # let_bound: tokenize once per row (a free-variable toks inside the
+    # transform lambda re-splits the text once per paragraph)
+    paras = let_bound(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(t) - 1) / 12).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(t, i * 12 + 1, 12)),
+        ),
     )
     exploded = docs.select(
         "doc_id", F.posexplode(paras).alias("idx", "para")

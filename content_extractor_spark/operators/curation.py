@@ -145,9 +145,15 @@ def pii_scrub(
 
 
 def _shingle_col(text: Column, n: int) -> Column:
+    """Word n-grams for shingle joins — deliberately NOT array_distinct:
+    per-doc duplicate shingles cannot change decontaminate's output (the
+    benchmark side is .distinct()ed after explode; doc-side hits are
+    .distinct()ed on the id), and array_distinct on a string array is
+    the measured hot spot (sf1.0 bench side: 3.5s with it, 0.6s
+    without — it is O(n²) with per-element UTF8String comparisons)."""
     from .textstats import _word_ngrams
 
-    return F.array_distinct(_word_ngrams(text, n))
+    return _word_ngrams(text, n)
 
 
 def decontaminate(
@@ -402,28 +408,36 @@ def chunk_documents(
     newlines never create phantom tokens); NULL or whitespace-only
     documents produce NO chunks.
     """
+    from .textstats import let_bound
+
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
         lambda x: x != "",
     )
-    n = F.size(toks)
-    nchunks = F.ceil(n / F.lit(target_tokens)).cast("int")
-    chunks = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), nchunks - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("chunk_idx"),
-                F.array_join(
-                    F.slice(toks, i * target_tokens + 1, target_tokens), " "
-                ).alias("chunk_text"),
-                F.least(n - i * target_tokens, F.lit(target_tokens))
-                .cast("int").alias("n_tokens"),
+
+    def gen(t):
+        # let_bound: free-variable toks in the lambda would re-split
+        # and re-filter the text once per chunk
+        n = F.size(t)
+        nchunks = F.ceil(n / F.lit(target_tokens)).cast("int")
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    F.array_join(
+                        F.slice(t, i * target_tokens + 1, target_tokens), " "
+                    ).alias("chunk_text"),
+                    F.least(n - i * target_tokens, F.lit(target_tokens))
+                    .cast("int").alias("n_tokens"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast(
-        "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
-    ))
+        ).otherwise(F.array().cast(
+            "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
+        ))
+
+    chunks = let_bound(toks, gen)
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
     )

@@ -144,16 +144,26 @@ def repeated_window_spans(
 
 def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     """Distinct k-word shingles of lower(text), array<string>."""
+    from .textstats import let_bound
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    shingles = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
-    # guard: sequence(1, x<1) would generate a DESCENDING range in Spark
-    return F.when(n >= k, shingles).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def gen(t):
+        n = F.size(t)
+        shingles = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            )
+        )
+        # guard: sequence(1, x<1) would generate a DESCENDING range
+        return F.when(n >= k, shingles).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # let_bound: tokenize once per row — a free-variable `toks` inside
+    # the transform lambda would re-split the text per position
+    return let_bound(toks, gen)
 
 
 # -- MinHash + LSH ---------------------------------------------------------------
@@ -179,15 +189,23 @@ def minhash_signature(text_col: str = "text", num_perm: int = 16,
         raise ValueError(
             "num_perm <= 64: (2j+1)*hash must stay within int64"
         )
+    from .textstats import let_bound
+
     base = F.transform(word_shingles(text_col, k), lambda s: portable_hash(s))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                base,
-                lambda h: ((F.lit(2) * j + 1) * h + j * F.lit(MINHASH_ADD))
-                % F.lit(MINHASH_PRIME),
-            )
+    # let_bound: a free-variable `base` inside the permutation lambda
+    # would recompute the md5 of every shingle once per permutation
+    # (num_perm x the digest work per row)
+    return let_bound(
+        base,
+        lambda b: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda j: F.array_min(
+                F.transform(
+                    b,
+                    lambda h: ((F.lit(2) * j + 1) * h + j * F.lit(MINHASH_ADD))
+                    % F.lit(MINHASH_PRIME),
+                )
+            ),
         ),
     )
 
@@ -313,25 +331,37 @@ def simhash(text_col: str = "text", bits: int = 16) -> Column:
     """
     if bits > 64:
         raise ValueError("simhash signatures are int64: bits <= 64")
+    from .textstats import let_bound
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok_hashes = F.transform(toks, lambda t: portable_hash(t))
-    acc = None
-    for b in range(bits):
-        vote = F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda s, h: s
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        # bit 63 contributes int64-min (two's complement): lit(2**63)
-        # overflows BIGINT and made the DOCUMENTED production setting
-        # bits=64 throw NumberFormatException; the banding/XOR/bit_count
-        # machinery is bit-identical on the signed value
-        bit_val = -(2 ** 63) if b == 63 else 2 ** b
-        bit = F.when(vote > 0, F.lit(bit_val)).otherwise(F.lit(0))
-        acc = bit if acc is None else acc + bit
+
+    def sig(th):
+        # let_bound: a free-variable tok_hashes inside the aggregate
+        # lambdas would re-split and re-hash every token once per bit
+        acc = None
+        for b in range(bits):
+            vote = F.aggregate(
+                th,
+                F.lit(0),
+                lambda s, h: s
+                + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            # bit 63 contributes int64-min (two's complement): lit(2**63)
+            # overflows BIGINT and made the DOCUMENTED production setting
+            # bits=64 throw NumberFormatException; the banding/XOR/bit_count
+            # machinery is bit-identical on the signed value
+            bit_val = -(2 ** 63) if b == 63 else 2 ** b
+            bit = F.when(vote > 0, F.lit(bit_val)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        return acc
+
     return (
-        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(acc)
+        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+            let_bound(tok_hashes, sig)
+        )
     ).cast("bigint")
 
 

@@ -565,14 +565,23 @@ def domain_blocklist_filter(
     OOM on the real lists). No per-row iteration over the list, no
     regex, no cartesian.
     """
+    from .textstats import let_bound
+
     parts = F.split(F.col(host_col), r"\.")
-    n = F.size(parts)
-    sufs = F.transform(
-        F.sequence(F.lit(0), n - F.lit(2)),
-        lambda i: F.array_join(F.slice(parts, i + F.lit(1), n - i), "."),
+    # let_bound: free-variable parts in the lambda would re-split the
+    # host once per suffix
+    sufs = let_bound(
+        parts,
+        lambda p: F.when(
+            F.size(p) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(p) - F.lit(2)),
+                lambda i: F.array_join(
+                    F.slice(p, i + F.lit(1), F.size(p) - i), "."
+                ),
+            ),
+        ).otherwise(F.array(F.col(host_col))),
     )
-    # single-label hosts have no >=2-label suffix; match them exactly
-    sufs = F.when(n >= 2, sufs).otherwise(F.array(F.col(host_col)))
     hits = (
         urls.select(F.col(url_col), F.explode(sufs).alias("_suf"))
         .join(

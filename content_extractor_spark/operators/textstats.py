@@ -167,6 +167,20 @@ TOKEN_SPLIT_RE = r"\s+"
 BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
 
 
+def let_bound(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and build ``fn(bound)`` over it.
+
+    Higher-order-function lambdas re-evaluate free-variable
+    subexpressions on EVERY element invocation: ``transform(sequence(1,
+    size(toks)-n+1), i -> slice(toks, i, n))`` recomputes the whole
+    ``split(lower(trim(text)))`` once per position (measured 6x on the
+    sf1.0 shingle explode). Wrapping the expression as the single
+    element of an array and binding it through an outer ``transform``
+    makes it a lambda variable — evaluated once, referenced cheaply.
+    """
+    return F.transform(F.array(col), fn)[0]
+
+
 def _distinct_tokens(text: Column) -> Column:
     """Lowercased whitespace tokens, de-duplicated.
 
@@ -461,14 +475,18 @@ def linear_quality_score(
 def _word_ngrams(text: Column, n: int) -> Column:
     """Full word n-grams (lowercased, whitespace tokens); [] if < n words."""
     toks = F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)
-    cnt = F.size(toks) - (n - 1)
-    return F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def gen(t):
+        cnt = F.size(t) - (n - 1)
+        return F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(toks, gen)
 
 
 def repetition_features(
@@ -737,14 +755,16 @@ def bigram_logprob(
     per-doc combine shuffles on id. Raw token streams never ship.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
-    cnt = F.size(toks) - 1
-    bigrams = F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = let_bound(
+        toks,
+        lambda t: F.when(
+            F.size(t) - 1 >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     base = (
         df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
         .groupBy("id", "bg")
