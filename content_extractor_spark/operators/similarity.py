@@ -82,10 +82,17 @@ def cosine_topk(
                 "is a cross join — use lsh_topk, pre-filter a candidate "
                 "set, or pass allow_full_scan=True deliberately"
             )
-    joined = queries.crossJoin(corpus)
+    # r7: hoist the cast and the norm to per-SIDE projections — inline
+    # they were recomputed per PAIR (Q x N times instead of Q + N).
+    # Bit-identical: the same aggregate runs on the same values, only
+    # earlier; the division still happens per pair.
+    q2 = queries.withColumn("_qv", F.col(query_vec).cast("array<double>"))
+    q2 = q2.withColumn("_qn", norm(F.col("_qv")))
+    c2 = corpus.withColumn("_cv", F.col(corpus_vec).cast("array<double>"))
+    c2 = c2.withColumn("_cn", norm(F.col("_cv")))
+    joined = q2.crossJoin(c2)
     cos = F.round(
-        cosine(F.col(query_vec).cast("array<double>"),
-               F.col(corpus_vec).cast("array<double>")),
+        dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
         round_to,
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -177,10 +184,15 @@ def lsh_topk(
         )
         qb = qb.withColumn("bucket", F.explode(probe_arr))
     cb = corpus.withColumn("bucket", lsh_bucket(corpus_vec, nbits, dim))
+    # r7: cast + norm hoisted to per-side projections (were recomputed
+    # per candidate pair); bit-identical, see cosine_topk
+    qb = qb.withColumn("_qv", F.col(query_vec).cast("array<double>"))
+    qb = qb.withColumn("_qn", norm(F.col("_qv")))
+    cb = cb.withColumn("_cv", F.col(corpus_vec).cast("array<double>"))
+    cb = cb.withColumn("_cn", norm(F.col("_cv")))
     joined = qb.join(cb, "bucket")
     cos = F.round(
-        cosine(F.col(query_vec).cast("array<double>"),
-               F.col(corpus_vec).cast("array<double>")),
+        dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
         round_to,
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -221,14 +233,20 @@ def embedding_near_duplicates(
             .where(F.col("_rn") <= max_bucket)
             .drop("_rn")
         )
+    # r7: cast + norm once per ROW before the self-join (were
+    # recomputed per candidate pair); bit-identical, see cosine_topk
+    b = b.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    b = b.withColumn("_n", norm(F.col("_v")))
     a = b.select(
-        F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+        F.col("bucket"), F.col(id_col).alias("a"),
+        F.col("_v").alias("va"), F.col("_n").alias("na"),
     )
     c = b.select(
-        F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+        F.col("bucket"), F.col(id_col).alias("b"),
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"),
     )
     cos = F.round(
-        cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         round_to,
     )
     return (
