@@ -156,7 +156,9 @@ def extract_content(
         for ex in exclude_selectors:
             stripped = prefix_re.sub("", ex)
             try:
-                for el in select(sub, stripped):
+                # index=False: each removal invalidates the subtree
+                # index, so building one per exclude round is pure waste
+                for el in select(sub, stripped, index=False):
                     el.remove()
             except SelectorParseError:
                 continue

@@ -559,10 +559,16 @@ def _candidates(root: Element, chains: List[_Chain]):
     return by_tag.get(last.tag, ())
 
 
-def select(root: Element, query: str) -> List[Element]:
-    """All elements under (and including) root matching query, doc order."""
+def select(root: Element, query: str, index: bool = True) -> List[Element]:
+    """All elements under (and including) root matching query, doc order.
+
+    ``index=False`` skips the candidate index and walks the subtree —
+    cheaper for one-shot queries on small/short-lived roots (e.g. the
+    cloned content subtree between exclude-selector removals, where
+    every removal invalidates the index anyway; measured ~3 wasted
+    ~20-element index builds per document)."""
     chains = _parse(query)
-    cands = _candidates(root, chains)
+    cands = _candidates(root, chains) if index else None
     if cands is None:
         cands = root.iter_elements()
     out: List[Element] = []
