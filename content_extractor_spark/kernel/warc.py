@@ -280,9 +280,13 @@ def build_warc_indexed(
 ):
     """Synthesize a per-record-gzip ``.warc.gz`` TOGETHER with its
     CDXJ index lines — ``(warc_bytes, cdx_lines)``. Each page becomes
-    one gzip member whose (offset, length) the index records, exactly
-    the Common Crawl pairing that lets a reader fetch single records
-    by byte range. Digest is the response-payload sha1 (hex form).
+    one gzip member whose (offset, length) the index records — the
+    same offset/length pairing principle Common Crawl indexes use to
+    let a reader fetch single records by byte range. NOTE the fixture
+    dialect differences from real CC indexes (self-consistent here,
+    not interoperable there): digest is ``sha1:<hex>`` rather than
+    Base32 SHA-1, and ``surt_key`` keeps ``www`` and drops the query
+    string rather than stripping www / sorting query params.
     """
     import hashlib
     import json as _json

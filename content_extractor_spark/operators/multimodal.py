@@ -1244,22 +1244,62 @@ def extract_video_features(
 # -- MJPEG: the codec-free real-decode lane ---------------------------------
 
 
+def _jpeg_frame_end(data: bytes, pos: int, n: int) -> int:
+    """Index just past the EOI of the JPEG starting at ``pos`` (SOI),
+    or -1. Walks marker segments by their length fields — a raw FFD9
+    inside a metadata segment payload (e.g. an EXIF APP1 thumbnail,
+    itself a nested JPEG with its own EOI) is legal and must NOT end
+    the frame; only inside entropy-coded data is 0xFF always stuffed
+    (0xFF00) or a marker."""
+    i = pos + 2
+    while i + 2 <= n:
+        if data[i] != 0xFF:
+            return -1  # corrupt marker stream
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI
+            return i + 2
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01 or marker == 0xD8:
+            i += 2  # standalone markers carry no length
+            continue
+        if i + 4 > n:
+            return -1
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        if seglen < 2:
+            return -1
+        i += 2 + seglen
+        if marker == 0xDA:  # SOS: entropy data follows the header
+            while i + 1 < n:
+                if data[i] != 0xFF:
+                    i += 1
+                    continue
+                b2 = data[i + 1]
+                if b2 == 0x00 or 0xD0 <= b2 <= 0xD7:
+                    i += 2  # stuffed FF / restart marker
+                    continue
+                break  # real marker (EOI, DNL, next SOS, ...)
+    return -1
+
+
 def split_mjpeg_frames(data: bytes):
     """Split a motion-JPEG stream (concatenated SOI..EOI baseline
     JPEGs — the .mjpeg / multipart-camera convention) into its frame
-    payloads, or None if the payload is not an MJPEG stream. Inside
-    entropy-coded data 0xFF is always stuffed (0xFF00) or a marker, so
-    a raw FFD9 is a real end-of-image. Trailing bytes after the last
-    complete frame are ignored (truncated tail frame)."""
+    payloads, or None if the payload is not an MJPEG stream. Frame
+    ends are found by walking marker segments up to SOS and scanning
+    only entropy-coded data for the EOI (a raw FFD9 may legally appear
+    inside metadata payloads such as EXIF thumbnails). Trailing bytes
+    after the last complete frame are ignored (truncated tail frame)."""
     if not data.startswith(b"\xff\xd8"):
         return None
     frames, pos, n = [], 0, len(data)
     while pos < n and data[pos : pos + 2] == b"\xff\xd8":
-        end = data.find(b"\xff\xd9", pos + 2)
+        end = _jpeg_frame_end(data, pos, n)
         if end < 0:
             break
-        frames.append(data[pos : end + 2])
-        pos = end + 2
+        frames.append(data[pos:end])
+        pos = end
     return frames or None
 
 

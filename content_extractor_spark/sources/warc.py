@@ -471,7 +471,19 @@ def migrate_flat_store(spark, data_path: str) -> int:
     fs.mkdirs(legacy)
     moved = 0
     for p in stray:
-        fs.rename(p, jvm.org.apache.hadoop.fs.Path(legacy, p.getName()))
+        dest = jvm.org.apache.hadoop.fs.Path(legacy, p.getName())
+        # Hadoop rename returns False (no exception) when the target
+        # already exists — e.g. a retried migration or two flat
+        # generations. Retry under a unique suffix so the mixed layout
+        # this function exists to fix is never silently left behind.
+        if not fs.rename(p, dest):
+            alt = jvm.org.apache.hadoop.fs.Path(
+                legacy, f"{p.getName()}.migrated-{moved}"
+            )
+            if not fs.rename(p, alt):
+                raise IOError(
+                    f"migrate_flat_store: could not move {p} into {legacy}"
+                )
         moved += 1
     return moved
 

@@ -31,13 +31,28 @@ def _dedup_fn(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (content_hash,) = key
+    if state.hasTimedOut:
+        # TTL expiry delivers an EMPTY iterator: drop the state, emit
+        # nothing (a re-seen hash later counts as new — documented TTL
+        # semantics)
+        state.remove()
+        yield pd.DataFrame(
+            {"content_hash": [], "doc_id": [], "title": [], "dup_rank": []}
+        )
+        return
     seen = state.get[0] if state.exists else 0
     out = {"content_hash": [], "doc_id": [], "title": [], "dup_rank": []}
     # applyInPandasWithState delivers large groups as MULTIPLE Arrow
     # chunks; concatenate before sorting so "first" means min doc_id
     # over the whole batch, not per chunk. A group is one content hash
-    # — its batch rows are few, so materializing them is safe.
-    pdf = pd.concat(list(pdfs), ignore_index=True)
+    # — its batch rows are few, so materializing them is safe. Guard
+    # the empty iterator (timed-out/empty groups): pd.concat([]) raises.
+    chunks = list(pdfs)
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if chunks
+        else pd.DataFrame({"content_hash": [], "doc_id": [], "title": []})
+    )
     if len(pdf):
         pdf = pdf.sort_values("doc_id")
     for _, row in pdf.iterrows():
@@ -64,12 +79,23 @@ def streaming_dedup(
         if state_ttl
         else GroupStateTimeout.NoTimeout
     )
+    fn = _dedup_fn
+    if state_ttl:
+        # r7 (advice): ProcessingTimeTimeout was configured but no
+        # duration was ever registered, so TTL expiry never fired (and
+        # the expiry path would have crashed on the empty iterator —
+        # both fixed in _dedup_fn)
+        def fn(key, pdfs, state):  # noqa: F811 - deliberate TTL wrapper
+            yield from _dedup_fn(key, pdfs, state)
+            if state.exists:
+                state.setTimeoutDuration(state_ttl)
+
     return (
         extracted.where("content_hash IS NOT NULL")
         .select("content_hash", "doc_id", "title")
         .groupBy("content_hash")
         .applyInPandasWithState(
-            _dedup_fn,
+            fn,
             outputStructType=DEDUP_OUTPUT_DDL,
             stateStructType=_STATE_DDL,
             outputMode="append",
@@ -92,16 +118,26 @@ def _frontier_fn(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (host,) = key
+    out = {"host": [], "url": [], "slot": [], "sched_offset_ms": []}
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(out)
+        return
     if state.exists:
         next_slot, delay = state.get
     else:
         next_slot, delay = 0, None
-    out = {"host": [], "url": [], "slot": [], "sched_offset_ms": []}
     # Large groups arrive as MULTIPLE Arrow chunks — sorting each chunk
     # independently would make slot order per-chunk, not url-ordered,
     # exactly when a host's batch is big. Frontier rows are tiny
     # (host, url, delay), so concatenating one host's batch is safe.
-    pdf = pd.concat(list(pdfs), ignore_index=True)
+    # Guard the empty iterator (timed-out/empty groups): concat([]) raises.
+    chunks = list(pdfs)
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if chunks
+        else pd.DataFrame({"host": [], "url": [], "delay_ms": []})
+    )
     if len(pdf):
         pdf = pdf.sort_values("url")  # deterministic intra-batch order
     for _, row in pdf.iterrows():

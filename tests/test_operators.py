@@ -3029,3 +3029,33 @@ class TestPqRecall:
             got_ids = {r["vec_id"] for r in top}
             exact = {i for i, _ in rows if i % 3 == qi}
             assert got_ids == exact, (qi, sorted(got_ids))
+
+
+class TestMjpegMarkerWalk:
+    def test_split_survives_exif_thumbnail_eoi(self):
+        """r7 (advice): FFD9 may legally appear inside an APP1 (EXIF)
+        segment payload — e.g. an embedded thumbnail, itself a JPEG
+        with its own EOI. The splitter must walk marker segments by
+        length and only treat entropy-data FFD9 as end-of-frame."""
+        from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
+        from content_extractor_spark.operators.multimodal import (
+            split_mjpeg_frames,
+        )
+
+        plain = encode_jpeg_solid(2, 2, (128, 128, 128))
+        assert plain.startswith(b"\xff\xd8")
+        # inject an APP1 segment right after SOI whose payload embeds a
+        # complete nested JPEG (thumbnail) including FFD9
+        thumb = encode_jpeg_solid(1, 1, (10, 10, 10))
+        payload = b"Exif\x00\x00" + thumb
+        app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+        with_exif = plain[:2] + app1 + plain[2:]
+        stream = with_exif + plain
+        frames = split_mjpeg_frames(stream)
+        assert frames is not None and len(frames) == 2, (
+            frames and [len(f) for f in frames]
+        )
+        assert frames[0] == with_exif
+        assert frames[1] == plain
+        # plain two-frame stream still splits identically
+        assert split_mjpeg_frames(plain + plain) == [plain, plain]
