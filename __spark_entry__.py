@@ -122,7 +122,17 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _docs_as_span_corpus(spark, sf_dir)
     profiles = {"www.docs.example": profile_from_dict(_FLAGSHIP_PROFILE)}
-    out = extract_entries(corpus, profiles)
+    # r7 (guide §2.5/§6): the sf documents table is ONE parquet file,
+    # so the scan is a single split and the map-only Python stage ran
+    # on one core with the other 31 idle (measured 12.2s -> 1.5s at
+    # sf1.0). Scale-adaptive round-robin: defaultParallelism tracks the
+    # session's cores on any cluster size; a well-partitioned input at
+    # 100 TB already exceeds it, where this repartition is the cheap
+    # no-op of an extra rebalance of compact rows, never the payload.
+    out = extract_entries(
+        corpus, profiles,
+        repartition=spark.sparkContext.defaultParallelism,
+    )
     # every projected column is value-checked against the DuckDB oracle
     # (the corpus HTML is synthesized in SQL above, so title/summary/
     # content/date/tags/n_spans are all SQL-reconstructible);
@@ -149,6 +159,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _phash(col):
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+
+
+def _spread(spark, df):
+    """Scale-adaptive round-robin for single-split sf tables (guide
+    §2.5/§6): the testdata parquet files are one row group each, so
+    per-row map work before the first exchange otherwise runs on ONE
+    core. Conditional: an input already at least as wide as
+    defaultParallelism (a real partitioned corpus) is returned
+    untouched — never narrowed, never needlessly shuffled."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 _PH = "(('0x'||substr(md5({x}),1,14))::BIGINT)"
@@ -950,8 +973,15 @@ def q_language_id(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("text")
     probes = spark.createDataFrame([(t,) for t in _LANG_PROBES], "text string")
+    # _spread (guide §2.5/§6): the sf documents table is one
+    # single-row-group parquet file, so the whole per-row language
+    # ladder ran on ONE core before the aggregate exchange; the widening
+    # shuffle moves only (text) — trivial next to it. Spread the DOCS
+    # side before the union: the probes df already carries empty
+    # parallelism-many partitions that would fool a post-union check.
+    corpus = _spread(spark, docs).unionByName(probes)
     return (
-        with_detected_language(docs.unionByName(probes))
+        with_detected_language(corpus)
         .select("lang_detected")
         .groupBy("lang_detected")
         .agg(F.count("*").alias("n"))
@@ -1016,7 +1046,10 @@ def q_top_terms(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    counts = top_terms(docs, group_col="lang", k=5).select(
+    # _spread only the full-corpus arm: its tokenize+explode+partial-agg
+    # otherwise runs on the single parquet split (the 300-doc tfidf arm
+    # is too small to pay a shuffle for)
+    counts = top_terms(_spread(spark, docs), group_col="lang", k=5).select(
         F.lit("count").alias("metric"),
         "lang",
         F.col("token").alias("term"),
@@ -1630,7 +1663,11 @@ def q_decontaminate(spark, sf_dir):
     from content_extractor_spark.operators.curation import decontaminate
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    bench = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    # _spread: the benchmark-side shingle explode scans the whole
+    # corpus from the single parquet split otherwise
+    bench = _spread(
+        spark, _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    )
     return decontaminate(docs, bench, n=8)
 
 
@@ -1666,7 +1703,9 @@ def q_cosine_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    corpus = emb.where(F.col("vec_id") >= 5)
+    # _spread: the per-pair dot products stream the corpus side of the
+    # broadcast nested-loop join — single parquet split = one core
+    corpus = _spread(spark, emb.where(F.col("vec_id") >= 5))
     # corpus_rows: the testdata embeddings table is known-bounded, so
     # skip the guard's limit().count() probe job (still bound-checked)
     return cosine_topk(queries, corpus, k=5, round_to=3,

@@ -175,6 +175,17 @@ def flag_documents(docs, cfg, benchmark=None):
             m = json.load(fh)
         ml = (m["weights"], float(m.get("bias", 0.0)))
 
+    # r7 (guide §2.5/§6): a single-file (single-row-group) input — the
+    # sf parquet tables, a small re-read batch — gives the scan ONE
+    # split, serialising every map-side funnel stage (language ladder,
+    # quality features, ngram explode) onto one core. Widen ONLY when
+    # the input is narrower than the session's parallelism; a
+    # well-partitioned 100 TB corpus already exceeds it and must not
+    # be shuffled down.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+
     # stacked-projection language ID: same values as detect_language,
     # one tokenize/window eval per row instead of 22/288 (r7 perf)
     df = with_detected_language(docs)
