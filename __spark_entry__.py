@@ -1541,12 +1541,24 @@ def q_kmeans_assign(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    km = kmeans_assign(emb, dim=64, k=4, iterations=1, round_to=6).select(
+    # r7: BOTH quantizers init from the vectors of the k smallest ids —
+    # collect them once and hand them to each trainer (was two
+    # identical orderBy/limit/collect jobs). Python float() of the
+    # stored float32 is the same widening as Spark's cast to double,
+    # so the training arithmetic is bit-identical.
+    init = [
+        list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(4).select("embedding").collect()
+    ]
+    km = kmeans_assign(
+        emb, dim=64, k=4, iterations=1, round_to=6, init_vectors=init
+    ).select(
         F.lit("kmeans").alias("kind"), "vec_id",
         "cluster", "dist",
     )
     books = pq_train_codebooks(
-        emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iterations=1, round_to=6
+        emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iterations=1, round_to=6,
+        init_vectors=init,
     )
     codes = pq_encode(emb, books, round_to=6)
     packed = None

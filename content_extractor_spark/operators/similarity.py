@@ -272,14 +272,23 @@ def _sq_dist_to(vec: Column, centroid, round_to: int) -> Column:
 
 
 def _kmeans_centroids(base: DataFrame, dim: int, k: int,
-                      iterations: int, round_to: int):
+                      iterations: int, round_to: int,
+                      init_vectors=None):
     """Deterministic Lloyd centroid training over base(id, v):
     init = vectors of the k smallest ids; per iteration one
     groupBy(cluster) AVG pass + a k-row driver collect; empty clusters
     keep their previous centroid. Shared by kmeans_assign (IVF coarse
-    quantizer) and the per-subspace PQ codebook trainer."""
-    init = base.orderBy("id").limit(k).collect()
-    cents = [list(r["v"]) for r in init]
+    quantizer) and the per-subspace PQ codebook trainer.
+
+    ``init_vectors`` (r7): the k-smallest-id vectors, when the caller
+    already collected them — skips this trainer's own init job (a
+    query training several quantizers over one input otherwise pays
+    the identical k-row collect per trainer)."""
+    if init_vectors is not None:
+        cents = [[float(x) for x in v] for v in init_vectors[:k]]
+    else:
+        init = base.orderBy("id").limit(k).collect()
+        cents = [list(r["v"]) for r in init]
     for _ in range(iterations):
         assigned = _kmeans_assign_stage(base, cents, round_to)
         rows = (
@@ -319,6 +328,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    init_vectors=None,
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means over an embedding
     column — the coarse quantizer an IVF index is built from.
@@ -339,7 +349,9 @@ def kmeans_assign(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).cache()
-    cents = _kmeans_centroids(base, dim, k, iterations, round_to)
+    cents = _kmeans_centroids(
+        base, dim, k, iterations, round_to, init_vectors=init_vectors
+    )
     out = _kmeans_assign_stage(base, cents, round_to).select(
         F.col("id").alias(id_col), "cluster", "dist"
     )
@@ -374,6 +386,7 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    init_vectors=None,
 ):
     """Train per-subspace PQ codebooks: split each vector into `m`
     contiguous subvectors of dim/m and run the SAME deterministic
@@ -397,9 +410,13 @@ def pq_train_codebooks(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("full"),
     ).cache()
-    init = base.orderBy("id").limit(k).collect()
+    if init_vectors is not None:
+        full_init = [[float(x) for x in v] for v in init_vectors[:k]]
+    else:
+        init = base.orderBy("id").limit(k).collect()
+        full_init = [list(r["full"]) for r in init]
     books = [
-        [list(r["full"][s * sub:(s + 1) * sub]) for r in init]
+        [v[s * sub:(s + 1) * sub] for v in full_init]
         for s in range(m)
     ]
     slices = F.array(
