@@ -89,7 +89,15 @@ def pagerank_hosts(
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for it in range(iterations):
+        if materialize and it > 0:
+            # r7: each iteration references the previous ranks TWICE
+            # (dangling-mass branch + contribution branch), so the lazy
+            # plan doubles per iteration — planning cost grows 2^t and
+            # the broadcast subqueries re-derive the whole prefix.
+            # Truncating per iteration keeps plans linear; the frame is
+            # host-cardinality tiny by construction.
+            ranks = ranks.localCheckpoint(eager=True)
         with_deg = ranks.join(
             out_deg, ranks["host"] == out_deg["src"], "left"
         ).select("host", "rank", "out")
