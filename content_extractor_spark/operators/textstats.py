@@ -216,6 +216,25 @@ def _trigram_hits(win: Column, grams) -> Column:
     return h
 
 
+def _window_trigrams(win: Column) -> Column:
+    """All 3-char substrings of the (pre-lowered) ID window.
+
+    r7: scoring via one enumerated gram array + 36 ``array_intersect``s
+    replaces 288 ``contains`` nodes — ~6x fewer expression nodes, which
+    is what the per-execution Catalyst-analysis/codegen cost of the
+    language query scales with. ``array_intersect`` returns DISTINCT
+    common elements, so ``size(array_intersect(grams, profile))`` equals
+    the old per-gram presence-count sum exactly (no array_distinct
+    needed)."""
+    return F.when(
+        F.length(win) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(win) - 2),
+            lambda i: win.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _marker_best_expr(toks: Column) -> Column:
     """Marker-tier argmax struct (h, prio, lang) over a token array."""
     return F.array_max(
@@ -249,18 +268,30 @@ def _trigram_lang_expr(win: Column) -> Column:
         F.lit(1).alias("prio"),
         F.lit("und").alias("lang"),
     )
-    pairs2 = F.array(
-        *[
-            F.struct(
-                _trigram_hits(win, grams).alias("h"),
-                F.lit(-i).alias("prio"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, (lang, grams) in enumerate(LANG_TRIGRAMS.items())
-        ],
-        sentinel,
+
+    def argmax(grams):
+        pairs2 = F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.array_intersect(
+                            grams, F.array(*[F.lit(g) for g in gs])
+                        )
+                    ).alias("h"),
+                    F.lit(-i).alias("prio"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, (lang, gs) in enumerate(LANG_TRIGRAMS.items())
+            ],
+            sentinel,
+        )
+        return F.array_max(pairs2)["lang"]
+
+    # let_bound twice: the window expression feeds the gram enumeration
+    # once per row, and the gram array feeds 36 intersects once per row
+    return let_bound(
+        win, lambda w: let_bound(_window_trigrams(w), argmax)
     )
-    return F.array_max(pairs2)["lang"]
 
 
 def _script_lang_expr(text: Column) -> Column:
