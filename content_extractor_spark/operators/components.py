@@ -43,12 +43,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # initial labels stay LAZY: one shallow agg over the checkpointed
+    # adjacency — the first round's checkpoint materializes it, saving
+    # a whole driver job (r7; these are all sub-second jobs whose cost
+    # is scheduling, not data)
     labels = (
         adj.select(F.col("src").alias("node"), F.col("src").alias("comp"))
         .groupBy("node")
         .agg(F.min("comp").alias("comp"))
-        .localCheckpoint(eager=True)
     )
+
     for _ in range(max_iter):
         neigh = (
             adj.join(labels, adj["dst"] == labels["node"])
@@ -58,7 +62,11 @@ def connected_components(
         # convergence detection is folded into the label update: carry
         # a per-node changed flag, so the eager checkpoint is the only
         # real job per iteration (the any-changed probe below reads the
-        # checkpointed blocks with an early-out limit, no re-join)
+        # checkpointed blocks with an early-out limit, no re-join).
+        # (r7 note: batching two propagation steps per checkpoint was
+        # tried and A/B-measured SLOWER here — the deeper per-round
+        # plan costs more than the saved driver jobs on shallow
+        # near-dup graphs.)
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
