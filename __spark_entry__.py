@@ -1730,22 +1730,21 @@ def q_lsh_ann_topk(spark, sf_dir):
     bucket; probes=4 additionally searches every bucket at Hamming
     distance 1 (bucket XOR one bit) — recall widens with query-side
     fan-out only, the corpus keeps one bucket per vector. Both runs
-    are unioned with a `probes` discriminator column.
+    are unioned with a `probes` discriminator column; since the
+    probes=0 candidate set is a subset of the probes=4 one, both
+    levels are ranked off a single candidate frame (one join, one
+    sort — see lsh_topk_probe_levels).
     """
-    from content_extractor_spark.operators.similarity import lsh_topk
+    from content_extractor_spark.operators.similarity import lsh_topk_probe_levels
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    single = lsh_topk(
-        queries, corpus, dim=64, k=5, nbits=4, round_to=3
-    ).select(F.lit(0).alias("probes"), "*")
-    multi = lsh_topk(
+    return lsh_topk_probe_levels(
         queries, corpus, dim=64, k=5, nbits=4, round_to=3, probes=4
-    ).select(F.lit(4).alias("probes"), "*")
-    return single.unionByName(multi)
+    )
 
 
 def q_embedding_neardup(spark, sf_dir):

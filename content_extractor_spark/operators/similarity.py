@@ -206,6 +206,107 @@ def lsh_topk(
     )
 
 
+def lsh_topk_probe_levels(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    nbits: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "q_embedding",
+    corpus_vec: str = "embedding",
+    round_to: int = 4,
+    probes: int = 4,
+) -> DataFrame:
+    """probes=0 AND probes=N top-k from ONE candidate frame.
+
+    Value-identical to
+    ``lsh_topk(probes=0).select(lit(0) as probes, *) UNION
+    lsh_topk(probes=N).select(lit(N) as probes, *)`` but the corpus
+    bucketing, the bucket join, the cosine arithmetic and the per-query
+    sort run ONCE: the probes=0 ranks are recovered from the multi-probe
+    candidate order as a running count of self-bucket rows. Both window
+    functions share the same partition/order/frame spec, so Catalyst
+    plans a single Window node over a single sort. Sound because the
+    probes=0 candidate set (the query's own bucket) is a subset of the
+    multi-probe set, the (cos desc, corpus_id asc) order is total within
+    a query (one bucket per corpus vector — no duplicate candidate
+    pairs), and restricting a total order to a subset preserves relative
+    order, so the running self-count equals row_number over the subset.
+    """
+    qb = queries.withColumn("_self_bucket", lsh_bucket(query_vec, nbits, dim))
+    probe_arr = F.array(
+        F.col("_self_bucket"),
+        *[
+            F.col("_self_bucket").bitwiseXOR(F.lit(1 << j))
+            for j in range(min(probes, nbits))
+        ],
+    )
+    qb = qb.withColumn("bucket", F.explode(probe_arr))
+    qb = qb.withColumn("_qv", F.col(query_vec).cast("array<double>"))
+    qb = qb.withColumn("_qn", norm(F.col("_qv")))
+    cb = corpus.withColumn("bucket", lsh_bucket(corpus_vec, nbits, dim))
+    cb = cb.withColumn("_cv", F.col(corpus_vec).cast("array<double>"))
+    cb = cb.withColumn("_cn", norm(F.col("_cv")))
+    joined = qb.join(cb, "bucket")
+    cos = F.round(
+        dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        round_to,
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id).asc()
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        joined.withColumn("cos", cos)
+        .withColumn(
+            "_self", (F.col("bucket") == F.col("_self_bucket")).cast("int")
+        )
+        .withColumn("_rank_multi", F.row_number().over(w))
+        .withColumn("_rank_self", F.sum("_self").over(running))
+    )
+    # emit both probe levels from the SAME ranked frame (a union of two
+    # filters would re-plan — and re-sort — the window subtree once per
+    # branch): each candidate row contributes the (probes, rank) pairs
+    # it qualifies for, then one explode flattens them
+    levels = F.array(
+        F.when(
+            (F.col("_self") == 1) & (F.col("_rank_self") <= k),
+            F.struct(
+                F.lit(0).alias("probes"),
+                F.col("_rank_self").cast("int").alias("rank"),
+            ),
+        ),
+        F.when(
+            F.col("_rank_multi") <= k,
+            F.struct(
+                F.lit(probes).alias("probes"),
+                F.col("_rank_multi").alias("rank"),
+            ),
+        ),
+    )
+    return (
+        ranked.select(
+            F.explode(F.filter(levels, lambda x: x.isNotNull())).alias("_pr"),
+            query_id,
+            corpus_id,
+            "cos",
+        ).select(
+            # coalesce against non-null literals: field access through
+            # the when()-nullable struct infers nullable, while the
+            # two-call union form this replaces (lit + row_number) does
+            # not — keep the schema bit-identical (no null can occur:
+            # the filter already dropped non-qualifying entries)
+            F.coalesce(F.col("_pr.probes"), F.lit(0)).alias("probes"),
+            query_id,
+            corpus_id,
+            "cos",
+            F.coalesce(F.col("_pr.rank"), F.lit(0)).alias("rank"),
+        )
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,

@@ -500,6 +500,52 @@ class TestSimilarity:
         cdf.unpersist()
         assert r4 > r0, (r0, r4)
 
+    def test_lsh_probe_levels_matches_two_call_union(self, spark):
+        """The fused probes=0+probes=N frame must be row- and dtype-
+        identical to the two independent lsh_topk calls it replaces,
+        and its plan must carry ONE bucket join and ONE Window node
+        (both ranks share the sort) vs the union form's two of each."""
+        import random
+
+        from content_extractor_spark.operators.similarity import (
+            lsh_topk_probe_levels,
+        )
+
+        rng = random.Random(17)
+        corpus = [
+            (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+        ]
+        cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+        qdf = spark.createDataFrame(
+            [(i, v) for i, v in corpus[:6]],
+            "query_id long, q_embedding array<float>",
+        )
+        fused = lsh_topk_probe_levels(
+            qdf, cdf, dim=16, k=5, nbits=4, round_to=3, probes=4
+        )
+        single = lsh_topk(qdf, cdf, dim=16, k=5, nbits=4, round_to=3).select(
+            F.lit(0).alias("probes"), "*"
+        )
+        multi = lsh_topk(
+            qdf, cdf, dim=16, k=5, nbits=4, round_to=3, probes=4
+        ).select(F.lit(4).alias("probes"), "*")
+        reference = single.unionByName(multi)
+        assert fused.schema == reference.schema
+        key = lambda r: (r["probes"], r["query_id"], r["vec_id"], r["cos"], r["rank"])
+        assert sorted(map(key, fused.collect())) == sorted(
+            map(key, reference.collect())
+        )
+        import re
+
+        plan = fused._sc._jvm.PythonSQLUtils.explainString(
+            fused._jdf.queryExecution(), "formatted"
+        )
+        # node-header lines of the final plan only (AQE repeats the
+        # tree under "== Initial Plan ==" and in per-node detail blocks)
+        final = plan.split("== Initial Plan ==")[0]
+        assert len(re.findall(r"Window \(\d+\)", final)) == 1, plan
+        assert len(re.findall(r"\w*Join\b[^\n(]*\(\d+\)", final)) == 1, plan
+
 
 class TestSessionize:
     def test_gap_splits_sessions(self, spark):
