@@ -452,8 +452,7 @@ def q_pixel_stats_all(spark, sf_dir):
     """
     from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
     from content_extractor_spark.operators.multimodal import (
-        extract_pixel_stats,
-        image_hashes,
+        pixel_stats_with_hashes,
     )
     from content_extractor_spark.synth import (
         encode_bmp_solid,
@@ -516,21 +515,17 @@ def q_pixel_stats_all(spark, sf_dir):
         enc, schema="media_ref string, payload binary"
     )
     media = ppm.unionByName(encoded)
-    stats = extract_pixel_stats(media).select(
+    # stats + perceptual hashes in ONE decode stage (the former
+    # stats-join-hashes form ran the encode stage and the decode twice,
+    # once per join branch): solid images hash to exact constants
+    # (aHash all-ones = -1 as int64, dHash 0) on ALL five formats; the
+    # -2 coalesce only guards a future truly-unsupported row
+    return pixel_stats_with_hashes(media).select(
         "media_ref", "fmt", "width", "height", "channels",
         "mean_r", "mean_g", "mean_b", "status",
-    )
-    # perceptual-hash arm over the SAME payloads (second decode pass —
-    # fine for the correctness harness): solid images hash to exact
-    # constants (aHash all-ones = -1 as int64, dHash 0) on ALL five
-    # formats (r6 wired gif/jpeg gray rasters into the hash path); the
-    # -2 coalesce only guards a future truly-unsupported row
-    hashes = image_hashes(media).select(
-        "media_ref",
         F.coalesce(F.col("ahash"), F.lit(-2)).alias("ahash"),
         F.coalesce(F.col("dhash"), F.lit(-2)).alias("dhash"),
     )
-    return stats.join(hashes, "media_ref")
 
 
 def q_media_manifest(spark, sf_dir):

@@ -1003,6 +1003,83 @@ def image_hashes(
     return df.mapInPandas(run, schema=IMAGE_HASHES_DDL)
 
 
+PIXEL_STATS_HASHES_DDL = (
+    "media_ref string, fmt string, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, status string, "
+    "ahash bigint, dhash bigint"
+)
+
+
+def pixel_stats_with_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Per-channel statistics AND perceptual hashes in ONE decode stage.
+
+    Value-identical to ``extract_pixel_stats(df)`` inner-joined with
+    ``image_hashes(df)`` on the (unique) ref column, but the payloads
+    cross the Arrow boundary once and there is no join: at corpus scale
+    the two-branch form ships every binary payload through two separate
+    Python stages and shuffles the results back together. Stats columns
+    follow exactly the `extract_pixel_stats` decode ladder; ahash/dhash
+    follow exactly the `image_hashes` gray-raster path (null when the
+    gray decode is unsupported — callers coalesce as before).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_ref": [], "fmt": [], "width": [], "height": [],
+                "channels": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                "status": [], "ahash": [], "dhash": [],
+            }
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                out["media_ref"].append(ref)
+                if payload is None:
+                    for k in ("fmt", "width", "height", "channels",
+                              "mean_r", "mean_g", "mean_b",
+                              "ahash", "dhash"):
+                        out[k].append(None)
+                    out["status"].append("error")
+                    continue
+                data = bytes(payload)
+                dec = (
+                    decode_netpbm(data)
+                    or decode_png_pixels(data)
+                    or decode_gif_pixels(data)
+                    or decode_bmp_pixels(data)
+                    or _decode_jpeg(data)
+                )
+                if dec is None:
+                    for k in ("fmt", "width", "height", "channels",
+                              "mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    out["status"].append("unsupported")
+                else:
+                    fmt, w, h, ch, means = dec
+                    out["fmt"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    m = list(means or [])
+                    out["mean_r"].append(m[0] if m else None)
+                    out["mean_g"].append(m[1] if len(m) >= 3 else None)
+                    out["mean_b"].append(m[2] if len(m) >= 3 else None)
+                    out["status"].append("ok")
+                gray = decode_gray_raster(data)
+                if gray is None:
+                    out["ahash"].append(None)
+                    out["dhash"].append(None)
+                else:
+                    _, gw, gh, graster = gray
+                    out["ahash"].append(ahash64(gw, gh, graster))
+                    out["dhash"].append(dhash64(gw, gh, graster))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=PIXEL_STATS_HASHES_DDL)
+
+
 def image_near_duplicates(
     df: DataFrame,
     payload_col: str = "payload",

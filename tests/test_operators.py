@@ -2226,6 +2226,42 @@ class TestImageHashing:
         assert rows["junk"]["status"] == "unsupported"
         assert rows["junk2"]["status"] == "unsupported"
 
+    def test_pixel_stats_with_hashes_matches_join_form(self, spark):
+        """The fused single-decode-stage operator must be row-identical
+        to extract_pixel_stats ⋈ image_hashes on media_ref — including
+        the error/unsupported rows on both legs."""
+        from content_extractor_spark.kernel.jpeg import encode_jpeg_solid
+        from content_extractor_spark.operators.multimodal import (
+            extract_pixel_stats,
+            image_hashes,
+            pixel_stats_with_hashes,
+        )
+        from content_extractor_spark.synth import (
+            encode_bmp_solid,
+            encode_gif_solid,
+            encode_png_solid,
+        )
+
+        w, h = 9, 7
+        media = spark.createDataFrame(
+            [("p6", self._p6(w, h, bytes([10, 200, 77] * (w * h)))),
+             ("png", encode_png_solid(w, h, (1, 2, 3))),
+             ("bmp", encode_bmp_solid(w, h, (250, 0, 125))),
+             ("gif", encode_gif_solid(w, h, (9, 9, 9))),
+             ("jpeg", encode_jpeg_solid(w, h, (33, 66, 99))),
+             ("junk", b"GIF89a not an image"),
+             ("nullrow", None)],
+            "media_ref string, payload binary",
+        )
+        fused = pixel_stats_with_hashes(media)
+        ref = extract_pixel_stats(media).drop("error").join(
+            image_hashes(media).select("media_ref", "ahash", "dhash"),
+            "media_ref",
+        )
+        assert fused.columns == ref.columns
+        to_map = lambda df: {r["media_ref"]: tuple(r) for r in df.collect()}
+        assert to_map(fused) == to_map(ref)
+
     def test_near_duplicates_banded(self, spark):
         import random
 
