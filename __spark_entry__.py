@@ -446,7 +446,7 @@ def q_pixel_stats_all(spark, sf_dir):
     tables — a constant block is DC-only, so it round-trips exactly —
     and 24-bit bottom-up BMP) are produced by one mapInPandas encoder
     stage, unioned with an SQL-assembled binary Netpbm P6 payload, and
-    decoded by ONE extract_pixel_stats pass; the oracle reconstructs
+    decoded by ONE pixel_stats_with_hashes pass; the oracle reconstructs
     every channel mean from doc_id arithmetic (JPEG via the same
     floor(x+0.5) BT.601 round trip).
     """
