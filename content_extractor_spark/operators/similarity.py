@@ -372,6 +372,36 @@ def _sq_dist_to(vec: Column, centroid, round_to: int) -> Column:
     )
 
 
+def _dists_to_all(vec: Column, cents, round_to: int) -> Column:
+    """Rounded squared distances to ALL centroids, as ONE ``transform``
+    over a 2-D centroid literal (r7): k separate aggregate(zip_with)
+    trees put O(k*dim) nodes in the analyzed/codegen'd plan; constant
+    folding collapses the 2-D array into a single Literal, so this is
+    one O(dim) lambda walked k times. Per-element arithmetic — zip
+    order, (a-b)*(a-b), left fold from 0.0, then round — is identical
+    to the per-centroid form, so distances are bit-equal and argmin
+    tie-breaks cannot move (pinned by the differential test)."""
+    cents2d = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    return _dists_over(vec, cents2d, round_to)
+
+
+def _dists_over(vec: Column, cents2d: Column, round_to: int) -> Column:
+    """transform(cents2d, c -> round(sum((v-c)^2), round_to))."""
+    return F.transform(
+        cents2d,
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        ),
+    )
+
+
 def _kmeans_centroids(base: DataFrame, dim: int, k: int,
                       iterations: int, round_to: int,
                       init_vectors=None):
@@ -408,7 +438,7 @@ def _kmeans_centroids(base: DataFrame, dim: int, k: int,
 def _kmeans_assign_stage(base: DataFrame, cents, round_to: int) -> DataFrame:
     """Argmin over centroid literals; ties break to the lowest cluster
     index (array_position returns the FIRST minimum)."""
-    dists = F.array(*[_sq_dist_to(F.col("v"), c, round_to) for c in cents])
+    dists = _dists_to_all(F.col("v"), cents, round_to)
     return (
         base.withColumn("_d", dists)
         .withColumn(
@@ -525,14 +555,22 @@ def pq_train_codebooks(
     )
     long = base.select("id", F.posexplode(slices).alias("s", "v"))
     for _ in range(iterations):
-        darr = None
-        for s in range(m - 1, -1, -1):
-            arr = F.array(
-                *[_sq_dist_to(F.col("v"), c, round_to) for c in books[s]]
-            )
-            darr = arr if darr is None else (
-                F.when(F.col("s") == s, arr).otherwise(darr)
-            )
+        # r7: ONE 3-D codebook literal indexed by the row's subspace —
+        # the former per-s when-chain of k aggregate trees re-stated the
+        # whole m*k distance forest in the plan; element_at picks the
+        # same book the matching when-branch did, so distances are
+        # bit-equal (same lambda arithmetic, see _dists_to_all)
+        books3d = F.array(*[
+            F.array(*[
+                F.array(*[F.lit(float(x)) for x in c]) for c in books[s]
+            ])
+            for s in range(m)
+        ])
+        darr = _dists_over(
+            F.col("v"),
+            F.element_at(books3d, F.col("s") + 1),
+            round_to,
+        )
         assigned = long.withColumn(
             "cluster",
             (F.array_position(darr, F.array_min(darr)) - 1).cast("int"),
@@ -576,7 +614,7 @@ def pq_encode(
     codes = []
     for s, book in enumerate(codebooks):
         sv = F.slice(vec, s * sub + 1, sub)
-        dists = F.array(*[_sq_dist_to(sv, c, round_to) for c in book])
+        dists = _dists_to_all(sv, book, round_to)
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )

@@ -1336,6 +1336,72 @@ class TestKmeansAndNormalize:
         b = sorted(map(tuple, kmeans_assign(df, dim=2, k=3, iterations=2).collect()))
         assert a == b
 
+    def test_dists_to_all_bit_equals_per_centroid_form(self, spark):
+        """r7: the fused transform-over-2D-literal distance array must be
+        bit-equal to the former k-separate aggregate(zip_with) trees —
+        same zip order, same (a-b)*(a-b), same left fold, same round —
+        so argmin tie-breaks can never move."""
+        from pyspark.sql import functions as F
+
+        from content_extractor_spark.operators.similarity import (
+            _dists_to_all,
+            _sq_dist_to,
+        )
+
+        # awkward floats on purpose: values near rounding boundaries
+        rows = [
+            (i, [((i * 31 + j * 17) % 97) / 7.0 + 0.0000005
+                 for j in range(8)])
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "id int, v array<double>")
+        cents = [
+            [((c * 13 + j * 5) % 89) / 7.0 for j in range(8)]
+            for c in range(5)
+        ]
+        old = F.array(*[_sq_dist_to(F.col("v"), c, 6) for c in cents])
+        out = df.select(
+            _dists_to_all(F.col("v"), cents, 6).alias("new"),
+            old.alias("old"),
+        ).collect()
+        for r in out:
+            assert r["new"] == r["old"]  # exact float equality, per entry
+
+    def test_pq_codebooks_and_codes_unchanged_by_fused_distances(self, spark):
+        """Books and codes from the 3-D-literal trainer path must match a
+        brute-force python replay of the per-centroid arithmetic."""
+        from content_extractor_spark.operators.similarity import (
+            _round_half_up,
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        rows = [
+            (i, [((i * 7 + j * 11) % 53) / 3.0 for j in range(8)])
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+        books = pq_train_codebooks(df, dim=8, m=2, k=3, iterations=2)
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in pq_encode(df, books).collect()
+        }
+        # python replay of the encode (same rounding, first-min ties)
+        for vid, vec in rows:
+            expect = []
+            for s, book in enumerate(books):
+                sv = vec[s * 4:(s + 1) * 4]
+                dists = [
+                    _round_half_up(
+                        sum((a - b) * (a - b) for a, b in zip(sv, c)), 6
+                    )
+                    for c in book
+                ]
+                expect.append(dists.index(min(dists)))
+            assert codes[vid] == expect
+
     def test_normalize_text_rules(self, spark):
         from content_extractor_spark.operators.curation import normalize_text
 
