@@ -1532,7 +1532,7 @@ def q_kmeans_assign(spark, sf_dir):
         kmeans_assign,
         pq_adc_distances,
         pq_encode,
-        pq_train_codebooks,
+        train_ivf_pq,
     )
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -1545,15 +1545,20 @@ def q_kmeans_assign(spark, sf_dir):
         list(r["embedding"])
         for r in emb.orderBy("vec_id").limit(4).select("embedding").collect()
     ]
+    # r7 late: ONE fused Lloyd job trains the coarse quantizer and all
+    # m codebooks together (s=0 full vector, s=1..m subspaces, one
+    # groupBy(s, cluster) AVG) — cents and books are value-identical
+    # to the two separate trainers (differential-pytest pinned), one
+    # driver job and one cached projection fewer.
+    cents, books = train_ivf_pq(
+        emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iterations=1, round_to=6,
+        init_vectors=init,
+    )
     km = kmeans_assign(
-        emb, dim=64, k=4, iterations=1, round_to=6, init_vectors=init
+        emb, dim=64, k=4, round_to=6, centroids=cents
     ).select(
         F.lit("kmeans").alias("kind"), "vec_id",
         "cluster", "dist",
-    )
-    books = pq_train_codebooks(
-        emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iterations=1, round_to=6,
-        init_vectors=init,
     )
     codes = pq_encode(emb, books, round_to=6)
     packed = None

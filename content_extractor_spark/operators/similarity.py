@@ -460,9 +460,14 @@ def kmeans_assign(
     vec_col: str = "embedding",
     round_to: int = 6,
     init_vectors=None,
+    centroids=None,
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means over an embedding
     column — the coarse quantizer an IVF index is built from.
+
+    ``centroids`` (r7): already-trained centroids (e.g. from
+    ``train_ivf_pq``) — skips training entirely; the call becomes the
+    MAP-ONLY assignment pass with no cache and no driver job.
 
     Determinism contract (engine-portable, no rand()):
       * init centroids = the vectors of the k smallest ids,
@@ -479,7 +484,12 @@ def kmeans_assign(
     """
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).cache()
+    )
+    if centroids is not None:
+        return _kmeans_assign_stage(base, centroids, round_to).select(
+            F.col("id").alias(id_col), "cluster", "dist"
+        )
+    base = base.cache()
     cents = _kmeans_centroids(
         base, dim, k, iterations, round_to, init_vectors=init_vectors
     )
@@ -593,6 +603,109 @@ def pq_train_codebooks(
         ]
     base.unpersist(blocking=False)
     return books
+
+
+def train_ivf_pq(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    init_vectors=None,
+):
+    """Train the IVF coarse quantizer (full-vector k-means) AND the m
+    per-subspace PQ codebooks in the SAME Lloyd iteration job (r7):
+    one posexploded long frame carries s=0 = the full vector and
+    s=1..m = the subspaces, so each iteration is ONE
+    groupBy(s, cluster) AVG pass instead of one job per trainer, over
+    one shared cached projection instead of two.
+
+    Returns ``(cents, books)`` — exactly what ``_kmeans_centroids`` and
+    ``pq_train_codebooks`` return for the same inputs: the same init
+    (vectors of the k smallest ids), the same bit-equal rounded
+    distances (`_dists_over` over a per-s codebook literal), the same
+    argmin tie-breaks, the same rounded per-dimension AVG update, the
+    same empty-cluster fallback — only the job count changes (pinned
+    by ``test_train_ivf_pq_matches_separate_trainers``).
+
+    The shared agg is ``dim`` columns wide; subspace rows are shorter
+    than ``dim``, so elements are read via ``try_element_at`` (NULL
+    past the end — ANSI-safe) and a subspace book keeps its first
+    dim/m entries. AVG over the in-range positions sees exactly the
+    per-trainer operand sets.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("full"),
+    ).cache()
+    if init_vectors is not None:
+        full_init = [[float(x) for x in v] for v in init_vectors[:k]]
+    else:
+        init = base.orderBy("id").limit(k).collect()
+        full_init = [list(r["full"]) for r in init]
+    cents = [list(v) for v in full_init]
+    books = [
+        [v[s * sub:(s + 1) * sub] for v in full_init]
+        for s in range(m)
+    ]
+    slices = F.array(
+        F.col("full"),
+        *[F.slice("full", s * sub + 1, sub) for s in range(m)],
+    )
+    long = base.select("id", F.posexplode(slices).alias("s", "v"))
+    for _ in range(iterations):
+        books3d = F.array(
+            F.array(*[
+                F.array(*[F.lit(float(x)) for x in c]) for c in cents
+            ]),
+            *[
+                F.array(*[
+                    F.array(*[F.lit(float(x)) for x in c])
+                    for c in books[s]
+                ])
+                for s in range(m)
+            ],
+        )
+        darr = _dists_over(
+            F.col("v"),
+            F.element_at(books3d, F.col("s") + 1),
+            round_to,
+        )
+        assigned = long.withColumn(
+            "cluster",
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int"),
+        )
+        rows = (
+            assigned.groupBy("s", "cluster")
+            .agg(*[
+                F.round(
+                    F.avg(F.try_element_at(F.col("v"), F.lit(i + 1))),
+                    round_to,
+                ).alias(f"c{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        got = {
+            (r["s"], r["cluster"]): [r[f"c{i}"] for i in range(dim)]
+            for r in rows
+        }
+        cents = [got.get((0, j), cents[j])[:dim] for j in range(k)]
+        books = [
+            [
+                got[(s + 1, j)][:sub] if (s + 1, j) in got else books[s][j]
+                for j in range(k)
+            ]
+            for s in range(m)
+        ]
+    base.unpersist(blocking=False)
+    return cents, books
 
 
 def pq_encode(

@@ -1367,6 +1367,67 @@ class TestKmeansAndNormalize:
         for r in out:
             assert r["new"] == r["old"]  # exact float equality, per entry
 
+    def test_train_ivf_pq_matches_separate_trainers(self, spark):
+        """r7: the fused one-job trainer must return exactly the cents
+        the full-vector trainer returns and exactly the books the PQ
+        trainer returns — same init, same rounded distances, same
+        tie-breaks, same rounded AVG update, same empty-cluster
+        fallback."""
+        from pyspark.sql import functions as F
+
+        from content_extractor_spark.operators.similarity import (
+            _kmeans_centroids,
+            pq_train_codebooks,
+            train_ivf_pq,
+        )
+
+        rows = [
+            (i, [((i * 23 + j * 7) % 61) / 3.0 for j in range(8)])
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+        for iterations in (1, 2):
+            cents, books = train_ivf_pq(
+                df, dim=8, m=2, k=3, iterations=iterations
+            )
+            base = df.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+            want_cents = _kmeans_centroids(
+                base, dim=8, k=3, iterations=iterations, round_to=6
+            )
+            want_books = pq_train_codebooks(
+                df, dim=8, m=2, k=3, iterations=iterations
+            )
+            assert cents == want_cents
+            assert books == want_books
+
+    def test_kmeans_assign_with_given_centroids_matches_trained(self, spark):
+        """kmeans_assign(centroids=...) must equal the self-training
+        call when handed the centroids that call would train."""
+        from pyspark.sql import functions as F
+
+        from content_extractor_spark.operators.similarity import (
+            _kmeans_centroids,
+            kmeans_assign,
+        )
+
+        rows = [(i, [float(i % 7), float(i % 3)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        base = df.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        cents = _kmeans_centroids(base, dim=2, k=3, iterations=2, round_to=6)
+        a = sorted(map(tuple, kmeans_assign(
+            df, dim=2, k=3, iterations=2).collect()))
+        b = sorted(map(tuple, kmeans_assign(
+            df, dim=2, k=3, centroids=cents).collect()))
+        assert a == b
+
     def test_pq_codebooks_and_codes_unchanged_by_fused_distances(self, spark):
         """Books and codes from the 3-D-literal trainer path must match a
         brute-force python replay of the per-centroid arithmetic."""
