@@ -49,36 +49,60 @@ def _iban_valid(cand: Column) -> Column:
     """ISO 13616 mod-97 check: move the first 4 chars to the end, map
     A-Z to 10-35, and fold digit-by-digit mod 97 (the incremental form
     — the full number exceeds int64); valid iff the remainder is 1.
-    Pure Catalyst (sequence + aggregate), no UDF."""
-    r = F.concat(
-        F.substring(cand, 5, F.length(cand)), F.substring(cand, 1, F.lit(4))
+    Pure Catalyst (sequence + aggregate), no UDF.
+
+    r7 (HOF free-variable rule): the rearranged string and each
+    character code are let-bound — free in the fold lambda they would
+    re-evaluate the concat/substring chain (over an already
+    regexp-normalized candidate) once per CHARACTER per reference."""
+    from .textstats import let_bound
+
+    def fold(r):
+        def step(acc, i):
+            return let_bound(
+                F.ascii(F.substring(r, i, F.lit(1))),
+                lambda a: F.when(
+                    a >= 65, (acc * 100 + (a - 55)) % 97
+                ).otherwise((acc * 10 + (a - 48)) % 97),
+            )
+
+        idx = F.sequence(F.lit(1), F.length(r))
+        return F.aggregate(idx, F.lit(0), step) == 1
+
+    return let_bound(
+        F.concat(
+            F.substring(cand, 5, F.length(cand)),
+            F.substring(cand, 1, F.lit(4)),
+        ),
+        fold,
     )
-    idx = F.sequence(F.lit(1), F.length(r))
-
-    def step(acc, i):
-        a = F.ascii(F.substring(r, i, F.lit(1)))
-        return F.when(
-            a >= 65, (acc * 100 + (a - 55)) % 97
-        ).otherwise((acc * 10 + (a - 48)) % 97)
-
-    return F.aggregate(idx, F.lit(0), step) == 1
 
 
 def _luhn_valid(cand: Column) -> Column:
     """ISO/IEC 7812 Luhn checksum over a candidate's digits — pure
-    Catalyst (reverse + transform + aggregate), no UDF."""
-    digits = F.reverse(F.regexp_replace(cand, r"[^0-9]", ""))
-    idx = F.sequence(F.lit(1), F.length(digits))
+    Catalyst (reverse + transform + aggregate), no UDF. Digits string
+    and per-position digit let-bound (same rule as _iban_valid)."""
+    from .textstats import let_bound
 
-    def val(i):
-        d = F.substring(digits, i, F.lit(1)).cast("int")
-        dbl = d * 2
-        return F.when(
-            i % 2 == 0, F.when(dbl > 9, dbl - 9).otherwise(dbl)
-        ).otherwise(d)
+    def fold(digits):
+        def val(i):
+            def dval(d):
+                dbl = d * 2
+                return F.when(
+                    i % 2 == 0, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+                ).otherwise(d)
 
-    total = F.aggregate(F.transform(idx, val), F.lit(0), lambda a, x: a + x)
-    return total % 10 == 0
+            return let_bound(
+                F.substring(digits, i, F.lit(1)).cast("int"), dval
+            )
+
+        idx = F.sequence(F.lit(1), F.length(digits))
+        total = F.aggregate(
+            F.transform(idx, val), F.lit(0), lambda a, x: a + x
+        )
+        return total % 10 == 0
+
+    return let_bound(F.reverse(F.regexp_replace(cand, r"[^0-9]", "")), fold)
 
 
 def pii_scrub(
@@ -103,11 +127,18 @@ def pii_scrub(
     step1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
 
     def _iban_ok(cand):
-        norm = F.regexp_replace(cand, r"[ -]", "")
-        return (
-            (F.length(norm) >= 15)
-            & (F.length(norm) <= 34)
-            & _iban_valid(norm)
+        from .textstats import let_bound
+
+        # norm let-bound: referenced free it would re-run the
+        # separator-stripping regexp once per reference (and once per
+        # checksum fold step via _iban_valid's own binding)
+        return let_bound(
+            F.regexp_replace(cand, r"[ -]", ""),
+            lambda norm: (
+                (F.length(norm) >= 15)
+                & (F.length(norm) <= 34)
+                & _iban_valid(norm)
+            ),
         )
 
     ibans = F.filter(

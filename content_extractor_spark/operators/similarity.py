@@ -877,14 +877,23 @@ def quantize_embeddings_int8(
 
     Returns (id, codes array<tinyint>, scale double).
     """
+    from .textstats import let_bound
+
     v = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
-    codes = F.transform(
-        v,
-        lambda x: F.when(scale > 0, F.round(x / scale, 0))
-        .otherwise(F.lit(0.0))
-        .cast("tinyint"),
+    # r7 (HOF free-variable rule): `scale` embeds the O(dim) array_max
+    # scan — referenced free inside the codes lambda it re-evaluates
+    # once per ELEMENT (twice: condition + value), i.e. O(dim^2) per
+    # row; let-binding evaluates it once per row
+    codes = let_bound(
+        scale,
+        lambda sc: F.transform(
+            v,
+            lambda x: F.when(sc > 0, F.round(x / sc, 0))
+            .otherwise(F.lit(0.0))
+            .cast("tinyint"),
+        ),
     )
     return df.select(
         F.col(id_col),
