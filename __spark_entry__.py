@@ -1071,13 +1071,20 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    uni = perplexity_bands(docs, bands=3, round_to=5).select(
+    # checkpoint_base: the (doc, ngram) count aggregate has 3-4
+    # consumers per arm and Catalyst restates (re-scans, re-explodes,
+    # re-aggregates) the subtree for each; on this bounded 300-doc
+    # input one eager materialization is cheaper than the restatements
+    # (A/B min-of-5: 0.93-1.08 -> 0.80-0.90 s; values identical)
+    uni = perplexity_bands(
+        docs, bands=3, round_to=5, checkpoint_base=True
+    ).select(
         F.lit("uni").alias("kind"), "doc_id", "lang", "mean_logprob",
         F.col("n_tokens").alias("n_units"), "band", "band_name",
     )
     bi = perplexity_bands(
         docs, bands=3, round_to=5,
-        scores=bigram_logprob(docs, round_to=5),
+        scores=bigram_logprob(docs, round_to=5, checkpoint_base=True),
     ).select(
         F.lit("bi").alias("kind"), "doc_id", "lang", "mean_logprob",
         F.col("n_bigrams").alias("n_units"), "band", "band_name",

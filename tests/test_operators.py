@@ -2258,6 +2258,23 @@ class TestDiscoveryAndBanding:
                  for r in perplexity_bands(df, bands=2).collect()}
         assert again == bands
 
+    def test_checkpoint_base_value_identical(self, spark):
+        """checkpoint_base=True is a plan-only change: both LM scorers
+        must return row-identical results with and without the eager
+        base materialization (the gate query opts in)."""
+        from content_extractor_spark.operators.textstats import (
+            bigram_logprob,
+            unigram_logprob,
+        )
+
+        rows = [(i, f"w{i % 3} w{i % 5} common tail{i} w{i % 3}")
+                for i in range(12)] + [(99, "")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        for fn in (unigram_logprob, bigram_logprob):
+            plain = sorted(map(tuple, fn(df).collect()))
+            ck = sorted(map(tuple, fn(df, checkpoint_base=True).collect()))
+            assert plain == ck, fn.__name__
+
     def test_crawl_schedule_honors_crawl_delay(self, spark):
         from content_extractor_spark.operators.scans import (
             crawl_schedule,
