@@ -807,8 +807,12 @@ def q_minhash_signatures(spark, sf_dir):
 def q_minhash_lsh_pairs(spark, sf_dir):
     from content_extractor_spark.operators.dedup_families import minhash_lsh_pairs
 
+    # checkpoint_banded: the pair self-join otherwise restates the
+    # whole signature pipeline once per side (A/B min-of-5: 0.80-0.92
+    # -> 0.68-0.76 s; values identical)
     return minhash_lsh_pairs(
-        _doubled_docs(spark, sf_dir), num_perm=16, num_bands=4, max_bucket=1000000
+        _doubled_docs(spark, sf_dir), num_perm=16, num_bands=4,
+        max_bucket=1000000, checkpoint_banded=True,
     )
 
 
@@ -837,9 +841,11 @@ def q_simhash_hamming_pairs(spark, sf_dir):
         simhash_hamming_pairs,
     )
 
+    # checkpoint_banded: same self-join restatement as minhash (A/B
+    # min-of-5: 0.74-0.75 -> 0.65-0.73 s; values identical)
     return simhash_hamming_pairs(
         _doubled_docs(spark, sf_dir, limit=200),
-        bits=16, bands=4, max_hamming=2,
+        bits=16, bands=4, max_hamming=2, checkpoint_banded=True,
     )
 
 
@@ -852,6 +858,7 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = minhash_lsh_pairs(
         _doubled_docs(spark, sf_dir, limit=150),
         num_perm=16, num_bands=4, max_bucket=1000000,
+        checkpoint_banded=True,
     )
     return dedup_groups(pairs)
 

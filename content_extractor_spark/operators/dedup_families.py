@@ -278,11 +278,21 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     num_bands: int = 4,
     max_bucket: int = 64,
+    checkpoint_banded: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
     `max_bucket` caps pathological buckets (boilerplate-heavy corpora
     produce mega-buckets; capping bounds the pair blow-up).
+
+    ``checkpoint_banded=True`` eagerly localCheckpoints the banded
+    frame before the self-join: a self-join restates its input subtree
+    once per side, so the whole signature pipeline (shingle explode,
+    16 MIN aggregates, band hashing, bucket-cap window) otherwise runs
+    twice. The banded frame is narrow (id + two band columns), so the
+    materialization is slim even at corpus scale; default stays False
+    to keep the fully lazy plan (pushdown through the signature
+    subtree) for library composition.
     """
     rows = num_perm // num_bands
     sigs = minhash_signatures_df(df, text_col, id_col, num_perm)
@@ -296,6 +306,8 @@ def minhash_lsh_pairs(
     banded = banded.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= max_bucket
     )
+    if checkpoint_banded:
+        banded = banded.localCheckpoint(eager=True)
     a = banded.select(
         F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
         F.col("id").alias("a"),
@@ -438,6 +450,7 @@ def simhash_hamming_pairs(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 2,
+    checkpoint_banded: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance <= max_hamming.
 
@@ -459,7 +472,10 @@ def simhash_hamming_pairs(
     sigs = simhash_signatures_df(df, text_col, id_col, bits).where(
         F.col("sig").isNotNull()
     )
-    return signature_hamming_pairs(sigs, bits, bands, max_hamming)
+    return signature_hamming_pairs(
+        sigs, bits, bands, max_hamming,
+        checkpoint_banded=checkpoint_banded,
+    )
 
 
 def signature_hamming_pairs(
@@ -469,11 +485,16 @@ def signature_hamming_pairs(
     max_hamming: int,
     id_col: str = "id",
     sig_col: str = "sig",
+    checkpoint_banded: bool = False,
 ) -> DataFrame:
     """(a, b, hamming) pairs within Hamming <= max_hamming over ANY
     (id, sig) bit-signature frame — the banding engine shared by text
     SimHash and perceptual image hashes (same pigeonhole guarantee and
-    join-key cardinality math as :func:`simhash_hamming_pairs`)."""
+    join-key cardinality math as :func:`simhash_hamming_pairs`).
+
+    ``checkpoint_banded`` as in :func:`minhash_lsh_pairs`: the
+    self-join otherwise restates the signature subtree once per side.
+    """
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding with {bands} bands only guarantees recall up to "
@@ -494,6 +515,8 @@ def signature_hamming_pairs(
             ])
         ).alias("b"),
     ).select("id", "sig", "b.band_idx", "b.band_val")
+    if checkpoint_banded:
+        banded = banded.localCheckpoint(eager=True)
     left = banded.select(
         F.col("band_idx"), F.col("band_val"),
         F.col("id").alias("a"), F.col("sig").alias("sig_a"),

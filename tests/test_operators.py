@@ -53,6 +53,24 @@ class TestDedupFamilies:
         pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(texts, num_perm=16).collect()}
         assert (1, 2) in pairs
 
+    def test_checkpoint_banded_value_identical(self, spark, texts):
+        """checkpoint_banded=True is a plan-only change: both pair
+        generators must return row-identical results with and without
+        the eager banded materialization (the gate queries opt in)."""
+        from content_extractor_spark.operators.dedup_families import (
+            simhash_hamming_pairs,
+        )
+
+        for fn, kw in (
+            (minhash_lsh_pairs, dict(num_perm=16)),
+            (simhash_hamming_pairs, dict(bits=16, bands=4, max_hamming=3)),
+        ):
+            plain = sorted(map(tuple, fn(texts, **kw).collect()))
+            ck = sorted(map(
+                tuple, fn(texts, checkpoint_banded=True, **kw).collect()
+            ))
+            assert plain == ck, fn.__name__
+
     def test_simhash_identical_texts_equal(self, spark, texts):
         sigs = dict(
             texts.select("doc_id", simhash("text", 16).alias("s")).collect()
