@@ -594,8 +594,12 @@ def q_paragraph_dedup(spark, sf_dir):
         repeated_window_spans,
     )
 
+    # checkpoint_spans: counts branch + join-back otherwise evaluate
+    # the span explode twice (A/B min-of-5: 0.57-0.61 -> 0.50-0.54 s;
+    # values identical)
     flagged = repeated_window_spans(
-        _doubled_docs(spark, sf_dir, limit=80), window=12, stride=6
+        _doubled_docs(spark, sf_dir, limit=80), window=12, stride=6,
+        checkpoint_spans=True,
     )
     windows = (
         flagged.groupBy("digest")

@@ -80,6 +80,7 @@ def repeated_window_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint_spans: bool = False,
 ) -> DataFrame:
     """Exact SUBSTRING-dedup candidates, the Spark shape of the
     suffix-array approach in Lee et al. 2022 ("Deduplicating Training
@@ -129,6 +130,14 @@ def repeated_window_spans(
     # AQE skew-join can split. The explode+digest projection is
     # evaluated on both branches — map-side CPU, embarrassingly
     # parallel, the right trade against a straggler at 100x.
+    # checkpoint_spans=True instead materializes the exploded spans
+    # once (both the counts branch and the join left side read it) —
+    # right for bounded inputs where the double evaluation costs more
+    # than the materialization; leave False at corpus scale, where the
+    # exploded frame is ~n_tokens/stride rows per doc and recomputing
+    # beats pinning it in the block manager.
+    if checkpoint_spans:
+        spans = spans.localCheckpoint(eager=True)
     counts = (
         spans.groupBy("digest")
         .agg(F.count("*").alias("occurrences"))

@@ -2489,6 +2489,14 @@ class TestImageHashing:
             for r in repeated_window_spans(df, window=4, stride=2).collect()
         )
         assert got2 == [(1, 1, 2), (4, 1, 2)]
+        # checkpoint_spans=True is a plan-only change (gate opt-in)
+        got_ck = sorted(
+            (r["doc_id"], r["start"], r["occurrences"])
+            for r in repeated_window_spans(
+                df, window=4, stride=1, checkpoint_spans=True
+            ).collect()
+        )
+        assert got_ck == got
 
     def test_jpeg_pairs_with_png_twin(self, spark):
         """A JPEG and the PNG of the same image land in the same
