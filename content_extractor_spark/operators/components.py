@@ -33,13 +33,25 @@ def connected_components(
     Nodes are the union of both edge endpoints; isolated nodes (absent
     from `edges`) are absent from the result by construction.
     """
+    # both edge directions from ONE pass over `edges`: the former
+    # unionByName of two selects restated the whole upstream pair
+    # pipeline (LSH banding, signature aggregation) once per branch —
+    # the explode derives (a->b, b->a) per input row map-side, so the
+    # edge subtree is evaluated exactly once (r7; values identical)
     adj = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            edges.select(
-                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
-            )
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
