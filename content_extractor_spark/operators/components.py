@@ -65,20 +65,24 @@ def connected_components(
         .agg(F.min("comp").alias("comp"))
     )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         neigh = (
             adj.join(labels, adj["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
-        # convergence detection is folded into the label update: carry
-        # a per-node changed flag, so the eager checkpoint is the only
-        # real job per iteration (the any-changed probe below reads the
-        # checkpointed blocks with an early-out limit, no re-join).
+        # convergence detection is folded into the label update AND
+        # into the checkpoint job itself: an Observation on the frame
+        # collects the changed count while the eager checkpoint
+        # materializes it, so each iteration is exactly ONE driver job
+        # (the former any-changed probe was a second job per round).
         # (r7 note: batching two propagation steps per checkpoint was
         # tried and A/B-measured SLOWER here — the deeper per-round
         # plan costs more than the saved driver jobs on shallow
         # near-dup graphs.)
+        obs = Observation()
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
@@ -90,11 +94,12 @@ def connected_components(
                     F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")
                 ).alias("_changed"),
             )
+            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("n"))
             .localCheckpoint(eager=True)
         )
-        any_changed = new_labels.where(F.col("_changed")).limit(1).count() > 0
         labels = new_labels.drop("_changed")
-        if not any_changed:
+        # sum over an empty frame surfaces as None — converged either way
+        if not obs.get["n"]:
             break
     return labels
 
