@@ -92,6 +92,18 @@ def test_connected_components_deep_chain(spark):
     assert len(comps) == 13
 
 
+def test_connected_components_empty_edges(spark):
+    """Zero-edge input must return an empty frame without hanging —
+    guards the Observation-based convergence probe (the changed-count
+    sum over an empty checkpointed frame surfaces as None)."""
+    from content_extractor_spark.operators.components import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "a int, b int")
+    assert connected_components(empty).collect() == []
+
+
 def test_digest_dedup_shapes_absorb_hot_keys(spark):
     """r7 de-skew guard (guide §2.5): the digest-keyed dedup shapes
     must be partial-aggregating (groupBy/min_by), never a window — a
